@@ -1,0 +1,21 @@
+"""Test configuration: force an 8-device virtual CPU platform.
+
+Multi-chip TPU hardware is not available in CI; sharding tests run on a
+virtual 8-device CPU mesh instead.  These env vars must be set before
+jax initializes its backends, hence the top-of-conftest placement.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(1234)
