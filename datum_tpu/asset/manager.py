@@ -1,0 +1,153 @@
+"""AssetManager — id-indexed multi-pack catalog with async streaming.
+
+Capability match for the reference asset manager (reference:
+src/asset.h:97-222, src/asset.cpp): each loaded pack's assets get ids
+offset by the pack's base id; `request()` is non-blocking — it returns
+the decoded payload if resident, else schedules a background load and
+returns None; an LRU byte budget evicts cold payloads.  Instead of raw
+slot memory, payloads are decoded Python objects (numpy arrays etc.)
+ready for device upload.
+"""
+
+from __future__ import annotations
+
+import threading
+from collections import OrderedDict
+from concurrent.futures import ThreadPoolExecutor
+from typing import Optional
+
+from .pack import PackReader
+
+
+class Asset:
+    __slots__ = ("id", "pack", "local_id", "info")
+
+    def __init__(self, id, pack, local_id, info):
+        self.id = id
+        self.pack = pack
+        self.local_id = local_id
+        self.info = info
+
+    @property
+    def type(self):
+        return self.info.type
+
+    @property
+    def fields(self):
+        return self.info.fields
+
+
+class AssetManager:
+    def __init__(self, budget_bytes: int = 256 * 1024 * 1024, workers: int = 4):
+        self._packs: list[PackReader] = []
+        self._assets: dict[int, Asset] = {}
+        self._resident: OrderedDict[int, object] = OrderedDict()
+        self._loading: set[int] = set()
+        self._sizes: dict[int, int] = {}
+        self._used = 0
+        self._budget = budget_bytes
+        self._lock = threading.Lock()
+        self._pool = ThreadPoolExecutor(max_workers=workers, thread_name_prefix="asset")
+        self._barriers = 0
+
+    # --- catalog ----------------------------------------------------------
+    def load(self, path) -> int:
+        """Load a pack's chunk directory; returns the pack's base id."""
+        with self._lock:
+            baseid = (max(self._assets) + 1) if self._assets else 0
+            reader = PackReader(path)
+            self._packs.append(reader)
+            for local_id, info in reader.assets.items():
+                self._assets[baseid + local_id] = Asset(baseid + local_id, reader, local_id, info)
+            return baseid
+
+    def find(self, asset_id: int) -> Optional[Asset]:
+        return self._assets.get(asset_id)
+
+    def __contains__(self, asset_id: int):
+        return asset_id in self._assets
+
+    # --- payload streaming ------------------------------------------------
+    def request(self, asset_id: int):
+        """Non-blocking: decoded payload if resident, else None (schedules load)."""
+        with self._lock:
+            if asset_id in self._resident:
+                self._resident.move_to_end(asset_id)
+                return self._resident[asset_id]
+            if asset_id not in self._loading and asset_id in self._assets:
+                self._loading.add(asset_id)
+                self._pool.submit(self._background_load, asset_id)
+            return None
+
+    def load_sync(self, asset_id: int):
+        """Blocking load (decoded payload), bypassing the worker pool."""
+        with self._lock:
+            if asset_id in self._resident:
+                self._resident.move_to_end(asset_id)
+                return self._resident[asset_id]
+        payload = self._decode(asset_id)
+        self._install(asset_id, payload)
+        return payload
+
+    def ready(self, asset_id: int) -> bool:
+        with self._lock:
+            return asset_id in self._resident
+
+    def _background_load(self, asset_id: int):
+        try:
+            payload = self._decode(asset_id)
+            self._install(asset_id, payload)
+        finally:
+            with self._lock:
+                self._loading.discard(asset_id)
+
+    def _decode(self, asset_id: int):
+        asset = self._assets[asset_id]
+        reader = asset.pack
+        decoders = {
+            "catl": lambda: reader.catalog(asset.local_id),
+            "text": lambda: reader.text(asset.local_id),
+            "imag": lambda: reader.image(asset.local_id),
+            "mesh": lambda: reader.mesh(asset.local_id),
+            "matl": lambda: reader.material(asset.local_id),
+            "anim": lambda: reader.animation(asset.local_id),
+            "modl": lambda: reader.model(asset.local_id),
+            "font": lambda: reader.font(asset.local_id),
+            "part": lambda: reader.particlesystem(asset.local_id),
+        }
+        return decoders[asset.type]()
+
+    def _install(self, asset_id: int, payload):
+        size = self._assets[asset_id].info.datasize
+        with self._lock:
+            # LRU-evict cold payloads over budget (resident set acts as the
+            # slot ring; barriers pin everything while > 0)
+            while self._used + size > self._budget and self._resident and self._barriers == 0:
+                old_id, _ = self._resident.popitem(last=False)
+                self._used -= self._sizes.pop(old_id, 0)
+            self._resident[asset_id] = payload
+            self._sizes[asset_id] = size
+            self._used += size
+
+    # --- eviction barrier (reference: src/asset.h:159-219 asset_guard) ----
+    def acquire_barrier(self):
+        with self._lock:
+            self._barriers += 1
+
+    def release_barrier(self):
+        with self._lock:
+            self._barriers -= 1
+
+    class _Guard:
+        def __init__(self, mgr):
+            self.mgr = mgr
+
+        def __enter__(self):
+            self.mgr.acquire_barrier()
+            return self.mgr
+
+        def __exit__(self, *exc):
+            self.mgr.release_barrier()
+
+    def guard(self):
+        return AssetManager._Guard(self)
