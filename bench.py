@@ -1,0 +1,63 @@
+"""Benchmark: flagship datumtest scene, steady-state frame time on TPU.
+
+North star (BASELINE.md): < 16 ms/frame at 1920x1080 on one TPU v5e.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline = 16ms / measured (>1 means faster than the target).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+
+def main():
+    from datum_tpu.scenes import datumtest_scene
+    from datum_tpu.render import frame as frame_mod
+    from datum_tpu.render.types import make_sceneset
+
+    ctx, camera, params, make_rl = datumtest_scene(
+        width=1920, height=1088, sphere_detail=24, n_point_lights=8,
+        max_vertices=1 << 16, max_triangles=1 << 16,
+        bin_capacity=256, big_capacity=64)
+    device = jax.device_put(ctx.device_state())
+
+    def frame_inputs(t):
+        rl = make_rl(t)
+        sceneset = make_sceneset(camera, params, point_lights=rl.point_lights,
+                                 spot_lights=rl.spot_lights)
+        draws = rl.draw_arrays(ctx.config.max_instances, ctx.default_material)
+        return draws, sceneset
+
+    draws, sceneset = frame_inputs(0.0)
+
+    # compile + warmup
+    out = frame_mod.render_frame(ctx.config, device, draws, sceneset)
+    jax.block_until_ready(out["image"])
+    for i in range(3):
+        draws, sceneset = frame_inputs(0.1 * i)
+        out = frame_mod.render_frame(ctx.config, device, draws, sceneset)
+    jax.block_until_ready(out["image"])
+
+    # steady state: device-side frame time (exclude host scene building,
+    # matching the reference's GPU frame-time metric)
+    n = 20
+    t0 = time.perf_counter()
+    for i in range(n):
+        out = frame_mod.render_frame(ctx.config, device, draws, sceneset)
+    jax.block_until_ready(out["image"])
+    dt_ms = (time.perf_counter() - t0) / n * 1000.0
+
+    print(json.dumps({
+        "metric": "datumtest_frame_time_1080p",
+        "value": round(dt_ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(16.0 / dt_ms, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Shared configuration and helpers for device kernels."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+# Raster tile size: 32 rows x 128 cols — the TPU lane width is 128 and
+# fp32 sublane tiling is 8, so a (32, 128) tile is 4 VPU registers per
+# array op and streams through VMEM cleanly.
+TILE_H = 32
+TILE_W = 128
+
+# Scene capacity bounds — identical to the reference SceneSet capacities
+# (reference: src/renderer/renderer.cpp:226-238, data/lighting.inc:2-8)
+MAX_POINT_LIGHTS = 512
+MAX_SPOT_LIGHTS = 16
+MAX_PROBES = 128
+MAX_ENVIRONMENTS = 8
+MAX_DECALS = 128
+SHADOW_SLICES = 4
+SHADOW_RES = 1024
+CLUSTER_TILE = 64
+CLUSTER_SIZE_Z = 24
+
+# Fog froxel grid (reference: src/renderer/renderer.cpp:293-298)
+FOG_W, FOG_H, FOG_D = 160, 90, 64
+FOG_DEPTH_RANGE = 50.0
+FOG_DEPTH_EXPONENT = 3.0
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def round_up(a: int, b: int) -> int:
+    return cdiv(a, b) * b
+
+
+@dataclasses.dataclass(frozen=True)
+class FrameConfig:
+    """Static (jit-constant) frame configuration.
+
+    Equivalent of the reference's spec-constant table + pipeline config
+    (reference: src/renderer/renderer.cpp:258-350 ComputeConstants,
+    renderer.h:481-486 RenderPipelineConfig).
+    """
+
+    width: int = 1280
+    height: int = 720
+    bin_capacity: int = 256          # triangles per raster tile
+    big_capacity: int = 64           # screen-crossing triangles (w<=0 spans)
+    max_vertices: int = 1 << 16
+    max_triangles: int = 1 << 16
+    max_instances: int = 256
+    tile_light_capacity: int = 64    # point lights per cluster tile
+    enable_depth_of_field: bool = False
+    enable_color_grading: bool = True
+    enable_ssao: bool = True
+    enable_ssr: bool = True
+    enable_bloom: bool = True
+    enable_fog: bool = False
+    fog_depth_range: float = FOG_DEPTH_RANGE
+
+    @property
+    def padded_width(self) -> int:
+        return round_up(self.width, TILE_W)
+
+    @property
+    def padded_height(self) -> int:
+        return round_up(self.height, TILE_H)
+
+    @property
+    def tiles_x(self) -> int:
+        return self.padded_width // TILE_W
+
+    @property
+    def tiles_y(self) -> int:
+        return self.padded_height // TILE_H
+
+    @property
+    def n_tiles(self) -> int:
+        return self.tiles_x * self.tiles_y
+
+
+def ndc_grid(height: int, width: int, dtype=jnp.float32):
+    """Per-pixel NDC coordinates at pixel centers, row 0 = top.
+
+    Matches the Vulkan-style viewport the reference renders with
+    (Y-flipped projection, reference: src/renderer/camera.cpp:81-85):
+    NDC (-1,-1) is the top-left pixel corner.
+    """
+    ys = (jnp.arange(height, dtype=dtype) + 0.5) / height * 2.0 - 1.0
+    xs = (jnp.arange(width, dtype=dtype) + 0.5) / width * 2.0 - 1.0
+    return jnp.meshgrid(ys, xs, indexing="ij")
+
+
+def srgb_encode(linear):
+    """Piecewise sRGB transfer (final image encode)."""
+    linear = jnp.clip(linear, 0.0, 1.0)
+    return jnp.where(
+        linear <= 0.0031308,
+        linear * 12.92,
+        1.055 * jnp.power(jnp.maximum(linear, 1e-8), 1 / 2.4) - 0.055,
+    )
+
+
+def np_f32(x):
+    return np.asarray(x, np.float32)

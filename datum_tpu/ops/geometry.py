@@ -1,0 +1,109 @@
+"""Vertex stage: rigid and dual-quaternion-skinned vertex transforms.
+
+TPU re-design of the reference vertex shaders (reference:
+data/model.geometry.vert — rigid; data/actor.geometry.vert:38-47 —
+4-bone dual-quaternion skinning via transform_blend;
+data/transform.inc — quaternion helpers).  All vertices of all draws
+are processed in one batched pass: big dense matmuls for the MXU, a
+gather + blend for skinning palettes.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def dq_rotate(q, v):
+    """Rotate vectors v (..., 3) by quaternions q (..., 4) [w,x,y,z]."""
+    qv = q[..., 1:4]
+    uv = jnp.cross(qv, v)
+    uuv = jnp.cross(qv, uv)
+    return v + 2.0 * (q[..., :1] * uv + uuv)
+
+
+def dq_apply(real, dual, v):
+    """Apply dual-quaternion rigid transform to points v."""
+    t = 2.0 * quat_mul(dual, quat_conj(real))[..., 1:4]
+    return dq_rotate(real, v) + t
+
+
+def quat_mul(a, b):
+    aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bw, bx, by, bz = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return jnp.stack(
+        [
+            aw * bw - ax * bx - ay * by - az * bz,
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+        ],
+        axis=-1,
+    )
+
+
+def quat_conj(q):
+    return q * jnp.array([1.0, -1.0, -1.0, -1.0], q.dtype)
+
+
+def skin_blend(palette, bone_idx, bone_wt):
+    """4-bone dual-quaternion palette blend.
+
+    palette: (B, 8) flattened dual quats; bone_idx: (V, 4) int32;
+    bone_wt: (V, 4).  Returns blended (real (V,4), dual (V,4)),
+    normalised.  Hemisphere-aligns each bone quat against bone 0
+    (reference: data/transform.inc transform_blend).
+    """
+    dq = palette[bone_idx]                      # (V, 4, 8)
+    ref = dq[:, 0:1, :4]                        # (V, 1, 4)
+    sign = jnp.sign(jnp.sum(dq[..., :4] * ref, axis=-1, keepdims=True) + 1e-20)
+    w = (bone_wt * sign[..., 0])[..., None]     # (V, 4, 1)
+    blended = jnp.sum(dq * w, axis=1)           # (V, 8)
+    real, dual = blended[:, :4], blended[:, 4:]
+    # dual-quat normalise: unit real, dual orthogonalised
+    ln = jnp.linalg.norm(real, axis=-1, keepdims=True)
+    ln = jnp.maximum(ln, 1e-8)
+    real_n = real / ln
+    dual_n = (dual * ln - real * (jnp.sum(real * dual, -1, keepdims=True) / ln)) / (ln * ln)
+    return real_n, dual_n
+
+
+def transform_vertices_rigid(positions, normals, tangents, vtx_instance,
+                             inst_world, viewproj):
+    """Rigid path: world = M_inst * p; clip = VP * world.
+
+    positions: (V, 3); vtx_instance: (V,) int32; inst_world: (I, 3, 4);
+    viewproj: (4, 4).  Returns clip (V,4), wnormal (V,3), wtangent (V,4).
+    """
+    M = inst_world[vtx_instance]                               # (V, 3, 4)
+    world = jnp.einsum("vij,vj->vi", M[:, :, :3], positions) + M[:, :, 3]
+    wn = jnp.einsum("vij,vj->vi", M[:, :, :3], normals)
+    wt3 = jnp.einsum("vij,vj->vi", M[:, :, :3], tangents[:, :3])
+    clip = world @ viewproj[:, :3].T + viewproj[:, 3]
+    wtangent = jnp.concatenate([wt3, tangents[:, 3:4]], axis=-1)
+    return clip, wn, wtangent, world
+
+
+def transform_vertices_skinned(positions, normals, tangents, vtx_instance,
+                               bone_idx, bone_wt, palettes, inst_world, viewproj):
+    """Skinned path: p' = blend(palette)(p), then rigid instance transform.
+
+    palettes: (I, B, 8) per-instance bone dual-quats (already composed
+    with bind pose by the host Animator).
+    """
+    pal = palettes[vtx_instance]                               # (V, B, 8)
+    # per-vertex gather of 4 bones from this vertex's palette
+    v_idx = jnp.arange(positions.shape[0])[:, None]
+    dq = pal[v_idx, bone_idx]                                  # (V, 4, 8)
+    ref = dq[:, 0:1, :4]
+    sign = jnp.sign(jnp.sum(dq[..., :4] * ref, axis=-1, keepdims=True) + 1e-20)
+    w = (bone_wt * sign[..., 0])[..., None]
+    blended = jnp.sum(dq * w, axis=1)
+    real, dual = blended[:, :4], blended[:, 4:]
+    ln = jnp.maximum(jnp.linalg.norm(real, axis=-1, keepdims=True), 1e-8)
+    real = real / ln
+    dual = dual / ln
+    skinned = dq_apply(real, dual, positions)
+    sn = dq_rotate(real, normals)
+    st = dq_rotate(real, tangents[:, :3])
+    return transform_vertices_rigid(skinned, sn, jnp.concatenate([st, tangents[:, 3:4]], -1),
+                                    vtx_instance, inst_world, viewproj)

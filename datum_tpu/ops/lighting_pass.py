@@ -1,0 +1,143 @@
+"""Deferred lighting pass: gbuffer + lights -> HDR color.
+
+TPU equivalent of the clustered-deferred shading kernel (reference:
+data/lighting.comp — gbuffer decode, cascaded main light, point/spot
+loops, IBL env + SH probes, fog apply, exposure).  v1 shades densely:
+main light + ambient IBL-less terms + a bounded point/spot loop over
+the whole screen; the clustered per-tile light-list path replaces the
+dense loop as scenes scale (see ops/cluster.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import brdf
+
+
+def view_ray_grid(invproj, width, height, y0=0, local_h=None, dtype=jnp.float32):
+    """Per-pixel view ray (x, y, -1) through each pixel center."""
+    lh = local_h or height
+    yn = ((jnp.arange(lh, dtype=dtype) + y0 + 0.5) / height * 2.0 - 1.0)[:, None]
+    xn = ((jnp.arange(width, dtype=dtype) + 0.5) / width * 2.0 - 1.0)[None, :]
+    rx = invproj[0, 0] * xn
+    ry = invproj[1, 1] * yn
+    return jnp.broadcast_to(rx, (lh, width)), jnp.broadcast_to(ry, (lh, width))
+
+
+def reconstruct_positions(depth, proj, invview, width, height, y0=0):
+    """Depth buffer -> view-space and world-space positions.
+
+    Matches the reconstruction contract (reference: data/gbuffer.inc
+    view_depth/view_position): view_z = proj[2][3]/(d + proj[2][2]) is
+    the positive distance along -Z.
+    """
+    h, w = depth.shape
+    rx, ry = view_ray_grid(_inv_proj(proj), width, height, y0=y0, local_h=h)
+    dist = proj[2, 3] / (depth + proj[2, 2])
+    viewpos = jnp.stack([rx * dist, ry * dist, -dist], axis=-1)
+    worldpos = viewpos @ invview[:3, :3].T + invview[:3, 3]
+    return viewpos, worldpos
+
+
+def _inv_proj(proj):
+    # analytic inverse entries needed for the ray grid (perspective form)
+    inv00 = 1.0 / proj[0, 0]
+    inv11 = 1.0 / proj[1, 1]
+    m = jnp.zeros((4, 4), proj.dtype)
+    m = m.at[0, 0].set(inv00).at[1, 1].set(inv11)
+    return m
+
+
+def shade_deferred(gbuffer, depth, sceneset, *, proj, invview,
+                   ssao=None, fogvol=None, shadowfactor=None,
+                   env_specular=None, env_diffuse=None, envbrdf=None,
+                   full_size=None, y0=0):
+    """Main deferred shade.  Returns HDR color (H, W, 3) premultiplied by
+    camera exposure (reference: lighting.comp:274-283 applies exposure at
+    the end of the lighting pass).  full_size/y0 support row-band shards."""
+    h, w = depth.shape
+    fh, fw = full_size if full_size is not None else (h, w)
+    viewpos, worldpos = reconstruct_positions(depth, proj, invview, fw, fh, y0=y0)
+    campos = invview[:3, 3]
+
+    normal = gbuffer["normal"][..., :3] * 2.0 - 1.0
+    material = dict(
+        diffuse=gbuffer["diffuse"][..., :3],
+        specular=gbuffer["specular"][..., :3],
+        roughness=gbuffer["specular"][..., 3],
+        alpha=gbuffer["specular"][..., 3] ** 2,
+        emissive=128.0 * gbuffer["diffuse"][..., 3] ** 3,
+    )
+    eyevec = brdf.normalize(campos - worldpos)
+
+    ambient = sceneset["camera"]["ambientintensity"]
+    if ssao is not None:
+        ambient = ambient * ssao
+
+    diffuse = jnp.zeros((h, w, 3), jnp.float32)
+    specular = jnp.zeros((h, w, 3), jnp.float32)
+
+    # environment / ambient term
+    if env_diffuse is not None and envbrdf is not None:
+        d, s = brdf.env_light(material, env_diffuse, env_specular, envbrdf,
+                              jnp.broadcast_to(jnp.asarray(ambient), (h, w)))
+        diffuse = diffuse + d
+        specular = specular + s * sceneset["camera"]["specularintensity"]
+    else:
+        # constant-ambient fallback while IBL inputs are absent
+        diffuse = diffuse + ambient * 0.2
+
+    # main light
+    ml = sceneset["mainlight"]
+    sf = shadowfactor if shadowfactor is not None else jnp.ones((h, w), jnp.float32)
+    d, s = brdf.main_light(normal, eyevec, material, ml["direction"],
+                           ml["intensity"], ml["cutoff"], sf)
+    diffuse = diffuse + d
+    specular = specular + s
+
+    # point lights: bounded loop masked by count (dense screen pass)
+    pl = sceneset["pointlights"]
+    nlights = pl["position"].shape[0]
+    count = pl["count"]
+
+    def body(i, accum):
+        dif, spec = accum
+        d_i, s_i = brdf.point_light(worldpos, normal, eyevec, material,
+                                    pl["position"][i], pl["intensity"][i],
+                                    pl["attenuation"][i])
+        on = (i < count).astype(jnp.float32)
+        return (dif + on * d_i, spec + on * s_i)
+
+    if nlights > 0:
+        diffuse, specular = jax.lax.fori_loop(0, jnp.minimum(count, nlights),
+                                              body, (diffuse, specular))
+
+    # spot lights
+    sl = sceneset.get("spotlights")
+    if sl is not None and sl["position"].shape[0] > 0:
+        def sbody(i, accum):
+            dif, spec = accum
+            shadow = jnp.ones((h, w), jnp.float32)
+            d_i, s_i = brdf.spot_light(worldpos, normal, eyevec, material,
+                                       sl["position"][i], sl["intensity"][i],
+                                       sl["attenuation"][i], sl["direction"][i],
+                                       sl["cutoff"][i], shadow)
+            on = (i < sl["count"]).astype(jnp.float32)
+            return (dif + on * d_i, spec + on * s_i)
+
+        diffuse, specular = jax.lax.fori_loop(
+            0, jnp.minimum(sl["count"], sl["position"].shape[0]), sbody,
+            (diffuse, specular))
+
+    emissive_term = material["emissive"][..., None] * material["diffuse"]
+    color = (material["diffuse"] * diffuse + specular + emissive_term)
+
+    if fogvol is not None:
+        color = color * fogvol[..., 3:4] + fogvol[..., :3]
+
+    exposure = sceneset["camera"]["exposure"]
+    color = color * exposure
+    # background stays black (skybox pass fills it separately)
+    return jnp.where(gbuffer["mask"][..., None], color, jnp.zeros_like(color))

@@ -1,0 +1,255 @@
+"""Visibility-buffer rasterizer: setup -> bin -> raster -> resolve.
+
+TPU re-design of the reference's raster pipeline (reference: the
+prepass/geometry passes of src/renderer/renderer.cpp:6498-6540 plus the
+*.prepass.vert / geometry.frag programs).  Instead of a hardware raster
+pipe we use 2D-homogeneous (Olano-Greer) edge functions:
+
+    M  = [[x0, x1, x2], [y0, y1, y2], [w0, w1, w2]]   (clip coords)
+    e  = adj(M) @ (x_ndc, y_ndc, 1)
+    inside        <=> all e_i >= 0  (or all <= 0 for the other winding)
+    lambda_i      =  e_i / sum(e)          (perspective-correct barys)
+    depth (z/w)   =  sum(e_i * z_i) / det  (since sum(e_i * w_i) == det)
+
+No near-plane clipping is ever needed — triangles crossing w=0
+rasterize correctly, and behind-eye coverage is rejected by the
+depth-range test (reverse-Z keeps visible depth in (0, 1]).
+
+The raster stage emits only (depth, triangle id) per pixel; attribute
+interpolation happens in a dense deferred resolve pass (gather by id,
+re-evaluate e) — scatter state stays minimal, everything else is
+data-parallel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .common import TILE_H, TILE_W, FrameConfig
+
+BIN_MAX_SPAN = 32  # max tiles a binned triangle may cover; larger -> big list
+
+
+def adjugate3(m):
+    """Adjugate of (..., 3, 3) matrices: adj(M) @ M = det(M) * I."""
+    a = m
+    c00 = a[..., 1, 1] * a[..., 2, 2] - a[..., 1, 2] * a[..., 2, 1]
+    c01 = a[..., 1, 2] * a[..., 2, 0] - a[..., 1, 0] * a[..., 2, 2]
+    c02 = a[..., 1, 0] * a[..., 2, 1] - a[..., 1, 1] * a[..., 2, 0]
+    c10 = a[..., 0, 2] * a[..., 2, 1] - a[..., 0, 1] * a[..., 2, 2]
+    c11 = a[..., 0, 0] * a[..., 2, 2] - a[..., 0, 2] * a[..., 2, 0]
+    c12 = a[..., 0, 1] * a[..., 2, 0] - a[..., 0, 0] * a[..., 2, 1]
+    c20 = a[..., 0, 1] * a[..., 1, 2] - a[..., 0, 2] * a[..., 1, 1]
+    c21 = a[..., 0, 2] * a[..., 1, 0] - a[..., 0, 0] * a[..., 1, 2]
+    c22 = a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0]
+    # adjugate = transposed cofactors; rows are the edge-coefficient vectors
+    return jnp.stack(
+        [jnp.stack([c00, c10, c20], -1),
+         jnp.stack([c01, c11, c21], -1),
+         jnp.stack([c02, c12, c22], -1)], axis=-2)
+
+
+def triangle_setup(clip, tris, width, height, tiles_x, tiles_y):
+    """Per-triangle raster setup.
+
+    clip: (V, 4) clip positions; tris: (T, 3) int32 vertex ids
+    (padding triangles use [0,0,0] -> zero area -> culled).
+
+    Returns dict with:
+      adj (T,3,3), det (T,), zc (T,3) clip z,
+      tile_bbox (T,4) int32 [tx0,ty0,tx1,ty1],
+      valid (T,) — contributes pixels,
+      big (T,)   — valid but unbounded/huge screen extent.
+    """
+    v = clip[tris]                                  # (T, 3, 4)
+    x, y, w, z = v[..., 0], v[..., 1], v[..., 3], v[..., 2]
+    m = jnp.stack([x, y, w], axis=-2)               # (T, 3, 3) rows x/y/w
+    adj = adjugate3(m)
+    det = (m[:, 0, 0] * adj[:, 0, 0] + m[:, 0, 1] * adj[:, 1, 0]
+           + m[:, 0, 2] * adj[:, 2, 0])
+
+    # conservative frustum reject: all vertices outside one clip plane
+    out = (jnp.all(x > w, 1) | jnp.all(x < -w, 1)
+           | jnp.all(y > w, 1) | jnp.all(y < -w, 1)
+           | jnp.all(z < 0, 1) | jnp.all(z > w, 1))
+    degenerate = jnp.abs(det) < 1e-14
+    valid = ~(out | degenerate)
+
+    # screen bbox (only meaningful when all w comfortably positive)
+    w_ok = jnp.all(w > 1e-6, axis=1)
+    safe_w = jnp.where(w_ok[:, None], w, 1.0)
+    sx = (x / safe_w * 0.5 + 0.5) * width           # pixel coords
+    sy = (y / safe_w * 0.5 + 0.5) * height
+    tx0 = jnp.clip(jnp.floor(sx.min(1) / TILE_W).astype(jnp.int32), 0, tiles_x - 1)
+    tx1 = jnp.clip(jnp.floor(sx.max(1) / TILE_W).astype(jnp.int32), 0, tiles_x - 1)
+    ty0 = jnp.clip(jnp.floor(sy.min(1) / TILE_H).astype(jnp.int32), 0, tiles_y - 1)
+    ty1 = jnp.clip(jnp.floor(sy.max(1) / TILE_H).astype(jnp.int32), 0, tiles_y - 1)
+
+    # off-screen reject for bounded triangles
+    onscreen = (sx.max(1) >= 0) & (sx.min(1) < width) & (sy.max(1) >= 0) & (sy.min(1) < height)
+    valid = valid & (w_ok & onscreen | ~w_ok)
+
+    span = (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
+    big = valid & (~w_ok | (span > BIN_MAX_SPAN))
+    binned = valid & ~big
+
+    return dict(
+        adj=adj, det=det, zc=z,
+        tile_bbox=jnp.stack([tx0, ty0, tx1, ty1], axis=-1),
+        valid=binned, big=big,
+    )
+
+
+def bin_triangles(setup, n_tris, tiles_x, tiles_y, bin_capacity, big_capacity):
+    """Build per-tile triangle lists via pair-expansion + sort.
+
+    Each binned triangle emits up to BIN_MAX_SPAN (tile, tri) pairs over
+    its tile bbox; pairs sort by tile and each tile gathers its segment
+    (capacity bin_capacity).  Unbounded triangles go to a shared 'big'
+    list every tile also walks.  Replaces the scatter/atomic pattern a
+    GPU would use with sort+searchsorted, which XLA executes well.
+    """
+    n_tiles = tiles_x * tiles_y
+    bbox = setup["tile_bbox"]
+    tx0, ty0, tx1, ty1 = bbox[:, 0], bbox[:, 1], bbox[:, 2], bbox[:, 3]
+    span_w = tx1 - tx0 + 1
+    span = span_w * (ty1 - ty0 + 1)
+
+    T = n_tris
+    k = jnp.arange(BIN_MAX_SPAN, dtype=jnp.int32)
+    kx = k[None, :] % span_w[:, None]
+    ky = k[None, :] // span_w[:, None]
+    tile = (ty0[:, None] + ky) * tiles_x + (tx0[:, None] + kx)       # (T, S)
+    pair_ok = setup["valid"][:, None] & (k[None, :] < span[:, None])
+    tile = jnp.where(pair_ok, tile, n_tiles)                          # sentinel
+
+    tri_ids = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[:, None],
+                               tile.shape)
+    # stable sort by tile keeps pairs in triangle (draw) order per tile
+    order = jnp.argsort(tile.reshape(-1), stable=True)
+    sorted_tile = tile.reshape(-1)[order]
+    sorted_tri = tri_ids.reshape(-1)[order]
+
+    starts = jnp.searchsorted(sorted_tile, jnp.arange(n_tiles + 1, dtype=jnp.int32))
+    counts = jnp.minimum(starts[1:] - starts[:-1], bin_capacity)
+
+    idx = starts[:-1, None] + jnp.arange(bin_capacity, dtype=jnp.int32)[None, :]
+    idx = jnp.minimum(idx, sorted_tile.shape[0] - 1)
+    bins = jnp.where(
+        sorted_tile[idx] == jnp.arange(n_tiles, dtype=jnp.int32)[:, None],
+        sorted_tri[idx], -1)
+
+    big_ids = jnp.nonzero(setup["big"], size=big_capacity, fill_value=-1)[0].astype(jnp.int32)
+    return bins, counts.astype(jnp.int32), big_ids
+
+
+def _tile_ndc(tile_idx, tiles_x, width, height, dtype=jnp.float32):
+    """NDC coords of one tile's pixel centers (TILE_H, TILE_W)."""
+    ty = tile_idx // tiles_x
+    tx = tile_idx % tiles_x
+    py = ty * TILE_H + jnp.arange(TILE_H, dtype=dtype)[:, None]
+    px = tx * TILE_W + jnp.arange(TILE_W, dtype=dtype)[None, :]
+    yn = (py + 0.5) / height * 2.0 - 1.0
+    xn = (px + 0.5) / width * 2.0 - 1.0
+    return jnp.broadcast_to(xn, (TILE_H, TILE_W)), jnp.broadcast_to(yn, (TILE_H, TILE_W))
+
+
+def raster(setup, bins, big_ids, tiles_x, tiles_y, width, height, tile_ids=None):
+    """Depth + id raster over all tiles.
+
+    Returns depth (Hp, Wp) f32 (reverse-Z, cleared 0) and vis (Hp, Wp)
+    int32 triangle id (-1 = background).  Hp/Wp are the tile-padded
+    extents.  tile_ids names the global tile of each bins row (default:
+    all tiles) — the hook the tile-sharded multi-chip path uses to give
+    each device its band; bins rows always correspond 1:1 to tile_ids.
+    """
+    adj, det, zc = setup["adj"], setup["det"], setup["zc"]
+    # per-triangle packed setup: e-coeffs (9) + z-over-det dot coeffs (3)
+    ez = adj * (zc[:, :, None] / det[:, None, None])   # rows scaled: depth = sum_i e_i*z_i/det
+    if tile_ids is None:
+        tile_ids = jnp.arange(tiles_x * tiles_y, dtype=jnp.int32)
+    n_tiles = tile_ids.shape[0]
+
+    K = bins.shape[1]
+    B = big_ids.shape[0]
+
+    xn, yn = jax.vmap(lambda t: _tile_ndc(t, tiles_x, width, height))(tile_ids)
+    # (n_tiles, TILE_H, TILE_W)
+
+    def step(carry, k):
+        depth, vis = carry
+        tri = jnp.where(k < K, bins[:, jnp.minimum(k, K - 1)],
+                        big_ids[jnp.minimum(k - K, B - 1)])
+        ok = tri >= 0
+        t = jnp.maximum(tri, 0)
+        a = adj[t]                                    # (n_tiles, 3, 3)
+        z3 = ez[t]                                    # (n_tiles, 3, 3)
+        e0 = a[:, 0, 0, None, None] * xn + a[:, 0, 1, None, None] * yn + a[:, 0, 2, None, None]
+        e1 = a[:, 1, 0, None, None] * xn + a[:, 1, 1, None, None] * yn + a[:, 1, 2, None, None]
+        e2 = a[:, 2, 0, None, None] * xn + a[:, 2, 1, None, None] * yn + a[:, 2, 2, None, None]
+        inside = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)) | ((e0 <= 0) & (e1 <= 0) & (e2 <= 0))
+        zs = z3.sum(axis=1)                           # (n_tiles, 3): coeffs for depth
+        d = zs[:, 0, None, None] * xn + zs[:, 1, None, None] * yn + zs[:, 2, None, None]
+        passed = (inside & ok[:, None, None]
+                  & (d > depth) & (d <= 1.0))
+        depth = jnp.where(passed, d, depth)
+        vis = jnp.where(passed, t[:, None, None], vis)
+        return (depth, vis), None
+
+    depth0 = jnp.zeros((n_tiles, TILE_H, TILE_W), jnp.float32)
+    vis0 = jnp.full((n_tiles, TILE_H, TILE_W), -1, jnp.int32)
+    (depth, vis), _ = jax.lax.scan(step, (depth0, vis0),
+                                   jnp.arange(K + B, dtype=jnp.int32))
+
+    tiles_y_local = n_tiles // tiles_x   # callers shard whole tile-rows
+    return _untile(depth, tiles_x, tiles_y_local), _untile(vis, tiles_x, tiles_y_local)
+
+
+def _untile(tiled, tiles_x, tiles_y):
+    """(n_tiles, TH, TW) -> (tiles_y*TH, tiles_x*TW)."""
+    n, th, tw = tiled.shape
+    return (tiled.reshape(tiles_y, tiles_x, th, tw)
+            .transpose(0, 2, 1, 3)
+            .reshape(tiles_y * th, tiles_x * tw))
+
+
+def tile_image(img, tiles_x, tiles_y):
+    """(H, W, ...) -> (n_tiles, TH, TW, ...)."""
+    h, w = img.shape[:2]
+    rest = img.shape[2:]
+    return (img.reshape(tiles_y, TILE_H, tiles_x, TILE_W, *rest)
+            .transpose(0, 2, 1, 3, *(range(4, 4 + len(rest))))
+            .reshape(tiles_y * tiles_x, TILE_H, TILE_W, *rest))
+
+
+def resolve_barycentrics(vis, setup, width, height, y0=0):
+    """Per-pixel perspective-correct barycentrics for the winning triangle.
+
+    Returns lam (H, W, 3) with sum=1 on covered pixels, plus mask (H, W).
+    y0 is the global row of this band's first row (tile-sharded path).
+    """
+    h, w = vis.shape
+    ys = (jnp.arange(h, dtype=jnp.float32)[:, None] + y0 + 0.5) / height * 2.0 - 1.0
+    xs = (jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5) / width * 2.0 - 1.0
+    mask = vis >= 0
+    t = jnp.maximum(vis, 0)
+    a = setup["adj"][t]                                   # (H, W, 3, 3)
+    e = (a[..., 0] * xs[..., None] + a[..., 1] * ys[..., None] + a[..., 2])
+    s = e.sum(-1, keepdims=True)
+    lam = e / jnp.where(jnp.abs(s) < 1e-20, 1.0, s)
+    return lam, mask
+
+
+@partial(jax.jit, static_argnames=("width", "height", "tiles_x", "tiles_y",
+                                   "bin_capacity", "big_capacity"))
+def rasterize(clip, tris, *, width, height, tiles_x, tiles_y,
+              bin_capacity=256, big_capacity=64):
+    """End-to-end: clip-space triangles -> (depth, vis id, setup)."""
+    setup = triangle_setup(clip, tris, width, height, tiles_x, tiles_y)
+    bins, counts, big_ids = bin_triangles(setup, tris.shape[0], tiles_x, tiles_y,
+                                          bin_capacity, big_capacity)
+    depth, vis = raster(setup, bins, big_ids, tiles_x, tiles_y, width, height)
+    return depth, vis, setup

@@ -1,0 +1,164 @@
+"""Texture sampling: bilinear/trilinear gathers with wrap/clamp modes.
+
+The TPU replacement for Vulkan samplers (reference: renderer.cpp
+repeat/clamped samplers bound at set 0).  Textures live as dense
+arrays; filtering is explicit gather + lerp.  Layouts:
+
+  texture array:  (N, S, S, C)  — N textures resampled to a common
+                  size S (the reference's per-material texture arrays
+                  become one indexed pool)
+  cubemap:        (6, S, S, C)  — faces ordered +X -X +Y -Y +Z -Z
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+WRAP_REPEAT = 0
+WRAP_CLAMP = 1
+
+
+def _wrap_uv(u, size, mode):
+    if mode == WRAP_REPEAT:
+        return jnp.mod(u, size)
+    return jnp.clip(u, 0, size - 1)
+
+
+def sample_bilinear(tex, tex_ids, uv, mode=WRAP_REPEAT):
+    """Bilinear sample from a texture pool.
+
+    tex: (N, S, S, C) float or uint8; tex_ids: (...,) int32; uv: (..., 2)
+    in texture coordinates [0,1] (repeat beyond).  Returns (..., C) f32.
+    """
+    n, s, _, c = tex.shape
+    x = uv[..., 0] * s - 0.5
+    y = uv[..., 1] * s - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0w, x1w = _wrap_uv(x0, s, mode), _wrap_uv(x0 + 1, s, mode)
+    y0w, y1w = _wrap_uv(y0, s, mode), _wrap_uv(y0 + 1, s, mode)
+
+    def fetch(yy, xx):
+        v = tex[tex_ids, yy, xx]
+        return v.astype(jnp.float32) / 255.0 if tex.dtype == jnp.uint8 else v.astype(jnp.float32)
+
+    t00 = fetch(y0w, x0w)
+    t01 = fetch(y0w, x1w)
+    t10 = fetch(y1w, x0w)
+    t11 = fetch(y1w, x1w)
+    top = t00 + (t01 - t00) * fx
+    bot = t10 + (t11 - t10) * fx
+    return top + (bot - top) * fy
+
+
+def sample_image_bilinear(img, uv, mode=WRAP_CLAMP):
+    """Bilinear sample a single (H, W, C) image with uv in [0,1]."""
+    h, w = img.shape[:2]
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    xs = (_wrap_uv(x0, w, mode), _wrap_uv(x0 + 1, w, mode))
+    ys = (_wrap_uv(y0, h, mode), _wrap_uv(y0 + 1, h, mode))
+    t00 = img[ys[0], xs[0]].astype(jnp.float32)
+    t01 = img[ys[0], xs[1]].astype(jnp.float32)
+    t10 = img[ys[1], xs[0]].astype(jnp.float32)
+    t11 = img[ys[1], xs[1]].astype(jnp.float32)
+    top = t00 + (t01 - t00) * fx
+    bot = t10 + (t11 - t10) * fx
+    return top + (bot - top) * fy
+
+
+def cubemap_face_uv(d):
+    """Direction (..., 3) -> (face id (...,), uv (..., 2) in [0,1]).
+
+    Face order +X -X +Y -Y +Z -Z with standard cubemap face bases.
+    """
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+
+    is_x = (ax >= ay) & (ax >= az)
+    is_y = (~is_x) & (ay >= az)
+    is_z = ~(is_x | is_y)
+
+    face = jnp.where(is_x, jnp.where(x > 0, 0, 1),
+                     jnp.where(is_y, jnp.where(y > 0, 2, 3),
+                               jnp.where(z > 0, 4, 5)))
+    ma = jnp.where(is_x, ax, jnp.where(is_y, ay, az))
+    ma = jnp.maximum(ma, 1e-20)
+    # standard face (sc, tc) conventions
+    sc = jnp.where(is_x, jnp.where(x > 0, -z, z),
+                   jnp.where(is_y, x, jnp.where(z > 0, x, -x)))
+    tc = jnp.where(is_x, -y, jnp.where(is_y, jnp.where(y > 0, z, -z), -y))
+    u = 0.5 * (sc / ma + 1.0)
+    v = 0.5 * (tc / ma + 1.0)
+    return face.astype(jnp.int32), jnp.stack([u, v], axis=-1)
+
+
+def cubemap_texel_dir(face, u, v):
+    """Inverse of cubemap_face_uv: face + uv in [0,1] -> direction.
+
+    Used by IBL bakers iterating cubemap texels.
+    """
+    sc = 2.0 * u - 1.0
+    tc = 2.0 * v - 1.0
+    one = jnp.ones_like(sc)
+    dirs = [
+        jnp.stack([one, -tc, -sc], -1),    # +X
+        jnp.stack([-one, -tc, sc], -1),    # -X
+        jnp.stack([sc, one, tc], -1),      # +Y
+        jnp.stack([sc, -one, -tc], -1),    # -Y
+        jnp.stack([sc, -tc, one], -1),     # +Z
+        jnp.stack([-sc, -tc, -one], -1),   # -Z
+    ]
+    stacked = jnp.stack(dirs, 0)
+    d = stacked[face]
+    n = jnp.sqrt(jnp.sum(d * d, -1, keepdims=True))
+    return d / n
+
+
+def sample_cubemap(cube, d):
+    """Bilinear cubemap sample (no seam filtering).
+
+    cube: (6, S, S, C); d: (..., 3) directions.  Returns (..., C) f32.
+    """
+    face, uv = cubemap_face_uv(d)
+    s = cube.shape[1]
+    x = uv[..., 0] * s - 0.5
+    y = uv[..., 1] * s - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0c, x1c = jnp.clip(x0, 0, s - 1), jnp.clip(x0 + 1, 0, s - 1)
+    y0c, y1c = jnp.clip(y0, 0, s - 1), jnp.clip(y0 + 1, 0, s - 1)
+    t00 = cube[face, y0c, x0c].astype(jnp.float32)
+    t01 = cube[face, y0c, x1c].astype(jnp.float32)
+    t10 = cube[face, y1c, x0c].astype(jnp.float32)
+    t11 = cube[face, y1c, x1c].astype(jnp.float32)
+    top = t00 + (t01 - t00) * fx
+    bot = t10 + (t11 - t10) * fx
+    return top + (bot - top) * fy
+
+
+def sample_cubemap_lod(cube_mips, d, lod):
+    """Trilinear-across-mips cubemap sample.
+
+    cube_mips: list of (6, S_i, S_i, C); lod: (...,) continuous mip.
+    Linear blend between floor/ceil mips (each bilinear).
+    """
+    n = len(cube_mips)
+    lod = jnp.clip(lod, 0.0, n - 1)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    f = (lod - l0)[..., None]
+    out0 = jnp.zeros(d.shape[:-1] + (cube_mips[0].shape[-1],), jnp.float32)
+    out1 = jnp.zeros_like(out0)
+    for i in range(n):
+        s_i = sample_cubemap(cube_mips[i], d)
+        out0 = jnp.where((l0 == i)[..., None], s_i, out0)
+        out1 = jnp.where((jnp.minimum(l0 + 1, n - 1) == i)[..., None], s_i, out1)
+    return out0 + (out1 - out0) * f

@@ -1,0 +1,87 @@
+"""Deferred material resolve: visibility buffer -> gbuffer.
+
+The dense, data-parallel replacement for the reference geometry pass
+fragment work (reference: data/geometry.frag — texture fetch, TBN
+normal mapping, make_material, gbuffer encode).  Every pixel gathers
+its winning triangle's vertex attributes, interpolates with the
+homogeneous barycentrics, samples the texture pool, and emits the
+same gbuffer layout the reference uses (reference:
+renderer.cpp:5683-5760):
+
+  rt0 diffuse+emissive   (albedo*(1-metal), emissive)
+  rt1 specular+roughness
+  rt2 normal*0.5+0.5, decalmask
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from . import brdf
+from .raster import resolve_barycentrics
+from .sampling import sample_bilinear
+
+
+def resolve_gbuffer(vis, setup, tris, tri_instance, attrs, instances, materials,
+                    textures, width, height, y0=0):
+    """vis: (H,W) int32; attrs: dict(uv (V,2), normal (V,3), tangent (V,4));
+    instances: dict(material (I,) int32); materials: dict(color (M,4),
+    metalness/roughness/reflectivity/emissive (M,), albedomap/surfacemap/
+    normalmap (M,) int32); textures: (N,S,S,4) uint8.
+
+    Returns gbuffer dict(diffuse (H,W,4), specular (H,W,4),
+    normal (H,W,4), mask (H,W) bool).
+    """
+    lam, mask = resolve_barycentrics(vis, setup, width, height, y0=y0)
+    t = jnp.maximum(vis, 0)
+    vid = tris[t]                                   # (H, W, 3)
+
+    def interp(a):
+        return jnp.sum(a[vid] * lam[..., None], axis=-2)
+
+    uv = interp(attrs["uv"])
+    n = interp(attrs["normal"])
+    tan = interp(attrs["tangent"][:, :3])
+    tan_w = jnp.sum(attrs["tangent"][:, 3][vid] * lam, axis=-1)
+
+    inst = tri_instance[t]                          # (H, W)
+    mat = instances["material"][inst]               # (H, W)
+
+    albedo_id = materials["albedomap"][mat]
+    surface_id = materials["surfacemap"][mat]
+    normal_id = materials["normalmap"][mat]
+
+    albedo_tex = sample_bilinear(textures, albedo_id, uv)
+    surface_tex = sample_bilinear(textures, surface_id, uv)
+    normal_tex = sample_bilinear(textures, normal_id, uv)
+
+    # TBN: gram-schmidt the interpolated frame, bitangent sign from tan.w
+    nrm = brdf.normalize(n)
+    tgt = brdf.normalize(tan - nrm * jnp.sum(tan * nrm, -1, keepdims=True))
+    btg = jnp.cross(nrm, tgt) * tan_w[..., None]
+    tn = normal_tex[..., :3] * 2.0 - 1.0
+    shaded_n = brdf.normalize(
+        tgt * tn[..., 0:1] + btg * tn[..., 1:2] + nrm * tn[..., 2:3])
+
+    color = materials["color"][mat]                 # (H, W, 4)
+    metalness = materials["metalness"][mat] * surface_tex[..., 0]
+    reflectivity = materials["reflectivity"][mat] * surface_tex[..., 1]
+    roughness = materials["roughness"][mat] * surface_tex[..., 3]
+    emissive = materials["emissive"][mat]
+
+    m = brdf.make_material(albedo_tex[..., :3] * color[..., :3], emissive,
+                           metalness, reflectivity, roughness)
+
+    diffuse = jnp.concatenate([m["diffuse"], emissive[..., None]], -1)
+    specular = jnp.concatenate([m["specular"], roughness[..., None]], -1)
+    normal_out = jnp.concatenate([shaded_n * 0.5 + 0.5,
+                                  jnp.zeros_like(emissive)[..., None]], -1)
+
+    bg = ~mask
+    zero = jnp.zeros_like(diffuse)
+    return dict(
+        diffuse=jnp.where(bg[..., None], zero, diffuse),
+        specular=jnp.where(bg[..., None], zero, specular),
+        normal=jnp.where(bg[..., None], zero, normal_out),
+        mask=mask,
+    )

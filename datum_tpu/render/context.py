@@ -1,0 +1,229 @@
+"""RenderContext: persistent device pools + frame orchestration.
+
+Replaces the reference's GPU resource management (reference:
+src/renderer/resource.{h,cpp} ResourceManager, vulkan.h device buffers)
+with persistent device arrays: a geometry pool (meshes uploaded once),
+a material table, and a fixed-size texture pool.  Per-frame traffic is
+only the draw list + scene set (the TPU equivalent of the reference's
+per-frame uniform/storage writes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.common import FrameConfig
+from ..asset.pack import VERTEX_DTYPE
+
+TEX_SIZE = 256
+
+# fixed texture ids
+TEX_WHITE = 0
+TEX_FLAT_NORMAL = 1
+TEX_UNIT_SURFACE = 2
+
+
+class MeshHandle:
+    __slots__ = ("mesh_id", "vertexcount", "trianglecount", "mincorner", "maxcorner")
+
+    def __init__(self, mesh_id, vertexcount, trianglecount, mincorner, maxcorner):
+        self.mesh_id = mesh_id
+        self.vertexcount = vertexcount
+        self.trianglecount = trianglecount
+        self.mincorner = np.asarray(mincorner, np.float32)
+        self.maxcorner = np.asarray(maxcorner, np.float32)
+
+    def bound(self):
+        from ..math.bound import Bound3
+        return Bound3(self.mincorner, self.maxcorner)
+
+
+class GeometryPool:
+    """Append-only host mirror of the device geometry pool."""
+
+    def __init__(self, max_vertices, max_triangles, max_meshes=1024):
+        self.positions = np.zeros((max_vertices, 3), np.float32)
+        self.texcoords = np.zeros((max_vertices, 2), np.float32)
+        self.normals = np.zeros((max_vertices, 3), np.float32)
+        self.tangents = np.zeros((max_vertices, 4), np.float32)
+        self.triangles = np.zeros((max_triangles, 3), np.int32)
+        self.mesh_vtx_offset = np.zeros(max_meshes, np.int32)
+        self.mesh_vtx_count = np.zeros(max_meshes, np.int32)
+        self.mesh_tri_offset = np.zeros(max_meshes, np.int32)
+        self.mesh_tri_count = np.zeros(max_meshes, np.int32)
+        self.n_vertices = 0
+        self.n_triangles = 0
+        self.n_meshes = 0
+        self.dirty = True
+
+    def add_mesh(self, vertices, indices, mincorner=None, maxcorner=None) -> MeshHandle:
+        """vertices: structured VERTEX_DTYPE array or dict of arrays;
+        indices: (K,) or (K/3, 3) triangle indices (mesh-local)."""
+        if isinstance(vertices, np.ndarray) and vertices.dtype == VERTEX_DTYPE:
+            pos = vertices["position"]
+            uv = vertices["texcoord"]
+            nrm = vertices["normal"]
+            tan = vertices["tangent"]
+        else:
+            pos = np.asarray(vertices["position"], np.float32)
+            uv = np.asarray(vertices.get("texcoord", np.zeros((len(pos), 2))), np.float32)
+            nrm = np.asarray(vertices.get("normal", np.tile([0, 0, 1.0], (len(pos), 1))), np.float32)
+            tan = np.asarray(vertices.get("tangent", np.tile([1.0, 0, 0, 1], (len(pos), 1))), np.float32)
+
+        tris = np.asarray(indices, np.int32).reshape(-1, 3)
+        nv, nt = len(pos), len(tris)
+        v0, t0 = self.n_vertices, self.n_triangles
+        if v0 + nv > len(self.positions) or t0 + nt > len(self.triangles):
+            raise RuntimeError("geometry pool exhausted")
+        self.positions[v0:v0 + nv] = pos
+        self.texcoords[v0:v0 + nv] = uv
+        self.normals[v0:v0 + nv] = nrm
+        self.tangents[v0:v0 + nv] = tan
+        self.triangles[t0:t0 + nt] = tris + v0     # pool-global vertex ids
+        m = self.n_meshes
+        self.mesh_vtx_offset[m] = v0
+        self.mesh_vtx_count[m] = nv
+        self.mesh_tri_offset[m] = t0
+        self.mesh_tri_count[m] = nt
+        self.n_vertices += nv
+        self.n_triangles += nt
+        self.n_meshes += 1
+        self.dirty = True
+        if mincorner is None:
+            mincorner, maxcorner = pos.min(0), pos.max(0)
+        return MeshHandle(m, nv, nt, mincorner, maxcorner)
+
+    def device_arrays(self):
+        return dict(
+            positions=jnp.asarray(self.positions),
+            texcoords=jnp.asarray(self.texcoords),
+            normals=jnp.asarray(self.normals),
+            tangents=jnp.asarray(self.tangents),
+            triangles=jnp.asarray(self.triangles),
+            mesh_vtx_offset=jnp.asarray(self.mesh_vtx_offset),
+            mesh_vtx_count=jnp.asarray(self.mesh_vtx_count),
+            mesh_tri_offset=jnp.asarray(self.mesh_tri_offset),
+            mesh_tri_count=jnp.asarray(self.mesh_tri_count),
+        )
+
+
+class RenderContext:
+    """Owns pools + the compiled frame function.
+
+    The reference equivalent is RenderContext + prepare_render_context
+    (reference: renderer.h:334-479, renderer.cpp:447-5615) — here
+    'pipeline creation' is jit compilation of the frame function, and
+    'resource creation' is appending to the pools below.
+    """
+
+    def __init__(self, config: FrameConfig | None = None, max_materials=256,
+                 max_textures=64):
+        self.config = config or FrameConfig()
+        cfg = self.config
+        self.pool = GeometryPool(cfg.max_vertices, cfg.max_triangles)
+
+        self.mat_color = np.zeros((max_materials, 4), np.float32)
+        self.mat_metalness = np.zeros(max_materials, np.float32)
+        self.mat_roughness = np.ones(max_materials, np.float32)
+        self.mat_reflectivity = np.full(max_materials, 0.5, np.float32)
+        self.mat_emissive = np.zeros(max_materials, np.float32)
+        self.mat_albedomap = np.zeros(max_materials, np.int32)
+        self.mat_surfacemap = np.full(max_materials, TEX_UNIT_SURFACE, np.int32)
+        self.mat_normalmap = np.full(max_materials, TEX_FLAT_NORMAL, np.int32)
+        self.n_materials = 0
+
+        self.textures = np.zeros((max_textures, TEX_SIZE, TEX_SIZE, 4), np.uint8)
+        self.n_textures = 0
+        # built-ins
+        self.add_texture(np.full((1, 1, 4), 255, np.uint8))                       # white
+        self.add_texture(np.tile(np.array([[[128, 128, 255, 255]]], np.uint8),
+                                 (1, 1, 1)))                                      # flat normal
+        self.add_texture(np.full((1, 1, 4), 255, np.uint8))                       # unit surface
+        self.default_material = self.add_material(color=(0.75, 0.75, 0.75, 1.0),
+                                                  metalness=0.0, roughness=1.0,
+                                                  reflectivity=0.5)
+        self._device = None
+        self.luminance = 0.18   # last frame's log-average luminance readback
+
+    # --- resources --------------------------------------------------------
+    def add_material(self, color=(1, 1, 1, 1), metalness=0.0, roughness=1.0,
+                     reflectivity=0.5, emissive=0.0, albedomap=TEX_WHITE,
+                     surfacemap=TEX_UNIT_SURFACE, normalmap=TEX_FLAT_NORMAL) -> int:
+        i = self.n_materials
+        self.mat_color[i] = color
+        self.mat_metalness[i] = metalness
+        self.mat_roughness[i] = roughness
+        self.mat_reflectivity[i] = reflectivity
+        self.mat_emissive[i] = emissive
+        self.mat_albedomap[i] = albedomap
+        self.mat_surfacemap[i] = surfacemap
+        self.mat_normalmap[i] = normalmap
+        self.n_materials += 1
+        self._device = None
+        return i
+
+    def add_texture(self, image: np.ndarray) -> int:
+        """Add an RGBA uint8 image (any size; resampled to TEX_SIZE)."""
+        img = np.asarray(image)
+        if img.dtype != np.uint8:
+            img = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        if img.ndim == 2:
+            img = np.stack([img] * 3 + [np.full_like(img, 255)], -1)
+        if img.shape[2] == 3:
+            img = np.concatenate([img, np.full(img.shape[:2] + (1,), 255, np.uint8)], -1)
+        img = _resample_nearest(img, TEX_SIZE)
+        i = self.n_textures
+        self.textures[i] = img
+        self.n_textures += 1
+        self._device = None
+        return i
+
+    def add_mesh(self, vertices, indices, **kw) -> MeshHandle:
+        self._device = None
+        return self.pool.add_mesh(vertices, indices, **kw)
+
+    # --- device state -----------------------------------------------------
+    def device_state(self):
+        if self._device is None:
+            self._device = dict(
+                geometry=self.pool.device_arrays(),
+                materials=dict(
+                    color=jnp.asarray(self.mat_color),
+                    metalness=jnp.asarray(self.mat_metalness),
+                    roughness=jnp.asarray(self.mat_roughness),
+                    reflectivity=jnp.asarray(self.mat_reflectivity),
+                    emissive=jnp.asarray(self.mat_emissive),
+                    albedomap=jnp.asarray(self.mat_albedomap),
+                    surfacemap=jnp.asarray(self.mat_surfacemap),
+                    normalmap=jnp.asarray(self.mat_normalmap),
+                ),
+                textures=jnp.asarray(self.textures),
+            )
+        return self._device
+
+    # --- frame ------------------------------------------------------------
+    def render(self, camera, renderlist, params, sceneset=None):
+        """Render one frame; returns a numpy uint8 (H, W, 3) image."""
+        from . import frame as frame_mod
+        from .types import make_sceneset
+
+        if sceneset is None:
+            sceneset = make_sceneset(camera, params,
+                                     point_lights=renderlist.point_lights,
+                                     spot_lights=renderlist.spot_lights)
+        draws = renderlist.draw_arrays(self.config.max_instances,
+                                       self.default_material)
+        out = frame_mod.render_frame(self.config, self.device_state(), draws, sceneset)
+        self.luminance = float(out["luminance"])
+        return np.asarray(out["image"])
+
+
+def _resample_nearest(img, size):
+    h, w = img.shape[:2]
+    if (h, w) == (size, size):
+        return img
+    yi = (np.arange(size) * h // size).clip(0, h - 1)
+    xi = (np.arange(size) * w // size).clip(0, w - 1)
+    return img[yi][:, xi]

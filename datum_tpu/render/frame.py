@@ -1,0 +1,114 @@
+"""The jitted frame graph.
+
+TPU equivalent of the reference's render() frame submission (reference:
+src/renderer/renderer.cpp:6423-6853): one compiled XLA program that
+takes (device pools, per-frame draw arrays, sceneset pytree) and
+produces the final display image plus feedback values (scene
+luminance).  Pass ordering becomes pure dataflow — XLA schedules and
+fuses; no semaphores exist.
+
+Draw expansion: the host ships only (mesh id, transform, material) per
+draw; cumsum + searchsorted gathers expand the persistent mesh pools
+into per-frame vertex/triangle streams at static capacity — the
+device-side analogue of instanced indirect draw.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import raster as raster_ops
+from ..ops import shade as shade_ops
+from ..ops import lighting_pass
+from ..ops import composite as composite_ops
+from ..ops.geometry import transform_vertices_rigid
+from ..ops.common import FrameConfig
+
+
+def expand_draws(geom, draw_mesh, draw_count, max_v, max_t):
+    """Expand the draw list into vertex/triangle streams (static shapes)."""
+    D = draw_mesh.shape[0]
+    active = jnp.arange(D) < draw_count
+    dv = jnp.where(active, geom["mesh_vtx_count"][draw_mesh], 0)
+    dt = jnp.where(active, geom["mesh_tri_count"][draw_mesh], 0)
+    cv = jnp.cumsum(dv)
+    ct = jnp.cumsum(dt)
+    startv = cv - dv
+    startt = ct - dt
+
+    av = jnp.arange(max_v, dtype=jnp.int32)
+    vtx_draw = jnp.clip(jnp.searchsorted(cv, av, side="right"), 0, D - 1).astype(jnp.int32)
+    local_v = av - startv[vtx_draw]
+    v_valid = av < cv[-1]
+    src_v = jnp.where(v_valid,
+                      geom["mesh_vtx_offset"][draw_mesh[vtx_draw]] + local_v, 0)
+
+    at = jnp.arange(max_t, dtype=jnp.int32)
+    tri_draw = jnp.clip(jnp.searchsorted(ct, at, side="right"), 0, D - 1).astype(jnp.int32)
+    local_t = at - startt[tri_draw]
+    t_valid = at < ct[-1]
+    src_t = jnp.where(t_valid,
+                      geom["mesh_tri_offset"][draw_mesh[tri_draw]] + local_t, 0)
+
+    tri_pool = geom["triangles"][src_t]                     # pool-global vids
+    mesh_of_tri = draw_mesh[tri_draw]
+    tris = (startv[tri_draw][:, None] + tri_pool
+            - geom["mesh_vtx_offset"][mesh_of_tri][:, None])
+    tris = jnp.where(t_valid[:, None], tris, 0)             # padding -> degenerate
+
+    return dict(src_v=src_v, vtx_draw=vtx_draw, v_valid=v_valid,
+                tris=tris, tri_draw=tri_draw, t_valid=t_valid)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _frame(cfg: FrameConfig, device, draws, sceneset):
+    geom = device["geometry"]
+    w, h = cfg.padded_width, cfg.padded_height
+    tx, ty = cfg.tiles_x, cfg.tiles_y
+
+    ex = expand_draws(geom, draws["mesh"], draws["count"],
+                      cfg.max_vertices, cfg.max_triangles)
+
+    positions = geom["positions"][ex["src_v"]]
+    uv = geom["texcoords"][ex["src_v"]]
+    normals = geom["normals"][ex["src_v"]]
+    tangents = geom["tangents"][ex["src_v"]]
+
+    viewproj = (sceneset["proj"] @ sceneset["view"]).astype(jnp.float32)
+    clip, wnormal, wtangent, _ = transform_vertices_rigid(
+        positions, normals, tangents, ex["vtx_draw"], draws["world"], viewproj)
+
+    # raster (visibility buffer)
+    setup = raster_ops.triangle_setup(clip, ex["tris"], w, h, tx, ty)
+    bins, counts, big_ids = raster_ops.bin_triangles(
+        setup, cfg.max_triangles, tx, ty, cfg.bin_capacity, cfg.big_capacity)
+    depth, vis = raster_ops.raster(setup, bins, big_ids, tx, ty, w, h)
+
+    # deferred material resolve -> gbuffer
+    attrs = dict(uv=uv, normal=wnormal, tangent=wtangent)
+    gbuffer = shade_ops.resolve_gbuffer(
+        vis, setup, ex["tris"], ex["tri_draw"], attrs,
+        dict(material=draws["material"]), device["materials"],
+        device["textures"], w, h)
+
+    # deferred lighting
+    hdr = lighting_pass.shade_deferred(
+        gbuffer, depth, sceneset,
+        proj=sceneset["proj"], invview=sceneset["invview"])
+
+    # scene luminance (log-average, reference: data/luminance.comp)
+    lum_w = jnp.array([0.2126, 0.7152, 0.0722], jnp.float32)
+    lum = jnp.exp(jnp.mean(jnp.log(1e-4 + hdr[:cfg.height, :cfg.width] @ lum_w)))
+
+    # composite: tonemap (+grade later) -> sRGB u8
+    rgb = composite_ops.composite(hdr, 1.0)
+    image = composite_ops.to_u8_image(rgb[:cfg.height, :cfg.width])
+
+    return dict(image=image, luminance=lum, depth=depth, vis=vis)
+
+
+def render_frame(cfg: FrameConfig, device, draws, sceneset):
+    return _frame(cfg, device, draws, sceneset)

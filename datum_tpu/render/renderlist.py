@@ -1,0 +1,114 @@
+"""RenderList: the per-frame draw-building façade.
+
+API mirror of the reference render lists (reference: src/renderlist.h
+push_geometry/push_lights/..., and the list builders of §L5 —
+geometrylist.h begin/push_mesh/finalise).  Instead of recording Vulkan
+secondary command buffers, pushes append to a compact host draw list
+that becomes the fixed-capacity device draw arrays consumed by the
+jitted frame (device-side draw expansion handles instancing).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..math import Transform
+
+
+class RenderList:
+    def __init__(self):
+        self.draws = []          # dict(mesh, transform(3,4), material)
+        self.casters = []        # shadow-casting subset
+        self.point_lights = []
+        self.spot_lights = []
+        self.sprites = []        # overlay sprites (drawn post-composite)
+        self.wireframes = []
+
+    # --- geometry ---------------------------------------------------------
+    def push_mesh(self, mesh, transform, material, caster=True):
+        m = _to_affine(transform)
+        self.draws.append(dict(mesh=mesh.mesh_id, transform=m, material=material))
+        if caster:
+            self.casters.append(dict(mesh=mesh.mesh_id, transform=m, material=material))
+
+    push_geometry = push_mesh
+
+    def push_caster(self, mesh, transform, material=0):
+        self.casters.append(dict(mesh=mesh.mesh_id, transform=_to_affine(transform),
+                                 material=material))
+
+    # --- lights -----------------------------------------------------------
+    def push_pointlight(self, position, intensity, attenuation=(1.0, 0.0, 0.0, 0.0),
+                        range_=None):
+        att = np.asarray(attenuation, np.float32).copy()
+        if att.shape == (3,):
+            att = np.append(att, range_ if range_ is not None else _attenuation_range(att))
+        elif range_ is not None:
+            att[3] = range_
+        elif att[3] == 0:
+            att[3] = _attenuation_range(att[:3])
+        self.point_lights.append(dict(position=np.asarray(position, np.float32),
+                                      intensity=np.asarray(intensity, np.float32),
+                                      attenuation=att))
+
+    def push_spotlight(self, position, direction, intensity, cutoff=0.7,
+                       attenuation=(1.0, 0.0, 0.0, 0.0), range_=None):
+        att = np.asarray(attenuation, np.float32).copy()
+        if att.shape == (3,):
+            att = np.append(att, range_ if range_ is not None else _attenuation_range(att))
+        d = np.asarray(direction, np.float32)
+        d = d / max(np.linalg.norm(d), 1e-9)
+        self.spot_lights.append(dict(position=np.asarray(position, np.float32),
+                                     direction=d,
+                                     intensity=np.asarray(intensity, np.float32),
+                                     attenuation=att, cutoff=float(cutoff)))
+
+    # --- overlays ---------------------------------------------------------
+    def push_sprite(self, rect, image_id, layer=0.0, tint=(1, 1, 1, 1)):
+        self.sprites.append(dict(rect=np.asarray(rect, np.float32),
+                                 image=image_id, layer=layer,
+                                 tint=np.asarray(tint, np.float32)))
+
+    # --- device arrays ----------------------------------------------------
+    def draw_arrays(self, max_draws, default_material):
+        mesh = np.zeros(max_draws, np.int32)
+        world = np.zeros((max_draws, 3, 4), np.float32)
+        world[:, :, :3] = np.eye(3)
+        material = np.full(max_draws, default_material, np.int32)
+        n = min(len(self.draws), max_draws)
+        for i, d in enumerate(self.draws[:n]):
+            mesh[i] = d["mesh"]
+            world[i] = d["transform"]
+            material[i] = d["material"]
+        return dict(mesh=mesh, world=world, material=material,
+                    count=np.int32(n))
+
+    def caster_arrays(self, max_draws):
+        mesh = np.zeros(max_draws, np.int32)
+        world = np.zeros((max_draws, 3, 4), np.float32)
+        world[:, :, :3] = np.eye(3)
+        n = min(len(self.casters), max_draws)
+        for i, d in enumerate(self.casters[:n]):
+            mesh[i] = d["mesh"]
+            world[i] = d["transform"]
+        return dict(mesh=mesh, world=world, count=np.int32(n))
+
+
+def _to_affine(transform):
+    if isinstance(transform, Transform):
+        return transform.matrix()[:3, :].astype(np.float32)
+    m = np.asarray(transform, np.float32)
+    if m.shape == (4, 4):
+        return m[:3, :]
+    return m.reshape(3, 4)
+
+
+def _attenuation_range(att):
+    """Solve the range where attenuated intensity ~ 1/255 (reference:
+    src/math/attenuation.h range computation from quadratic falloff)."""
+    q, l, c = float(att[0]), float(att[1]), float(att[2])
+    if q > 1e-9:
+        return (-l + np.sqrt(l * l - 4 * q * (c - 255.0))) / (2 * q)
+    if l > 1e-9:
+        return (255.0 - c) / l
+    return 1e4

@@ -1,0 +1,81 @@
+"""Canonical test scenes.
+
+`datumtest_scene` mirrors the reference kitchen-sink test scene
+(reference: test/datumtest.cpp:205-233 — a grid of spheres sweeping
+roughness x metalness, a ground plane, a spot-lit caster, particles)
+and is the flagship workload for bench.py and __graft_entry__.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .math import Transform
+from .ops.common import FrameConfig
+from .render import Camera, RenderContext, RenderList, RenderParams
+from .render import primitives
+
+
+def datumtest_scene(width=1920, height=1080, *, sphere_detail=24, grid=(7, 5),
+                    n_point_lights=8, **cfg_kw):
+    """Build the flagship scene; returns (ctx, camera, params, make_renderlist)."""
+    cfg = FrameConfig(width=width, height=height, **cfg_kw)
+    ctx = RenderContext(cfg)
+
+    verts, idx = primitives.unit_sphere(sphere_detail, sphere_detail // 2)
+    sphere = ctx.add_mesh(verts, idx)
+    pverts, pidx = primitives.plane(16.0, 8.0)
+    ground = ctx.add_mesh(pverts, pidx)
+
+    # checkerboard albedo for the floor
+    checker = np.zeros((64, 64, 4), np.uint8)
+    c = (np.indices((64, 64)).sum(0) // 8) % 2
+    checker[..., :3] = np.where(c[..., None] > 0, 200, 90)
+    checker[..., 3] = 255
+    checker_tex = ctx.add_texture(checker)
+    floor_mat = ctx.add_material(color=(1, 1, 1, 1), metalness=0.0, roughness=0.8,
+                                 albedomap=checker_tex)
+
+    gx, gy = grid
+    sphere_mats = []
+    for j in range(gy):
+        for i in range(gx):
+            rough = max(i / (gx - 1), 0.04)
+            metal = j / (gy - 1)
+            sphere_mats.append(ctx.add_material(
+                color=(0.8, 0.16, 0.12, 1), metalness=metal, roughness=rough,
+                reflectivity=0.5))
+
+    camera = Camera()
+    camera.set_projection(np.radians(60), width / height)
+    camera.lookat(np.array([0.0, 4.0, 14.0]), np.array([0.0, 2.0, 0.0]),
+                  np.array([0.0, 1.0, 0.0]))
+
+    params = RenderParams(width=width, height=height)
+    params.sundirection = np.array([-0.4, -0.8, -0.45], np.float32)
+    params.sundirection /= np.linalg.norm(params.sundirection)
+    params.sunintensity = np.array([4.0, 3.9, 3.7], np.float32)
+    params.ambientintensity = 0.5
+
+    rng = np.random.RandomState(42)
+    light_pos = rng.uniform([-8, 0.5, -6], [8, 4.0, 6], (n_point_lights, 3))
+    light_col = rng.uniform(0.5, 8.0, (n_point_lights, 3))
+
+    def make_renderlist(t=0.0):
+        rl = RenderList()
+        rl.push_mesh(ground, Transform.identity(), floor_mat)
+        k = 0
+        for j in range(gy):
+            for i in range(gx):
+                x = (i - (gx - 1) / 2) * 2.2
+                y = 1.0 + j * 2.2
+                rl.push_mesh(sphere, Transform.translation([x, y, 0.0]),
+                             sphere_mats[k])
+                k += 1
+        for li in range(n_point_lights):
+            p = light_pos[li].copy()
+            p[0] += np.sin(t + li) * 1.5
+            rl.push_pointlight(p, light_col[li], (1.0, 0.0, 1.0), range_=12.0)
+        return rl
+
+    return ctx, camera, params, make_renderlist

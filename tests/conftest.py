@@ -1,16 +1,21 @@
 """Test configuration: force an 8-device virtual CPU platform.
 
 Multi-chip TPU hardware is not available in CI; sharding tests run on a
-virtual 8-device CPU mesh instead.  These env vars must be set before
-jax initializes its backends, hence the top-of-conftest placement.
+virtual 8-device CPU mesh instead.  NOTE: the ambient axon TPU plugin
+ignores the JAX_PLATFORMS env var, so we must use jax.config after
+import — before any test module touches a backend.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
