@@ -27,15 +27,17 @@ def reinhard(color):
     return color / (color + 1.0)
 
 
-_WHITE = None
+def _filmic_white(x=11.2):
+    a, b, c, d, e, f = 0.15, 0.50, 0.10, 0.20, 0.02, 0.30
+    return ((x * (a * x + c * b) + d * e) / (x * (a * x + b) + d * f)) - e / f
+
+
+_WHITE = _filmic_white()  # plain float: safe across jit traces
 
 
 def tonemap(color):
     """Default tonemap (reference: camera.inc tonemap)."""
-    global _WHITE
-    if _WHITE is None:
-        _WHITE = filmic_uncharted2(jnp.full((3,), 11.2))
-    return filmic_uncharted2(2.0 * color) / _WHITE
+    return filmic_uncharted2(2.0 * color) * (1.0 / _WHITE)
 
 
 def color_grade(lut, color):

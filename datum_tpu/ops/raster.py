@@ -199,8 +199,11 @@ def raster(setup, bins, big_ids, tiles_x, tiles_y, width, height, tile_ids=None)
         vis = jnp.where(passed, t[:, None, None], vis)
         return (depth, vis), None
 
-    depth0 = jnp.zeros((n_tiles, TILE_H, TILE_W), jnp.float32)
-    vis0 = jnp.full((n_tiles, TILE_H, TILE_W), -1, jnp.int32)
+    # init carry derived from tile_ids so its manual-sharding "varying"
+    # axes match the body output under shard_map (zero-cost: XLA folds it)
+    tvar = tile_ids[:, None, None]
+    depth0 = jnp.zeros((n_tiles, TILE_H, TILE_W), jnp.float32) + 0.0 * tvar.astype(jnp.float32)
+    vis0 = jnp.full((n_tiles, TILE_H, TILE_W), -1, jnp.int32) + 0 * tvar
     (depth, vis), _ = jax.lax.scan(step, (depth0, vis0),
                                    jnp.arange(K + B, dtype=jnp.int32))
 
