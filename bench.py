@@ -42,14 +42,16 @@ def main():
         out = frame_mod.render_frame(ctx.config, device, draws, sceneset)
     jax.block_until_ready(out["image"])
 
-    # steady state: device-side frame time (exclude host scene building,
-    # matching the reference's GPU frame-time metric)
-    n = 20
-    t0 = time.perf_counter()
-    for i in range(n):
+    # steady state: device-side frame time, blocked per frame (async
+    # dispatch through the axon tunnel dedupes identical in-flight
+    # dispatches, so per-frame blocking is the only honest measurement)
+    times = []
+    for i in range(10):
+        t0 = time.perf_counter()
         out = frame_mod.render_frame(ctx.config, device, draws, sceneset)
-    jax.block_until_ready(out["image"])
-    dt_ms = (time.perf_counter() - t0) / n * 1000.0
+        jax.block_until_ready(out["image"])
+        times.append(time.perf_counter() - t0)
+    dt_ms = float(np.median(times)) * 1000.0
 
     print(json.dumps({
         "metric": "datumtest_frame_time_1080p",

@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 
 from .quaternion import quat_axis_angle, quat_conj, quat_from_axes, quat_mul, quat_to_matrix
-from .vec import cross, dot as vdot, normalize, orthogonal
+from .vec import cross, normalize
 
 
 class Transform:
@@ -46,7 +46,7 @@ class Transform:
             orientation = np.asarray(target_or_orientation, np.float32)
         else:
             zaxis = normalize(position - np.asarray(target_or_orientation, np.float32))
-            xaxis = normalize(orthogonal(np.asarray(up, np.float32), zaxis))
+            xaxis = normalize(cross(np.asarray(up, np.float32), zaxis))
             yaxis = cross(zaxis, xaxis)
             orientation = quat_from_axes(xaxis, yaxis, zaxis)
         dual = quat_mul(np.concatenate([[0.0], 0.5 * position]).astype(np.float32), orientation)

@@ -1,0 +1,33 @@
+"""Bloom: luma threshold + separable gaussian at half resolution.
+
+Matches the reference chain (reference: data/bloom.luma.comp — cutoff
+on Rec.601 luma with tonemapped output at half res; data/bloom.h/
+vblur.comp — sigma-8 radius-16 separable gaussian).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .blur import downsample2, gaussian_blur, upsample2_bilinear
+from .composite import tonemap
+
+CUTOFF = 11.2
+SIGMA = 8.0
+RADIUS = 16
+
+
+def bloom(hdr, strength=1.0):
+    """hdr (H, W, 3) -> bloom contribution (H, W, 3) to add pre-tonemap?
+
+    The reference composites tonemapped bloom additively after tonemap
+    (composite.frag adds bloom sampled from the blurred luma target);
+    we return the blurred tonemapped overflow at full res.
+    """
+    half = downsample2(hdr)
+    luma = half @ jnp.array([0.299, 0.587, 0.114], jnp.float32)
+    t = jnp.clip(luma - CUTOFF, 0.0, 1.0)
+    t = t * t * (3.0 - 2.0 * t)   # smoothstep(0,1, luma-cutoff)
+    seeded = tonemap(half * t[..., None])
+    blurred = gaussian_blur(seeded, SIGMA, RADIUS)
+    return upsample2_bilinear(blurred, hdr.shape[0], hdr.shape[1]) * strength

@@ -1,0 +1,75 @@
+"""Separable blurs (gaussian and box) over 2-D images.
+
+Replaces the reference's separable blur compute kernels (reference:
+data/bloom.h/vblur.comp — sigma 8 radius 16 gaussian; data/color.h/
+vblur.comp — DoF half-res blur; data/esm.h/vblur.comp — shadow blur).
+Implemented as lax depthwise convolutions so XLA lowers them to
+efficient TPU fusions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+
+def gaussian_kernel(sigma: float, radius: int) -> np.ndarray:
+    x = np.arange(-radius, radius + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def blur_1d(img, kernel, axis):
+    """Convolve (H, W) or (H, W, C) along axis 0 or 1 with edge clamp."""
+    k = jnp.asarray(kernel, jnp.float32)
+    r = (k.shape[0] - 1) // 2
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    h, w, c = img.shape
+    pad = [(0, 0)] * 3
+    pad[axis] = (r, r)
+    x = jnp.pad(img, pad, mode="edge")
+    # NHWC depthwise conv
+    x = x[None]
+    if axis == 0:
+        rhs = k.reshape(-1, 1, 1, 1)
+        window = (k.shape[0], 1)
+    else:
+        rhs = k.reshape(1, -1, 1, 1)
+        window = (1, k.shape[0])
+    rhs = jnp.tile(rhs, (1, 1, 1, c))
+    out = lax.conv_general_dilated(
+        x, rhs, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c)
+    out = out[0]
+    return out[..., 0] if squeeze else out
+
+
+def gaussian_blur(img, sigma: float, radius: int | None = None):
+    """Separable gaussian blur."""
+    if radius is None:
+        radius = int(np.ceil(3 * sigma))
+    k = gaussian_kernel(sigma, radius)
+    return blur_1d(blur_1d(img, k, 1), k, 0)
+
+
+def downsample2(img):
+    """2x box downsample (for half-res effect chains)."""
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    h, w, c = img.shape
+    out = img[:h - h % 2, :w - w % 2].reshape(h // 2, 2, w // 2, 2, c).mean((1, 3))
+    return out[..., 0] if squeeze else out
+
+
+def upsample2_bilinear(img, out_h, out_w):
+    """Bilinear 2x upsample to an explicit size."""
+    from .sampling import sample_image_bilinear
+    ys = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) / out_h
+    xs = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) / out_w
+    uv = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)
+    return sample_image_bilinear(img, uv)

@@ -56,6 +56,9 @@ class FrameConfig:
     max_triangles: int = 1 << 16
     max_instances: int = 256
     tile_light_capacity: int = 64    # point lights per cluster tile
+    enable_shadows: bool = True
+    shadow_res: int = 1024
+    shadow_bin_capacity: int = 128
     enable_depth_of_field: bool = False
     enable_color_grading: bool = True
     enable_ssao: bool = True

@@ -51,7 +51,7 @@ def _inv_proj(proj):
 
 
 def shade_deferred(gbuffer, depth, sceneset, *, proj, invview,
-                   ssao=None, fogvol=None, shadowfactor=None,
+                   ssao=None, fogvol=None, shadowfactor=None, shadowmaps=None,
                    env_specular=None, env_diffuse=None, envbrdf=None,
                    full_size=None, y0=0):
     """Main deferred shade.  Returns HDR color (H, W, 3) premultiplied by
@@ -91,7 +91,14 @@ def shade_deferred(gbuffer, depth, sceneset, *, proj, invview,
 
     # main light
     ml = sceneset["mainlight"]
-    sf = shadowfactor if shadowfactor is not None else jnp.ones((h, w), jnp.float32)
+    if shadowfactor is not None:
+        sf = shadowfactor
+    elif shadowmaps is not None:
+        from .shadow import shadow_factor as _shadow_factor
+        sf = _shadow_factor(worldpos, shadowmaps, ml["splits"], ml["shadowview"],
+                            -viewpos[..., 2])
+    else:
+        sf = jnp.ones((h, w), jnp.float32)
     d, s = brdf.main_light(normal, eyevec, material, ml["direction"],
                            ml["intensity"], ml["cutoff"], sf)
     diffuse = diffuse + d

@@ -75,7 +75,11 @@ def triangle_setup(clip, tris, width, height, tiles_x, tiles_y):
     out = (jnp.all(x > w, 1) | jnp.all(x < -w, 1)
            | jnp.all(y > w, 1) | jnp.all(y < -w, 1)
            | jnp.all(z < 0, 1) | jnp.all(z > w, 1))
-    degenerate = jnp.abs(det) < 1e-14
+    # degenerate: repeated vertex ids (exact — catches padding triangles
+    # even when FMA contraction makes det a nonzero residual) or zero area
+    shared = ((tris[:, 0] == tris[:, 1]) | (tris[:, 1] == tris[:, 2])
+              | (tris[:, 0] == tris[:, 2]))
+    degenerate = shared | (jnp.abs(det) < 1e-14)
     valid = ~(out | degenerate)
 
     # screen bbox (only meaningful when all w comfortably positive)
@@ -191,6 +195,9 @@ def raster(setup, bins, big_ids, tiles_x, tiles_y, width, height, tile_ids=None)
         e1 = a[:, 1, 0, None, None] * xn + a[:, 1, 1, None, None] * yn + a[:, 1, 2, None, None]
         e2 = a[:, 2, 0, None, None] * xn + a[:, 2, 1, None, None] * yn + a[:, 2, 2, None, None]
         inside = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)) | ((e0 <= 0) & (e1 <= 0) & (e2 <= 0))
+        # reject the mirror image of w<0 (behind-eye) triangle regions:
+        # interpolated clip w = det/sum(e) must be positive
+        inside = inside & ((e0 + e1 + e2) * det[t][:, None, None] > 0)
         zs = z3.sum(axis=1)                           # (n_tiles, 3): coeffs for depth
         d = zs[:, 0, None, None] * xn + zs[:, 1, None, None] * yn + zs[:, 2, None, None]
         passed = (inside & ok[:, None, None]

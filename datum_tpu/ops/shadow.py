@@ -1,0 +1,100 @@
+"""Shadow map raster + PCF cascade lookup (device side).
+
+Replaces the reference shadow pass + shadow sampling (reference:
+renderer.cpp:6458-6473 4-slice D32 array raster via
+model/actor.shadow.vert + shadow.geom instanced layer routing;
+data/lighting.inc shadow_split smoothstep cascade blend +
+shadow_intensity 12-tap Poisson PCF).  Cascade raster is a vmap of the
+visibility rasterizer in depth-only mode; the PCF compare uses the
+reverse-Z convention (nearest occluder = max depth).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import raster as raster_ops
+
+# 12-tap unit-disk pattern (blue-noise-ish, deterministic); role matches
+# the reference's PoissonDisk table
+_golden = np.pi * (3 - np.sqrt(5))
+_r = np.sqrt((np.arange(12) + 0.5) / 12)
+_a = np.arange(12) * _golden
+POISSON = np.stack([_r * np.cos(_a), _r * np.sin(_a)], -1).astype(np.float32)
+
+
+def render_shadow_cascades(world_pos, tris, shadowview, *, res=1024,
+                           bin_capacity=128, big_capacity=32):
+    """Rasterize depth-only cascades.
+
+    world_pos: (V, 3) world-space caster vertices; tris: (T, 3);
+    shadowview: (S, 4, 4).  Returns (S, res, res) reverse-Z depth.
+    """
+    tiles_x = res // raster_ops.TILE_W
+    tiles_y = res // raster_ops.TILE_H
+
+    def one_slice(mat):
+        clip = world_pos @ mat[:, :3].T + mat[:, 3]
+        setup = raster_ops.triangle_setup(clip, tris, res, res, tiles_x, tiles_y)
+        bins, counts, big = raster_ops.bin_triangles(
+            setup, tris.shape[0], tiles_x, tiles_y, bin_capacity, big_capacity)
+        depth, _ = raster_ops.raster(setup, bins, big, tiles_x, tiles_y, res, res)
+        return depth
+
+    return jax.vmap(one_slice)(shadowview)
+
+
+def shadow_split_weights(splits, nslices, depth_dist):
+    """Per-cascade blend weights (reference: lighting.inc shadow_split).
+
+    splits: (4,) slice far distances; depth_dist: (...,) view distance.
+    Returns (..., 4) weights summing to <= 1.
+    """
+    s = splits[:3]
+    t = jnp.clip((depth_dist[..., None] - 0.75 * s) / (s - 0.75 * s), 0.0, 1.0)
+    t = t * t * (3 - 2 * t)                      # smoothstep
+    a = jnp.concatenate([t, jnp.zeros_like(t[..., :1])], -1)
+    b = jnp.concatenate([jnp.ones_like(t[..., :1]), t], -1)
+    w = (1 - a) * b
+    mask = jnp.arange(4) < nslices
+    return jnp.where(mask, w, 0.0)
+
+
+def shadow_factor(worldpos, shadowmaps, splits, shadowview, view_dist,
+                  spread=1.5, bias=2e-4):
+    """PCF shadow factor in [0,1] for the main light.
+
+    worldpos: (H, W, 3); shadowmaps: (S, R, R) reverse-Z;
+    view_dist: (H, W) positive view distance for cascade selection.
+    """
+    nslices, res, _ = shadowmaps.shape
+    weights = shadow_split_weights(splits, nslices, view_dist)     # (H, W, S)
+
+    factor = jnp.ones(worldpos.shape[:-1], jnp.float32)
+    total_w = jnp.zeros_like(factor)
+    lit_acc = jnp.zeros_like(factor)
+    texel = spread / res
+
+    for s in range(nslices):
+        m = shadowview[s]
+        clip = worldpos @ m[:3, :3].T + m[:3, 3]
+        # ortho: w == 1
+        u = clip[..., 0] * 0.5 + 0.5
+        v = clip[..., 1] * 0.5 + 0.5
+        ref = clip[..., 2]
+        inside = (u > 0) & (u < 1) & (v > 0) & (v < 1) & (ref > 0) & (ref < 1)
+        lit = jnp.zeros_like(factor)
+        for k in range(POISSON.shape[0]):
+            su = jnp.clip(((u + POISSON[k, 0] * texel) * res).astype(jnp.int32), 0, res - 1)
+            sv = jnp.clip(((v + POISSON[k, 1] * texel) * res).astype(jnp.int32), 0, res - 1)
+            stored = shadowmaps[s, sv, su]
+            # reverse-Z: occluder nearer to light => stored > ref
+            lit = lit + (stored <= ref + bias).astype(jnp.float32)
+        lit = lit / POISSON.shape[0]
+        w_s = weights[..., s] * inside.astype(jnp.float32)
+        lit_acc = lit_acc + w_s * lit
+        total_w = total_w + w_s
+
+    return jnp.where(total_w > 1e-6, lit_acc / jnp.maximum(total_w, 1e-6), 1.0)

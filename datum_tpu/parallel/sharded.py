@@ -46,8 +46,15 @@ def render_frame_sharded(cfg: FrameConfig, mesh, device, draws, sceneset):
         normals = geom["normals"][ex["src_v"]]
         tangents = geom["tangents"][ex["src_v"]]
         viewproj = (sceneset["proj"] @ sceneset["view"]).astype(jnp.float32)
-        clip, wnormal, wtangent, _ = transform_vertices_rigid(
+        clip, wnormal, wtangent, worldp = transform_vertices_rigid(
             positions, normals, tangents, ex["vtx_draw"], draws["world"], viewproj)
+        shadowmaps = None
+        if cfg.enable_shadows:
+            from ..ops.shadow import render_shadow_cascades
+            shadowmaps = render_shadow_cascades(
+                worldp, ex["tris"], sceneset["mainlight"]["shadowview"],
+                res=cfg.shadow_res, bin_capacity=cfg.shadow_bin_capacity,
+                big_capacity=cfg.big_capacity)
         setup = raster_ops.triangle_setup(clip, ex["tris"], w, h, tx, ty)
         bins, counts, big_ids = raster_ops.bin_triangles(
             setup, cfg.max_triangles, tx, ty, cfg.bin_capacity, cfg.big_capacity)
@@ -55,7 +62,7 @@ def render_frame_sharded(cfg: FrameConfig, mesh, device, draws, sceneset):
         attrs = dict(uv=uv, normal=wnormal, tangent=wtangent)
 
         def shard_body(bins_shard, setup, big_ids, attrs, aux, materials,
-                       textures, sceneset):
+                       textures, sceneset, shadowmaps):
             # which band of tile-rows does this device own?
             dev = jax.lax.axis_index("tiles")
             tiles_per_dev = (ty // n_dev) * tx
@@ -71,7 +78,9 @@ def render_frame_sharded(cfg: FrameConfig, mesh, device, draws, sceneset):
                 textures, w, h, y0=y0)
             hdr = lighting_pass.shade_deferred(
                 gbuffer, depth, sceneset, proj=sceneset["proj"],
-                invview=sceneset["invview"], full_size=(h, w), y0=y0)
+                invview=sceneset["invview"],
+                shadowmaps=shadowmaps if cfg.enable_shadows else None,
+                full_size=(h, w), y0=y0)
 
             # log-average luminance over the *visible* (uncropped) pixels
             lh = hdr.shape[0]
@@ -89,13 +98,16 @@ def render_frame_sharded(cfg: FrameConfig, mesh, device, draws, sceneset):
 
         aux = dict(tris=ex["tris"], tri_draw=ex["tri_draw"],
                    material=draws["material"])
+        if shadowmaps is None:
+            shadowmaps = jnp.zeros((1, 1, 1), jnp.float32)
         sharded = shard_map(
             shard_body, mesh=mesh,
-            in_specs=(P("tiles"), P(), P(), P(), P(), P(), P(), P()),
+            in_specs=(P("tiles"), P(), P(), P(), P(), P(), P(), P(), P()),
             out_specs=(P("tiles"), P("tiles")),
         )
         image, lum = sharded(bins, setup, big_ids, attrs, aux,
-                             device["materials"], device["textures"], sceneset)
+                             device["materials"], device["textures"], sceneset,
+                             shadowmaps)
         return dict(image=image[:cfg.height, :cfg.width], luminance=lum[0])
 
     return frame(device, draws, sceneset)

@@ -78,8 +78,17 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
     tangents = geom["tangents"][ex["src_v"]]
 
     viewproj = (sceneset["proj"] @ sceneset["view"]).astype(jnp.float32)
-    clip, wnormal, wtangent, _ = transform_vertices_rigid(
+    clip, wnormal, wtangent, worldp = transform_vertices_rigid(
         positions, normals, tangents, ex["vtx_draw"], draws["world"], viewproj)
+
+    # shadow cascades (reference: renderer.cpp:6458-6473 SHADOW pass)
+    shadowmaps = None
+    if cfg.enable_shadows:
+        from ..ops.shadow import render_shadow_cascades
+        shadowmaps = render_shadow_cascades(
+            worldp, ex["tris"], sceneset["mainlight"]["shadowview"],
+            res=cfg.shadow_res, bin_capacity=cfg.shadow_bin_capacity,
+            big_capacity=cfg.big_capacity)
 
     # raster (visibility buffer)
     setup = raster_ops.triangle_setup(clip, ex["tris"], w, h, tx, ty)
@@ -97,7 +106,8 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
     # deferred lighting
     hdr = lighting_pass.shade_deferred(
         gbuffer, depth, sceneset,
-        proj=sceneset["proj"], invview=sceneset["invview"])
+        proj=sceneset["proj"], invview=sceneset["invview"],
+        shadowmaps=shadowmaps)
 
     # scene luminance (log-average, reference: data/luminance.comp)
     lum_w = jnp.array([0.2126, 0.7152, 0.0722], jnp.float32)

@@ -18,6 +18,19 @@ from ..ops.common import (
 )
 
 
+def _mainlight(camera, params):
+    from .shadow import prepare_shadowview
+
+    splits, shadowview = prepare_shadowview(camera, params.sundirection)
+    return dict(
+        direction=np.asarray(params.sundirection, np.float32),
+        intensity=np.asarray(params.sunintensity, np.float32),
+        cutoff=np.float32(params.suncutoff),
+        splits=splits,
+        shadowview=shadowview,
+    )
+
+
 @dataclasses.dataclass
 class RenderParams:
     width: int = 1280
@@ -105,11 +118,7 @@ def make_sceneset(camera, params: RenderParams, *, point_lights=(), spot_lights=
             bloomstrength=np.float32(params.bloomstrength),
             fogdensity=np.asarray(params.fogdensity, np.float32),
         ),
-        mainlight=dict(
-            direction=np.asarray(params.sundirection, np.float32),
-            intensity=np.asarray(params.sunintensity, np.float32),
-            cutoff=np.float32(params.suncutoff),
-        ),
+        mainlight=_mainlight(camera, params),
         pointlights=dict(
             position=pl_pos, intensity=pl_int, attenuation=pl_att,
             count=np.int32(min(len(point_lights), n_point)),
