@@ -149,6 +149,23 @@ def spot_light(position, normal, eyevec, material, light_pos, intensity, attenua
     return w * fd[..., None] * intensity, w * fr * intensity
 
 
+def specular_dominant_direction(n, r, roughness):
+    """Roughness-bent reflection lookup dir (reference: lighting.inc
+    specular_dominantdirection)."""
+    smooth = 1.0 - roughness
+    f = smooth * (jnp.sqrt(smooth) + roughness)
+    return n + (r - n) * f[..., None]
+
+
+def diffuse_dominant_direction(n, v, roughness):
+    """(reference: lighting.inc dffuse_dominantdirection)."""
+    a = 1.02341 * roughness - 1.51174
+    b = -0.511705 * roughness + 0.755868
+    ndv = jnp.sum(n * v, -1)
+    f = jnp.clip((ndv * a + b) * roughness, 0.0, 1.0)
+    return n + (v - n) * f[..., None]
+
+
 def env_light(material, envdiffuse, envspecular, envbrdf, ambientintensity):
     """IBL split-sum apply (reference: lighting.inc env_light)."""
     f90 = 0.8

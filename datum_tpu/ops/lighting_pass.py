@@ -52,7 +52,7 @@ def _inv_proj(proj):
 
 def shade_deferred(gbuffer, depth, sceneset, *, proj, invview,
                    ssao=None, fogvol=None, shadowfactor=None, shadowmaps=None,
-                   env_specular=None, env_diffuse=None, envbrdf=None,
+                   ibl=None, env_specular=None, env_diffuse=None, envbrdf=None,
                    full_size=None, y0=0):
     """Main deferred shade.  Returns HDR color (H, W, 3) premultiplied by
     camera exposure (reference: lighting.comp:274-283 applies exposure at
@@ -79,6 +79,27 @@ def shade_deferred(gbuffer, depth, sceneset, *, proj, invview,
     diffuse = jnp.zeros((h, w, 3), jnp.float32)
     specular = jnp.zeros((h, w, 3), jnp.float32)
 
+    # environment lookups from the global IBL (reference:
+    # lighting.comp:174-226 — env diffuse from a deep mip along the
+    # diffuse dominant direction, specular from the roughness mip chain)
+    if ibl is not None and env_diffuse is None:
+        from .sampling import sample_cubemap, sample_cubemap_lod
+
+        mips = ibl["mips"]
+        rough = material["roughness"]
+        r = 2.0 * jnp.sum(normal * eyevec, -1, keepdims=True) * normal - eyevec
+        sdir = brdf.specular_dominant_direction(normal, r, rough)
+        ddir = brdf.diffuse_dominant_direction(normal, eyevec, rough)
+        lod = rough * (len(mips) - 1)
+        env_specular = sample_cubemap_lod(mips, sdir, lod)[..., :3]
+        env_diffuse = sample_cubemap(mips[-1], ddir)[..., :3]
+        lut = ibl["envbrdf"]
+        s = lut.shape[0]
+        ndv = jnp.clip(jnp.sum(normal * eyevec, -1), 0.0, 1.0)
+        bi = jnp.clip((rough * s).astype(jnp.int32), 0, s - 1)
+        bj = jnp.clip((ndv * s).astype(jnp.int32), 0, s - 1)
+        envbrdf = lut[bi, bj]
+
     # environment / ambient term
     if env_diffuse is not None and envbrdf is not None:
         d, s = brdf.env_light(material, env_diffuse, env_specular, envbrdf,
@@ -96,7 +117,7 @@ def shade_deferred(gbuffer, depth, sceneset, *, proj, invview,
     elif shadowmaps is not None:
         from .shadow import shadow_factor as _shadow_factor
         sf = _shadow_factor(worldpos, shadowmaps, ml["splits"], ml["shadowview"],
-                            -viewpos[..., 2])
+                            -viewpos[..., 2], normal=normal)
     else:
         sf = jnp.ones((h, w), jnp.float32)
     d, s = brdf.main_light(normal, eyevec, material, ml["direction"],

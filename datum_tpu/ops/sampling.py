@@ -115,8 +115,10 @@ def cubemap_texel_dir(face, u, v):
         jnp.stack([sc, -tc, one], -1),     # +Z
         jnp.stack([-sc, -tc, -one], -1),   # -Z
     ]
-    stacked = jnp.stack(dirs, 0)
-    d = stacked[face]
+    face = jnp.asarray(face)
+    d = dirs[0]
+    for i in range(1, 6):
+        d = jnp.where((face == i)[..., None], dirs[i], d)
     n = jnp.sqrt(jnp.sum(d * d, -1, keepdims=True))
     return d / n
 

@@ -63,11 +63,14 @@ def shadow_split_weights(splits, nslices, depth_dist):
 
 
 def shadow_factor(worldpos, shadowmaps, splits, shadowview, view_dist,
-                  spread=1.5, bias=2e-4):
+                  normal=None, spread=1.5):
     """PCF shadow factor in [0,1] for the main light.
 
     worldpos: (H, W, 3); shadowmaps: (S, R, R) reverse-Z;
-    view_dist: (H, W) positive view distance for cascade selection.
+    view_dist: (H, W) positive view distance for cascade selection;
+    normal (H, W, 3) enables normal-offset sampling against acne.
+    Bias is slope-scaled per cascade from the light matrix's texel
+    footprint.
     """
     nslices, res, _ = shadowmaps.shape
     weights = shadow_split_weights(splits, nslices, view_dist)     # (H, W, S)
@@ -79,7 +82,14 @@ def shadow_factor(worldpos, shadowmaps, splits, shadowview, view_dist,
 
     for s in range(nslices):
         m = shadowview[s]
-        clip = worldpos @ m[:3, :3].T + m[:3, 3]
+        # world size of one texel and depth scale of this cascade
+        wtexel = 2.0 / (res * jnp.linalg.norm(m[0, :3]))
+        zscale = jnp.linalg.norm(m[2, :3])
+        bias = 2.0 * wtexel * zscale + 1e-5
+        pos = worldpos
+        if normal is not None:
+            pos = worldpos + normal * (1.5 * wtexel)
+        clip = pos @ m[:3, :3].T + m[:3, 3]
         # ortho: w == 1
         u = clip[..., 0] * 0.5 + 0.5
         v = clip[..., 1] * 0.5 + 0.5

@@ -145,7 +145,30 @@ class RenderContext:
                                                   metalness=0.0, roughness=1.0,
                                                   reflectivity=0.5)
         self._device = None
+        self.skybox = None
+        self._envbrdf = None
         self.luminance = 0.18   # last frame's log-average luminance readback
+
+    def set_skybox(self, skybox):
+        """Attach an EnvMap/SkyBox as the global environment."""
+        self.skybox = skybox
+        self._device = None
+
+    def envbrdf_lut(self):
+        """Split-sum env-BRDF LUT, baked once and cached on disk
+        (reference: core.pack envbrdf_lut baked by tools/ibl.cpp)."""
+        if self._envbrdf is None:
+            import os
+            cache = os.path.join(os.path.dirname(__file__), "..", "_cache")
+            path = os.path.join(cache, "envbrdf64.npy")
+            if os.path.exists(path):
+                self._envbrdf = np.load(path)
+            else:
+                from ..ops.ibl import bake_envbrdf
+                self._envbrdf = bake_envbrdf(64, 128)
+                os.makedirs(cache, exist_ok=True)
+                np.save(path, self._envbrdf)
+        return self._envbrdf
 
     # --- resources --------------------------------------------------------
     def add_material(self, color=(1, 1, 1, 1), metalness=0.0, roughness=1.0,
@@ -201,6 +224,11 @@ class RenderContext:
                 ),
                 textures=jnp.asarray(self.textures),
             )
+            if self.skybox is not None:
+                self._device["ibl"] = dict(
+                    mips=tuple(self.skybox.mips),
+                    envbrdf=jnp.asarray(self.envbrdf_lut()),
+                )
         return self._device
 
     # --- frame ------------------------------------------------------------

@@ -104,10 +104,25 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
         device["textures"], w, h)
 
     # deferred lighting
+    ibl = device.get("ibl")
     hdr = lighting_pass.shade_deferred(
         gbuffer, depth, sceneset,
         proj=sceneset["proj"], invview=sceneset["invview"],
-        shadowmaps=shadowmaps)
+        shadowmaps=shadowmaps, ibl=ibl)
+
+    # skybox background (reference: forward pass skybox.vert/frag fills
+    # uncovered pixels along the view ray)
+    if ibl is not None:
+        from ..ops.sampling import sample_cubemap
+        from ..ops.lighting_pass import view_ray_grid, _inv_proj
+
+        rx, ry = view_ray_grid(_inv_proj(sceneset["proj"]), w, h)
+        rays = jnp.stack([rx, ry, -jnp.ones_like(rx)], -1)
+        rays = rays @ sceneset["invview"][:3, :3].T
+        rays = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
+        sky = sample_cubemap(ibl["mips"][0], rays)[..., :3]
+        exposure = sceneset["camera"]["exposure"]
+        hdr = jnp.where(gbuffer["mask"][..., None], hdr, sky * exposure)
 
     # scene luminance (log-average, reference: data/luminance.comp)
     lum_w = jnp.array([0.2126, 0.7152, 0.0722], jnp.float32)

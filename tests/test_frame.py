@@ -116,11 +116,12 @@ class TestShadows:
         rl.push_mesh(cube, Transform.translation([0.0, 1.5, 0.0]), mat)
         img = sctx.render(cam, rl, params).astype(np.float32)
 
-        # floor right of the cube (shadowed) vs left of the cube (lit)
+        # light travels toward -x/-y, so the shadow falls on the floor to
+        # the cube's left; compare against lit floor on the right
         h, w = 128, 256
-        right = img[int(h * 0.55):int(h * 0.70), int(w * 0.60):int(w * 0.72)].mean()
-        left = img[int(h * 0.55):int(h * 0.70), int(w * 0.28):int(w * 0.40)].mean()
-        assert right < left * 0.7, f"no shadow: right={right:.1f} left={left:.1f}"
+        shadowed = img[int(h * 0.42):int(h * 0.58), int(w * 0.30):int(w * 0.42)].mean()
+        lit = img[int(h * 0.42):int(h * 0.58), int(w * 0.60):int(w * 0.72)].mean()
+        assert shadowed < lit * 0.7, f"no shadow: shadowed={shadowed:.1f} lit={lit:.1f}"
 
 
 class TestCubePack:

@@ -1,0 +1,132 @@
+"""IBL tests: SH projection identities, cubemap sampling roundtrip,
+skybox generation, env lighting in the frame."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from datum_tpu.ops import ibl as ibl_ops
+from datum_tpu.ops.sampling import cubemap_face_uv, cubemap_texel_dir, sample_cubemap
+from datum_tpu.ops.brdf import probe_irradiance
+
+
+class TestCubemapSampling:
+    def test_dir_uv_roundtrip(self, rng):
+        d = rng.randn(100, 3).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        face, uv = cubemap_face_uv(jnp.asarray(d))
+        d2 = np.asarray(cubemap_texel_dir(face, uv[..., 0], uv[..., 1]))
+        np.testing.assert_allclose(d2, d, atol=1e-5)
+
+    def test_sample_constant(self):
+        cube = jnp.full((6, 8, 8, 3), 0.7, jnp.float32)
+        d = jnp.asarray(np.random.RandomState(0).randn(50, 3), jnp.float32)
+        out = np.asarray(sample_cubemap(cube, d))
+        np.testing.assert_allclose(out, 0.7, atol=1e-5)
+
+    def test_sample_face_identity(self):
+        # each face painted its index; sampling along axis dirs returns it
+        cube = jnp.zeros((6, 8, 8, 1), jnp.float32)
+        for f in range(6):
+            cube = cube.at[f].set(float(f))
+        axes = [(1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1)]
+        for f, a in enumerate(axes):
+            v = float(np.asarray(sample_cubemap(cube, jnp.asarray([a], jnp.float32)))[0, 0])
+            assert v == pytest.approx(f, abs=1e-5)
+
+
+class TestSH:
+    def test_constant_cube_projects_to_l0(self):
+        cube = jnp.full((6, 16, 16, 3), 2.0, jnp.float32)
+        sh = np.asarray(ibl_ops.sh_project(cube))
+        # L0 term: 4*pi normalisation * 0.282095 * 2.0
+        assert sh[0, 0] == pytest.approx(4 * np.pi * 0.282095 * 2.0 / (4 * np.pi) * 4 * np.pi, rel=0.02) \
+            or sh[0, 0] == pytest.approx(2.0 * 0.282095 * 4 * np.pi, rel=0.02)
+        # higher bands vanish
+        assert np.abs(sh[1:]).max() < 0.05 * abs(sh[0, 0])
+
+    def test_constant_irradiance_isotropic(self):
+        cube = jnp.full((6, 16, 16, 3), 1.0, jnp.float32)
+        sh = ibl_ops.sh_project(cube)
+        n = jnp.asarray(np.random.RandomState(1).randn(20, 3), jnp.float32)
+        n = n / jnp.linalg.norm(n, axis=1, keepdims=True)
+        irr = np.asarray(probe_irradiance(jnp.broadcast_to(sh, (20, 9, 3)), n))
+        # irradiance of unit-radiance environment = pi
+        np.testing.assert_allclose(irr, np.pi, rtol=0.05)
+
+    def test_directional_cube(self):
+        # bright +y face: irradiance at n=+y much larger than n=-y
+        cube = jnp.zeros((6, 16, 16, 3), jnp.float32)
+        cube = cube.at[2].set(5.0)   # +Y face
+        sh = ibl_ops.sh_project(cube)
+        up = np.asarray(probe_irradiance(sh[None], jnp.asarray([[0.0, 1, 0]])))[0]
+        down = np.asarray(probe_irradiance(sh[None], jnp.asarray([[0.0, -1, 0]])))[0]
+        assert up.mean() > 4 * max(down.mean(), 1e-6)
+
+
+class TestEnvBrdf:
+    def test_bake_shape_and_range(self):
+        lut = ibl_ops.bake_envbrdf(16, 64)
+        assert lut.shape == (16, 16, 3)
+        assert np.all(lut >= 0) and np.all(lut[..., :2] <= 1.5)
+        # smooth surfaces at normal incidence reflect strongly: a+b near 1
+        assert lut[0, -1, 0] + lut[0, -1, 1] > 0.8
+
+
+class TestSkybox:
+    def test_generate(self):
+        from datum_tpu.ops.skybox_gen import generate_skybox
+
+        cube = np.asarray(generate_skybox(
+            16, skycolor=(0.65, 0.57, 0.475), groundcolor=(0.4, 0.37, 0.32),
+            sundirection=(-0.4, -0.7, -0.6), sunintensity=(8.0, 7.6, 7.9)))
+        assert cube.shape == (6, 16, 16, 3)
+        assert np.isfinite(cube).all()
+        assert cube.max() > 0.05
+        # upper hemisphere brighter than nothing; +Y face is sky
+        assert cube[2].mean() > 0.0
+
+    def test_specular_mips_shrink(self):
+        from datum_tpu.ops.ibl import build_specular_mips
+
+        cube = jnp.asarray(np.random.RandomState(0).rand(6, 32, 32, 3), jnp.float32)
+        mips = build_specular_mips(cube, n_mips=4, samples=8)
+        assert len(mips) == 4
+        assert mips[1].shape == (6, 16, 16, 3)
+        # convolution smooths: variance decreases down the chain
+        assert float(jnp.var(mips[-1])) < float(jnp.var(mips[0]))
+
+
+class TestFrameWithIBL:
+    def test_skybox_background_and_reflection(self):
+        import jax
+        from datum_tpu.ops.common import FrameConfig
+        from datum_tpu.render import Camera, RenderContext, RenderList, RenderParams
+        from datum_tpu.render.skybox import SkyBox, SkyBoxParams
+        from datum_tpu.render import primitives
+        from datum_tpu.math import Transform
+
+        cfg = FrameConfig(width=256, height=128, max_vertices=4096, max_triangles=4096,
+                          max_instances=8, bin_capacity=64, big_capacity=8,
+                          enable_shadows=False)
+        ctx = RenderContext(cfg)
+        ctx.set_skybox(SkyBox(size=32, convolve_samples=8))
+        verts, idx = primitives.unit_sphere(16, 8)
+        sphere = ctx.add_mesh(verts, idx)
+        chrome = ctx.add_material(color=(1, 1, 1, 1), metalness=1.0, roughness=0.05)
+
+        cam = Camera()
+        cam.set_projection(np.radians(60), 2.0)
+        cam.lookat(np.array([0.0, 1.0, 4.0]), np.array([0.0, 0.0, 0.0]),
+                   np.array([0.0, 1.0, 0.0]))
+        rl = RenderList()
+        rl.push_mesh(sphere, Transform.identity(), chrome)
+        params = RenderParams(width=256, height=128)
+        img = ctx.render(cam, rl, params)
+
+        # background is sky, not black
+        corner = img[:10, :10].astype(np.float32)
+        assert corner.mean() > 3, f"background black: {corner.mean()}"
+        # chrome sphere reflects environment -> nonzero
+        centre = img[54:74, 118:138].astype(np.float32)
+        assert centre.mean() > 2
