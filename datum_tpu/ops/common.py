@@ -59,6 +59,8 @@ class FrameConfig:
     enable_shadows: bool = True
     shadow_res: int = 1024
     shadow_bin_capacity: int = 128
+    shadow_mode: str = "esm"         # 'esm' (1-tap) or 'pcf' (12-tap poisson)
+    enable_material_maps: bool = True  # sample surface/normal textures
     enable_depth_of_field: bool = False
     enable_color_grading: bool = True
     enable_ssao: bool = True

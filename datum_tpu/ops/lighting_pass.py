@@ -114,6 +114,11 @@ def shade_deferred(gbuffer, depth, sceneset, *, proj, invview,
     ml = sceneset["mainlight"]
     if shadowfactor is not None:
         sf = shadowfactor
+    elif shadowmaps is not None and isinstance(shadowmaps, tuple):
+        from .shadow import shadow_factor_esm
+        esm, zmx, zsc = shadowmaps
+        sf = shadow_factor_esm(worldpos, esm, zmx, zsc, ml["splits"],
+                               ml["shadowview"], -viewpos[..., 2], normal=normal)
     elif shadowmaps is not None:
         from .shadow import shadow_factor as _shadow_factor
         sf = _shadow_factor(worldpos, shadowmaps, ml["splits"], ml["shadowview"],

@@ -23,7 +23,7 @@ from .sampling import sample_bilinear
 
 
 def resolve_gbuffer(vis, setup, tris, tri_instance, attrs, instances, materials,
-                    textures, width, height, y0=0):
+                    textures, width, height, y0=0, material_maps=True):
     """vis: (H,W) int32; attrs: dict(uv (V,2), normal (V,3), tangent (V,4));
     instances: dict(material (I,) int32); materials: dict(color (M,4),
     metalness/roughness/reflectivity/emissive (M,), albedomap/surfacemap/
@@ -36,37 +36,44 @@ def resolve_gbuffer(vis, setup, tris, tri_instance, attrs, instances, materials,
     t = jnp.maximum(vis, 0)
     vid = tris[t]                                   # (H, W, 3)
 
-    def interp(a):
-        return jnp.sum(a[vid] * lam[..., None], axis=-2)
-
-    uv = interp(attrs["uv"])
-    n = interp(attrs["normal"])
-    tan = interp(attrs["tangent"][:, :3])
-    tan_w = jnp.sum(attrs["tangent"][:, 3][vid] * lam, axis=-1)
+    # single packed gather of all vertex attributes (uv2|nrm3|tan4):
+    # contiguous 36-byte rows gather far faster on TPU than 3 separate
+    # scattered gathers
+    a9 = jnp.concatenate([attrs["uv"], attrs["normal"], attrs["tangent"]], -1)
+    rows = a9[vid]                                  # (H, W, 3, 9)
+    interp9 = jnp.sum(rows * lam[..., None], axis=-2)
+    uv = interp9[..., 0:2]
+    n = interp9[..., 2:5]
+    tan = interp9[..., 5:8]
+    tan_w = interp9[..., 8]
 
     inst = tri_instance[t]                          # (H, W)
     mat = instances["material"][inst]               # (H, W)
 
     albedo_id = materials["albedomap"][mat]
-    surface_id = materials["surfacemap"][mat]
-    normal_id = materials["normalmap"][mat]
-
     albedo_tex = sample_bilinear(textures, albedo_id, uv)
-    surface_tex = sample_bilinear(textures, surface_id, uv)
-    normal_tex = sample_bilinear(textures, normal_id, uv)
-
-    # TBN: gram-schmidt the interpolated frame, bitangent sign from tan.w
     nrm = brdf.normalize(n)
-    tgt = brdf.normalize(tan - nrm * jnp.sum(tan * nrm, -1, keepdims=True))
-    btg = jnp.cross(nrm, tgt) * tan_w[..., None]
-    tn = normal_tex[..., :3] * 2.0 - 1.0
-    shaded_n = brdf.normalize(
-        tgt * tn[..., 0:1] + btg * tn[..., 1:2] + nrm * tn[..., 2:3])
+    if material_maps:
+        surface_id = materials["surfacemap"][mat]
+        normal_id = materials["normalmap"][mat]
+        surface_tex = sample_bilinear(textures, surface_id, uv)
+        normal_tex = sample_bilinear(textures, normal_id, uv)
+        # TBN: gram-schmidt the interpolated frame, bitangent sign = tan.w
+        tgt = brdf.normalize(tan - nrm * jnp.sum(tan * nrm, -1, keepdims=True))
+        btg = jnp.cross(nrm, tgt) * tan_w[..., None]
+        tn = normal_tex[..., :3] * 2.0 - 1.0
+        shaded_n = brdf.normalize(
+            tgt * tn[..., 0:1] + btg * tn[..., 1:2] + nrm * tn[..., 2:3])
+        surf_m, surf_r, surf_rough = (surface_tex[..., 0], surface_tex[..., 1],
+                                      surface_tex[..., 3])
+    else:
+        shaded_n = nrm
+        surf_m = surf_r = surf_rough = 1.0
 
     color = materials["color"][mat]                 # (H, W, 4)
-    metalness = materials["metalness"][mat] * surface_tex[..., 0]
-    reflectivity = materials["reflectivity"][mat] * surface_tex[..., 1]
-    roughness = materials["roughness"][mat] * surface_tex[..., 3]
+    metalness = materials["metalness"][mat] * surf_m
+    reflectivity = materials["reflectivity"][mat] * surf_r
+    roughness = materials["roughness"][mat] * surf_rough
     emissive = materials["emissive"][mat]
 
     m = brdf.make_material(albedo_tex[..., :3] * color[..., :3], emissive,

@@ -46,6 +46,94 @@ def render_shadow_cascades(world_pos, tris, shadowview, *, res=1024,
     return jax.vmap(one_slice)(shadowview)
 
 
+ESM_C = 40.0
+
+
+def build_esm(shadowmaps, shadowview, blur_sigma=1.5):
+    """Exponential shadow maps from raw cascade depth.
+
+    Per cascade we store E[exp(c * d')] blurred in light space, where
+    d' = (zmax - z) / scale is depth-from-nearest-occluder normalized by
+    the cascade's world extent (keeps the exponent bounded regardless of
+    the 1000-unit light extrusion).  The per-pixel test is then ONE
+    bilinear tap: lit = clamp(esm_tap * exp(-c * d'_ref), 0, 1) — the
+    TPU-friendly replacement for 48-tap PCF; the reference applies the
+    same ESM transform for its fog shadowing (reference:
+    data/esm.gen.comp exp(30*z) + separable blurs).
+
+    Returns (esm (S, R, R), zmax (S,), zscale (S,)) with zscale mapping
+    raw depth differences to the normalized d' domain.
+    """
+    from .blur import gaussian_blur
+
+    nslices = shadowmaps.shape[0]
+    esms, zmaxs, zscales = [], [], []
+    for s in range(nslices):
+        m = shadowview[s]
+        # cascade world extent (ortho half-width r: |m[0,:3]| == 1/r)
+        extent = 2.0 / jnp.maximum(jnp.linalg.norm(m[0, :3]), 1e-9)
+        depth_per_world = jnp.linalg.norm(m[2, :3])
+        norm_scale = 1.0 / jnp.maximum(depth_per_world * extent, 1e-12)
+        zmax = jnp.max(shadowmaps[s])
+        # d' = 0 at the nearest occluder, grows away from the light;
+        # background (raw depth 0) maps to the largest d' -> reads lit
+        dprime = (zmax - shadowmaps[s]) * norm_scale
+        e = jnp.exp(jnp.clip(ESM_C * dprime, 0.0, 85.0))
+        e = gaussian_blur(e, blur_sigma, radius=2)
+        esms.append(e)
+        zmaxs.append(zmax)
+        zscales.append(norm_scale)
+    return jnp.stack(esms), jnp.stack(zmaxs), jnp.stack(zscales)
+
+
+def shadow_factor_esm(worldpos, esm, zmax, zscale, splits, shadowview, view_dist,
+                      normal=None):
+    """Single-tap ESM shadow factor.
+
+    lit = clamp(E[exp(c d'_occ)] * exp(-c d'_ref), 0, 1): an occluder
+    nearer to the light than the receiver (d'_occ < d'_ref) drives the
+    product below 1; background/no-occluder taps exceed 1 and clamp to
+    lit.  Selects the first cascade containing the point (hard select —
+    the ESM blur already softens boundaries).
+    """
+    nslices, res, _ = esm.shape
+    factor = jnp.ones(worldpos.shape[:-1], jnp.float32)
+    chosen = jnp.zeros_like(factor, dtype=jnp.bool_)
+
+    for s in range(nslices):
+        m = shadowview[s]
+        wtexel = 2.0 / (res * jnp.linalg.norm(m[0, :3]))
+        pos = worldpos if normal is None else worldpos + normal * (1.5 * wtexel)
+        clip = pos @ m[:3, :3].T + m[:3, 3]
+        u = clip[..., 0] * 0.5 + 0.5
+        v = clip[..., 1] * 0.5 + 0.5
+        ref = clip[..., 2]
+        inside = (u > 0.01) & (u < 0.99) & (v > 0.01) & (v < 0.99) \
+            & (ref > 0) & (ref < 1) & (view_dist < splits[s] * 1.05)
+        x = u * res - 0.5
+        y = v * res - 0.5
+        x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, res - 1)
+        y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, res - 1)
+        x1 = jnp.minimum(x0 + 1, res - 1)
+        y1 = jnp.minimum(y0 + 1, res - 1)
+        fx = jnp.clip(x - x0, 0, 1)
+        fy = jnp.clip(y - y0, 0, 1)
+        e00 = esm[s, y0, x0]
+        e01 = esm[s, y0, x1]
+        e10 = esm[s, y1, x0]
+        e11 = esm[s, y1, x1]
+        tap = (e00 * (1 - fx) + e01 * fx) * (1 - fy) + (e10 * (1 - fx) + e11 * fx) * fy
+        # receiver normalized depth-from-nearest, slope bias of ~2 texels
+        dref = (zmax[s] - ref) * zscale[s]
+        bias = wtexel * zscale[s] * jnp.linalg.norm(m[2, :3]) * 2.0
+        lit = jnp.clip(tap * jnp.exp(jnp.clip(-ESM_C * (dref - bias), -85.0, 85.0)),
+                       0.0, 1.0)
+        use = inside & (~chosen)
+        factor = jnp.where(use, lit, factor)
+        chosen = chosen | inside
+    return factor
+
+
 def shadow_split_weights(splits, nslices, depth_dist):
     """Per-cascade blend weights (reference: lighting.inc shadow_split).
 

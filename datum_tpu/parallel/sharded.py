@@ -50,11 +50,13 @@ def render_frame_sharded(cfg: FrameConfig, mesh, device, draws, sceneset):
             positions, normals, tangents, ex["vtx_draw"], draws["world"], viewproj)
         shadowmaps = None
         if cfg.enable_shadows:
-            from ..ops.shadow import render_shadow_cascades
-            shadowmaps = render_shadow_cascades(
+            from ..ops.shadow import render_shadow_cascades, build_esm
+            raw = render_shadow_cascades(
                 worldp, ex["tris"], sceneset["mainlight"]["shadowview"],
                 res=cfg.shadow_res, bin_capacity=cfg.shadow_bin_capacity,
                 big_capacity=cfg.big_capacity)
+            shadowmaps = (build_esm(raw, sceneset["mainlight"]["shadowview"])
+                          if cfg.shadow_mode == "esm" else raw)
         setup = raster_ops.triangle_setup(clip, ex["tris"], w, h, tx, ty)
         bins, counts, big_ids = raster_ops.bin_triangles(
             setup, cfg.max_triangles, tx, ty, cfg.bin_capacity, cfg.big_capacity)
@@ -75,7 +77,8 @@ def render_frame_sharded(cfg: FrameConfig, mesh, device, draws, sceneset):
             gbuffer = shade_ops.resolve_gbuffer(
                 vis, setup, aux["tris"], aux["tri_draw"], attrs,
                 dict(material=aux["material"]), materials,
-                textures, w, h, y0=y0)
+                textures, w, h, y0=y0,
+                material_maps=cfg.enable_material_maps)
             hdr = lighting_pass.shade_deferred(
                 gbuffer, depth, sceneset, proj=sceneset["proj"],
                 invview=sceneset["invview"],

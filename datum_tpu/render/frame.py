@@ -84,11 +84,15 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
     # shadow cascades (reference: renderer.cpp:6458-6473 SHADOW pass)
     shadowmaps = None
     if cfg.enable_shadows:
-        from ..ops.shadow import render_shadow_cascades
-        shadowmaps = render_shadow_cascades(
+        from ..ops.shadow import render_shadow_cascades, build_esm
+        raw = render_shadow_cascades(
             worldp, ex["tris"], sceneset["mainlight"]["shadowview"],
             res=cfg.shadow_res, bin_capacity=cfg.shadow_bin_capacity,
             big_capacity=cfg.big_capacity)
+        if cfg.shadow_mode == "esm":
+            shadowmaps = build_esm(raw, sceneset["mainlight"]["shadowview"])
+        else:
+            shadowmaps = raw
 
     # raster (visibility buffer)
     setup = raster_ops.triangle_setup(clip, ex["tris"], w, h, tx, ty)
@@ -101,7 +105,7 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
     gbuffer = shade_ops.resolve_gbuffer(
         vis, setup, ex["tris"], ex["tri_draw"], attrs,
         dict(material=draws["material"]), device["materials"],
-        device["textures"], w, h)
+        device["textures"], w, h, material_maps=cfg.enable_material_maps)
 
     # deferred lighting
     ibl = device.get("ibl")
