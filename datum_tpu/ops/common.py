@@ -61,6 +61,7 @@ class FrameConfig:
     shadow_bin_capacity: int = 128
     shadow_mode: str = "esm"         # 'esm' (1-tap) or 'pcf' (12-tap poisson)
     enable_material_maps: bool = True  # sample surface/normal textures
+    use_pallas: bool = False         # Mosaic raster kernel (TPU only)
     enable_depth_of_field: bool = False
     enable_color_grading: bool = True
     enable_ssao: bool = True

@@ -1,0 +1,152 @@
+"""Pallas TPU raster kernel.
+
+The hot inner loop of the visibility rasterizer as a Mosaic kernel:
+each grid step owns one (TILE_H, TILE_W) framebuffer tile whose
+depth/id/barycentric state lives in VMEM for the whole triangle loop —
+the XLA scan formulation spills that carry to HBM every step, which
+made raster HBM-bandwidth-bound.  Per-tile triangle setup rows are
+pre-gathered densely on the XLA side; the kernel's trip count comes
+from the per-tile bin count (scalar prefetch), so empty tiles cost
+almost nothing.
+
+Outputs per pixel: depth, winning triangle id, and the two leading
+perspective-correct barycentrics (so the deferred resolve needs no
+per-pixel setup re-gather).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .common import TILE_H, TILE_W
+
+SETUP_WIDTH = 16   # padded per-triangle setup row (14 used)
+
+
+def pack_tile_setup(setup, bins, big_ids):
+    """Dense per-tile setup rows: (n_tiles, K+B, SETUP_WIDTH).
+
+    Row layout: [a00,a01,a02, a10,a11,a12, a20,a21,a22, zs0,zs1,zs2,
+    valid, tri_id, 0, 0] where e_i = a_i . (xn, yn, 1), depth =
+    zs . (xn, yn, 1), and adj rows carry det's sign so the inside test
+    is sign-free.  tri_id is stored as float (exact below 2^24).
+    """
+    adj, det, zc = setup["adj"], setup["det"], setup["zc"]
+    ez = adj * (zc[:, :, None] / det[:, None, None])
+    zs = ez.sum(axis=1)                               # (T, 3)
+    sgn = jnp.sign(det)
+    flat = jnp.concatenate([
+        adj.reshape(-1, 9) * sgn[:, None], zs,
+        jnp.ones((adj.shape[0], 1), jnp.float32),
+        jnp.zeros((adj.shape[0], 3), jnp.float32),
+    ], axis=-1)                                       # (T, 16)
+
+    # big-list entries FIRST so the dynamic trip count (B + bin count)
+    # walks them before the tile's binned range
+    ids = jnp.concatenate(
+        [jnp.broadcast_to(big_ids[None, :], (bins.shape[0], big_ids.shape[0])), bins],
+        axis=1)                                       # (n_tiles, B+K)
+    ok = ids >= 0
+    rows = flat[jnp.maximum(ids, 0)] * ok[..., None]  # invalid -> zero row
+    rows = rows.at[..., 13].set(ids.astype(jnp.float32))
+    return rows
+
+
+def _raster_kernel(tile_ids_ref, counts_ref, rows_ref,
+                   depth_ref, vis_ref, l0_ref, l1_ref,
+                   *, tiles_x, width, height, n_entries):
+    i = pl.program_id(0)
+    tile = tile_ids_ref[i]
+    ty = tile // tiles_x
+    tx = tile % tiles_x
+
+    yy = jax.lax.broadcasted_iota(jnp.float32, (TILE_H, TILE_W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (TILE_H, TILE_W), 1)
+    yn = (ty.astype(jnp.float32) * TILE_H + yy + 0.5) * (2.0 / height) - 1.0
+    xn = (tx.astype(jnp.float32) * TILE_W + xx + 0.5) * (2.0 / width) - 1.0
+
+    def body(k, carry):
+        depth, vis, l0, l1 = carry
+        e0 = rows_ref[k, 0] * xn + rows_ref[k, 1] * yn + rows_ref[k, 2]
+        e1 = rows_ref[k, 3] * xn + rows_ref[k, 4] * yn + rows_ref[k, 5]
+        e2 = rows_ref[k, 6] * xn + rows_ref[k, 7] * yn + rows_ref[k, 8]
+        inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+        s = e0 + e1 + e2
+        inside = inside & (s > 0) & (rows_ref[k, 12] > 0)
+        d = rows_ref[k, 9] * xn + rows_ref[k, 10] * yn + rows_ref[k, 11]
+        passed = inside & (d > depth) & (d <= 1.0)
+        inv_s = 1.0 / jnp.where(s == 0, 1.0, s)
+        tri = rows_ref[k, 13]
+        depth = jnp.where(passed, d, depth)
+        vis = jnp.where(passed, tri, vis)
+        l0 = jnp.where(passed, e0 * inv_s, l0)
+        l1 = jnp.where(passed, e1 * inv_s, l1)
+        return depth, vis, l0, l1
+
+    init = (jnp.zeros((TILE_H, TILE_W), jnp.float32),
+            jnp.full((TILE_H, TILE_W), -1.0, jnp.float32),
+            jnp.zeros((TILE_H, TILE_W), jnp.float32),
+            jnp.zeros((TILE_H, TILE_W), jnp.float32))
+    count = jnp.minimum(counts_ref[i], n_entries)
+    depth, vis, l0, l1 = jax.lax.fori_loop(0, count, body, init)
+    depth_ref[...] = depth
+    vis_ref[...] = vis
+    l0_ref[...] = l0
+    l1_ref[...] = l1
+
+
+def raster_pallas(setup, bins, big_ids, counts, tiles_x, tiles_y, width, height,
+                  tile_ids=None, interpret=False):
+    """Pallas raster.  Returns (depth, vis int32, lam0, lam1) images."""
+    rows = pack_tile_setup(setup, bins, big_ids)
+    n_entries = rows.shape[1]
+    if tile_ids is None:
+        tile_ids = jnp.arange(tiles_x * tiles_y, dtype=jnp.int32)
+    else:
+        rows = rows[tile_ids]
+        counts = counts[tile_ids]
+    n_tiles = tile_ids.shape[0]
+    B = big_ids.shape[0]
+    trip = jnp.minimum(counts + B, n_entries).astype(jnp.int32)
+
+    def kernel_wrap(tile_ids_ref, counts_ref, rows_ref,
+                    depth_ref, vis_ref, l0_ref, l1_ref):
+        _raster_kernel(tile_ids_ref, counts_ref, rows_ref.at[0],
+                       depth_ref.at[0], vis_ref.at[0], l0_ref.at[0], l1_ref.at[0],
+                       tiles_x=tiles_x, width=width, height=height,
+                       n_entries=n_entries)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, n_entries, SETUP_WIDTH), lambda i, *_: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0)),
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((n_tiles, TILE_H, TILE_W), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles, TILE_H, TILE_W), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles, TILE_H, TILE_W), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles, TILE_H, TILE_W), jnp.float32),
+    ]
+    depth, vis, l0, l1 = pl.pallas_call(
+        kernel_wrap, grid_spec=grid_spec, out_shape=out_shape,
+        interpret=interpret,
+    )(tile_ids, trip, rows)
+
+    from .raster import _untile
+    ty_local = n_tiles // tiles_x
+    vis_i = jnp.round(vis).astype(jnp.int32)
+    return (_untile(depth, tiles_x, ty_local), _untile(vis_i, tiles_x, ty_local),
+            _untile(l0, tiles_x, ty_local), _untile(l1, tiles_x, ty_local))

@@ -23,7 +23,7 @@ from .sampling import sample_bilinear
 
 
 def resolve_gbuffer(vis, setup, tris, tri_instance, attrs, instances, materials,
-                    textures, width, height, y0=0, material_maps=True):
+                    textures, width, height, y0=0, material_maps=True, lam=None):
     """vis: (H,W) int32; attrs: dict(uv (V,2), normal (V,3), tangent (V,4));
     instances: dict(material (I,) int32); materials: dict(color (M,4),
     metalness/roughness/reflectivity/emissive (M,), albedomap/surfacemap/
@@ -32,7 +32,10 @@ def resolve_gbuffer(vis, setup, tris, tri_instance, attrs, instances, materials,
     Returns gbuffer dict(diffuse (H,W,4), specular (H,W,4),
     normal (H,W,4), mask (H,W) bool).
     """
-    lam, mask = resolve_barycentrics(vis, setup, width, height, y0=y0)
+    if lam is None:
+        lam, mask = resolve_barycentrics(vis, setup, width, height, y0=y0)
+    else:
+        mask = vis >= 0
     t = jnp.maximum(vis, 0)
     vid = tris[t]                                   # (H, W, 3)
 

@@ -26,7 +26,7 @@ POISSON = np.stack([_r * np.cos(_a), _r * np.sin(_a)], -1).astype(np.float32)
 
 
 def render_shadow_cascades(world_pos, tris, shadowview, *, res=1024,
-                           bin_capacity=128, big_capacity=32):
+                           bin_capacity=128, big_capacity=32, use_pallas=False):
     """Rasterize depth-only cascades.
 
     world_pos: (V, 3) world-space caster vertices; tris: (T, 3);
@@ -34,6 +34,21 @@ def render_shadow_cascades(world_pos, tris, shadowview, *, res=1024,
     """
     tiles_x = res // raster_ops.TILE_W
     tiles_y = res // raster_ops.TILE_H
+
+    if use_pallas:
+        from .raster_pallas import raster_pallas
+
+        slices = []
+        for s in range(shadowview.shape[0]):
+            mat = shadowview[s]
+            clip = world_pos @ mat[:, :3].T + mat[:, 3]
+            setup = raster_ops.triangle_setup(clip, tris, res, res, tiles_x, tiles_y)
+            bins, counts, big = raster_ops.bin_triangles(
+                setup, tris.shape[0], tiles_x, tiles_y, bin_capacity, big_capacity)
+            depth, _, _, _ = raster_pallas(setup, bins, big, counts,
+                                           tiles_x, tiles_y, res, res)
+            slices.append(depth)
+        return jnp.stack(slices)
 
     def one_slice(mat):
         clip = world_pos @ mat[:, :3].T + mat[:, 3]

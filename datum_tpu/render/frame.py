@@ -88,7 +88,7 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
         raw = render_shadow_cascades(
             worldp, ex["tris"], sceneset["mainlight"]["shadowview"],
             res=cfg.shadow_res, bin_capacity=cfg.shadow_bin_capacity,
-            big_capacity=cfg.big_capacity)
+            big_capacity=cfg.big_capacity, use_pallas=cfg.use_pallas)
         if cfg.shadow_mode == "esm":
             shadowmaps = build_esm(raw, sceneset["mainlight"]["shadowview"])
         else:
@@ -98,14 +98,22 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
     setup = raster_ops.triangle_setup(clip, ex["tris"], w, h, tx, ty)
     bins, counts, big_ids = raster_ops.bin_triangles(
         setup, cfg.max_triangles, tx, ty, cfg.bin_capacity, cfg.big_capacity)
-    depth, vis = raster_ops.raster(setup, bins, big_ids, tx, ty, w, h)
+    if cfg.use_pallas:
+        from ..ops.raster_pallas import raster_pallas
+        depth, vis, l0, l1 = raster_pallas(setup, bins, big_ids, counts,
+                                           tx, ty, w, h)
+        lam = jnp.stack([l0, l1, 1.0 - l0 - l1], axis=-1)
+    else:
+        depth, vis = raster_ops.raster(setup, bins, big_ids, tx, ty, w, h)
+        lam = None
 
     # deferred material resolve -> gbuffer
     attrs = dict(uv=uv, normal=wnormal, tangent=wtangent)
     gbuffer = shade_ops.resolve_gbuffer(
         vis, setup, ex["tris"], ex["tri_draw"], attrs,
         dict(material=draws["material"]), device["materials"],
-        device["textures"], w, h, material_maps=cfg.enable_material_maps)
+        device["textures"], w, h, material_maps=cfg.enable_material_maps,
+        lam=lam)
 
     # deferred lighting
     ibl = device.get("ibl")

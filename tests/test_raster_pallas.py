@@ -1,0 +1,69 @@
+"""Pallas raster kernel vs the jnp reference raster (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from datum_tpu.ops import raster as R
+from datum_tpu.ops.raster_pallas import raster_pallas
+from datum_tpu.ops.raster import resolve_barycentrics
+from datum_tpu.math.matrix import perspective_proj
+
+W, H, TX, TY = 256, 128, 2, 4
+
+
+def run_both(clip, tris, bin_capacity=32, big_capacity=8):
+    clip = jnp.asarray(clip, jnp.float32)
+    tris = jnp.asarray(tris, jnp.int32)
+    setup = R.triangle_setup(clip, tris, W, H, TX, TY)
+    bins, counts, big = R.bin_triangles(setup, tris.shape[0], TX, TY,
+                                        bin_capacity, big_capacity)
+    d_ref, v_ref = R.raster(setup, bins, big, TX, TY, W, H)
+    d_p, v_p, l0, l1 = raster_pallas(setup, bins, big, counts, TX, TY, W, H,
+                                     interpret=True)
+    return (np.asarray(d_ref), np.asarray(v_ref), np.asarray(d_p),
+            np.asarray(v_p), np.asarray(l0), np.asarray(l1), setup)
+
+
+def test_matches_reference_simple():
+    clip = np.array([[-1, -1, 0.5, 1], [1, -1, 0.5, 1], [-1, 1, 0.5, 1],
+                     [-0.5, -0.5, 0.7, 1], [0.9, -0.5, 0.7, 1], [-0.5, 0.9, 0.7, 1]],
+                    np.float32)
+    tris = np.array([[0, 1, 2], [3, 4, 5]])
+    d_ref, v_ref, d_p, v_p, l0, l1, setup = run_both(clip, tris)
+    np.testing.assert_array_equal(v_ref, v_p)
+    np.testing.assert_allclose(d_ref, d_p, atol=1e-6)
+
+
+def test_matches_reference_perspective_mesh(rng):
+    proj = perspective_proj(np.radians(70), W / H, 0.1)
+    pts = rng.randn(60, 3).astype(np.float32) * 2
+    pts[:, 2] -= 6
+    hp = np.concatenate([pts, np.ones((60, 1), np.float32)], 1)
+    clip = hp @ proj.T
+    tris = rng.randint(0, 60, (80, 3)).astype(np.int32)
+    d_ref, v_ref, d_p, v_p, l0, l1, setup = run_both(clip, tris, 64, 16)
+    # identical winners except possible fp tie-breaks on shared edges
+    mismatch = (v_ref != v_p).mean()
+    assert mismatch < 0.002, f"{mismatch:.4f} of pixels differ"
+    np.testing.assert_allclose(d_ref[v_ref == v_p], d_p[v_ref == v_p], atol=1e-5)
+
+
+def test_barycentrics_match_resolve():
+    clip = np.array([[-1, -1, 0.5, 1], [1, -1, 0.5, 1], [-1, 1, 0.5, 1]], np.float32)
+    tris = np.array([[0, 1, 2]])
+    d_ref, v_ref, d_p, v_p, l0, l1, setup = run_both(clip, tris)
+    lam, mask = resolve_barycentrics(jnp.asarray(v_p), setup, W, H)
+    lam = np.asarray(lam)
+    covered = v_p >= 0
+    np.testing.assert_allclose(l0[covered], lam[covered][:, 0], atol=1e-4)
+    np.testing.assert_allclose(l1[covered], lam[covered][:, 1], atol=1e-4)
+
+
+def test_near_plane_crossing():
+    proj = perspective_proj(np.radians(90), W / H, 0.1)
+    pts = np.array([[0, 1, -10], [-5, -1, 5], [5, -1, 5]], np.float32)
+    hp = np.concatenate([pts, np.ones((3, 1), np.float32)], 1)
+    clip = hp @ proj.T
+    d_ref, v_ref, d_p, v_p, l0, l1, setup = run_both(clip, np.array([[0, 1, 2]]))
+    np.testing.assert_array_equal(v_ref, v_p)
