@@ -43,13 +43,14 @@ def main():
         out = frame_mod.render_frame(ctx.config, device, draws, sceneset)
     jax.block_until_ready(out["image"])
 
-    # steady state: device-side frame time, blocked per frame (async
-    # dispatch through the axon tunnel dedupes identical in-flight
-    # dispatches, so per-frame blocking is the only honest measurement)
+    # steady state: device-side frame time, blocked per frame, with
+    # varying inputs each frame (the axon tunnel memoizes identical
+    # dispatches, so repeating one input under-measures)
+    inputs = [jax.device_put(frame_inputs(0.3 + 0.05 * i)) for i in range(10)]
     times = []
-    for i in range(10):
+    for draws_i, ss_i in inputs:
         t0 = time.perf_counter()
-        out = frame_mod.render_frame(ctx.config, device, draws, sceneset)
+        out = frame_mod.render_frame(ctx.config, device, draws_i, ss_i)
         jax.block_until_ready(out["image"])
         times.append(time.perf_counter() - t0)
     dt_ms = float(np.median(times)) * 1000.0

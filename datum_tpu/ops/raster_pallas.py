@@ -25,7 +25,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .common import TILE_H, TILE_W
 
-SETUP_WIDTH = 16   # padded per-triangle setup row (14 used)
+SETUP_WIDTH = 128  # per-triangle setup row padded to the TPU lane width
+                   # (14 floats used; Mosaic requires last-dim blocks
+                   # aligned to 128)
 
 
 def pack_tile_setup(setup, bins, big_ids):
@@ -43,8 +45,8 @@ def pack_tile_setup(setup, bins, big_ids):
     flat = jnp.concatenate([
         adj.reshape(-1, 9) * sgn[:, None], zs,
         jnp.ones((adj.shape[0], 1), jnp.float32),
-        jnp.zeros((adj.shape[0], 3), jnp.float32),
-    ], axis=-1)                                       # (T, 16)
+        jnp.zeros((adj.shape[0], SETUP_WIDTH - 13), jnp.float32),
+    ], axis=-1)                                       # (T, SETUP_WIDTH)
 
     # big-list entries FIRST so the dynamic trip count (B + bin count)
     # walks them before the tile's binned range
@@ -65,8 +67,8 @@ def _raster_kernel(tile_ids_ref, counts_ref, rows_ref,
     ty = tile // tiles_x
     tx = tile % tiles_x
 
-    yy = jax.lax.broadcasted_iota(jnp.float32, (TILE_H, TILE_W), 0)
-    xx = jax.lax.broadcasted_iota(jnp.float32, (TILE_H, TILE_W), 1)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
     yn = (ty.astype(jnp.float32) * TILE_H + yy + 0.5) * (2.0 / height) - 1.0
     xn = (tx.astype(jnp.float32) * TILE_W + xx + 0.5) * (2.0 / width) - 1.0
 
