@@ -46,12 +46,15 @@ def main():
     # steady state: device-side frame time, blocked per frame, with
     # varying inputs each frame (the axon tunnel memoizes identical
     # dispatches, so repeating one input under-measures)
+    # NOTE: through the axon tunnel block_until_ready returns before the
+    # device finishes, so each frame must round-trip a (scalar) result
+    # to the host to be counted
     inputs = [jax.device_put(frame_inputs(0.3 + 0.05 * i)) for i in range(10)]
     times = []
     for draws_i, ss_i in inputs:
         t0 = time.perf_counter()
         out = frame_mod.render_frame(ctx.config, device, draws_i, ss_i)
-        jax.block_until_ready(out["image"])
+        _ = float(out["luminance"])          # forces execution + readback
         times.append(time.perf_counter() - t0)
     dt_ms = float(np.median(times)) * 1000.0
 

@@ -62,6 +62,9 @@ class FrameConfig:
     shadow_mode: str = "esm"         # 'esm' (1-tap) or 'pcf' (12-tap poisson)
     enable_material_maps: bool = True  # sample surface/normal textures
     use_pallas: bool = False         # Mosaic raster kernel (TPU only)
+    enable_skinning: bool = False    # dual-quat skinned vertex path
+    max_palettes: int = 16
+    max_bones: int = 128
     enable_depth_of_field: bool = False
     enable_color_grading: bool = True
     enable_ssao: bool = True

@@ -83,21 +83,19 @@ def transform_vertices_rigid(positions, normals, tangents, vtx_instance,
     return clip, wn, wtangent, world
 
 
-def transform_vertices_skinned(positions, normals, tangents, vtx_instance,
-                               bone_idx, bone_wt, palettes, inst_world, viewproj):
-    """Skinned path: p' = blend(palette)(p), then rigid instance transform.
+def skin_vertices(positions, normals, tangents, bone_idx, bone_wt,
+                  palettes_flat, pal_of_vertex, max_bones):
+    """4-bone dual-quat skinning with flat palette rows.
 
-    palettes: (I, B, 8) per-instance bone dual-quats (already composed
-    with bind pose by the host Animator).
+    palettes_flat: (P*B, 8); pal_of_vertex: (V,) palette index per
+    vertex.  Gathers exactly 4 palette rows per vertex (reference:
+    data/actor.geometry.vert:38-47 transform_blend of bone0..3).
     """
-    pal = palettes[vtx_instance]                               # (V, B, 8)
-    # per-vertex gather of 4 bones from this vertex's palette
-    v_idx = jnp.arange(positions.shape[0])[:, None]
-    dq = pal[v_idx, bone_idx]                                  # (V, 4, 8)
-    ref = dq[:, 0:1, :4]
-    sign = jnp.sign(jnp.sum(dq[..., :4] * ref, axis=-1, keepdims=True) + 1e-20)
+    rows = palettes_flat[pal_of_vertex[:, None] * max_bones + bone_idx]  # (V,4,8)
+    ref = rows[:, 0:1, :4]
+    sign = jnp.sign(jnp.sum(rows[..., :4] * ref, axis=-1, keepdims=True) + 1e-20)
     w = (bone_wt * sign[..., 0])[..., None]
-    blended = jnp.sum(dq * w, axis=1)
+    blended = jnp.sum(rows * w, axis=1)
     real, dual = blended[:, :4], blended[:, 4:]
     ln = jnp.maximum(jnp.linalg.norm(real, axis=-1, keepdims=True), 1e-8)
     real = real / ln
@@ -105,5 +103,19 @@ def transform_vertices_skinned(positions, normals, tangents, vtx_instance,
     skinned = dq_apply(real, dual, positions)
     sn = dq_rotate(real, normals)
     st = dq_rotate(real, tangents[:, :3])
-    return transform_vertices_rigid(skinned, sn, jnp.concatenate([st, tangents[:, 3:4]], -1),
-                                    vtx_instance, inst_world, viewproj)
+    return skinned, sn, jnp.concatenate([st, tangents[:, 3:4]], -1)
+
+
+def transform_vertices_skinned(positions, normals, tangents, vtx_instance,
+                               bone_idx, bone_wt, palettes, inst_world, viewproj):
+    """Skinned path: p' = blend(palette)(p), then rigid instance transform.
+
+    palettes: (I, B, 8) per-instance bone dual-quats (already composed
+    with bind pose by the host Animator).
+    """
+    max_bones = palettes.shape[1]
+    skinned, sn, st = skin_vertices(positions, normals, tangents, bone_idx,
+                                    bone_wt, palettes.reshape(-1, 8),
+                                    vtx_instance, max_bones)
+    return transform_vertices_rigid(skinned, sn, st, vtx_instance, inst_world,
+                                    viewproj)

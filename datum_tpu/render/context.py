@@ -48,6 +48,9 @@ class GeometryPool:
         self.texcoords = np.zeros((max_vertices, 2), np.float32)
         self.normals = np.zeros((max_vertices, 3), np.float32)
         self.tangents = np.zeros((max_vertices, 4), np.float32)
+        self.bone_idx = np.zeros((max_vertices, 4), np.int32)
+        self.bone_wt = np.zeros((max_vertices, 4), np.float32)
+        self.bone_wt[:, 0] = 1.0          # default: bone 0 (identity)
         self.triangles = np.zeros((max_triangles, 3), np.int32)
         self.mesh_vtx_offset = np.zeros(max_meshes, np.int32)
         self.mesh_vtx_count = np.zeros(max_meshes, np.int32)
@@ -58,9 +61,11 @@ class GeometryPool:
         self.n_meshes = 0
         self.dirty = True
 
-    def add_mesh(self, vertices, indices, mincorner=None, maxcorner=None) -> MeshHandle:
+    def add_mesh(self, vertices, indices, mincorner=None, maxcorner=None,
+                 rig=None) -> MeshHandle:
         """vertices: structured VERTEX_DTYPE array or dict of arrays;
-        indices: (K,) or (K/3, 3) triangle indices (mesh-local)."""
+        indices: (K,) or (K/3, 3) triangle indices (mesh-local);
+        rig: optional structured RIG_DTYPE array (bone ids + weights)."""
         if isinstance(vertices, np.ndarray) and vertices.dtype == VERTEX_DTYPE:
             pos = vertices["position"]
             uv = vertices["texcoord"]
@@ -81,6 +86,9 @@ class GeometryPool:
         self.texcoords[v0:v0 + nv] = uv
         self.normals[v0:v0 + nv] = nrm
         self.tangents[v0:v0 + nv] = tan
+        if rig is not None:
+            self.bone_idx[v0:v0 + nv] = rig["bone"]
+            self.bone_wt[v0:v0 + nv] = rig["weight"]
         self.triangles[t0:t0 + nt] = tris + v0     # pool-global vertex ids
         m = self.n_meshes
         self.mesh_vtx_offset[m] = v0
@@ -101,6 +109,8 @@ class GeometryPool:
             texcoords=jnp.asarray(self.texcoords),
             normals=jnp.asarray(self.normals),
             tangents=jnp.asarray(self.tangents),
+            bone_idx=jnp.asarray(self.bone_idx),
+            bone_wt=jnp.asarray(self.bone_wt),
             triangles=jnp.asarray(self.triangles),
             mesh_vtx_offset=jnp.asarray(self.mesh_vtx_offset),
             mesh_vtx_count=jnp.asarray(self.mesh_vtx_count),
@@ -241,8 +251,10 @@ class RenderContext:
             sceneset = make_sceneset(camera, params,
                                      point_lights=renderlist.point_lights,
                                      spot_lights=renderlist.spot_lights)
-        draws = renderlist.draw_arrays(self.config.max_instances,
-                                       self.default_material)
+        draws = renderlist.draw_arrays(
+            self.config.max_instances, self.default_material,
+            max_palettes=self.config.max_palettes if self.config.enable_skinning else 0,
+            max_bones=self.config.max_bones)
         out = frame_mod.render_frame(self.config, self.device_state(), draws, sceneset)
         self.luminance = float(out["luminance"])
         return np.asarray(out["image"])

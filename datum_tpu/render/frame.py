@@ -77,6 +77,14 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
     normals = geom["normals"][ex["src_v"]]
     tangents = geom["tangents"][ex["src_v"]]
 
+    if cfg.enable_skinning:
+        from ..ops.geometry import skin_vertices
+        pal_of_v = draws["palette_id"][ex["vtx_draw"]]
+        positions, normals, tangents = skin_vertices(
+            positions, normals, tangents,
+            geom["bone_idx"][ex["src_v"]], geom["bone_wt"][ex["src_v"]],
+            draws["palettes"].reshape(-1, 8), pal_of_v, cfg.max_bones)
+
     viewproj = (sceneset["proj"] @ sceneset["view"]).astype(jnp.float32)
     clip, wnormal, wtangent, worldp = transform_vertices_rigid(
         positions, normals, tangents, ex["vtx_draw"], draws["world"], viewproj)

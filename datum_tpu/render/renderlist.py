@@ -33,6 +33,17 @@ class RenderList:
 
     push_geometry = push_mesh
 
+    def push_actor(self, mesh, transform, material, palette, caster=True):
+        """Skinned draw: palette is the Animator's (B, 8) dual-quat bone
+        palette (reference: renderlist push_mesh with Pose/actor
+        pipeline)."""
+        m = _to_affine(transform)
+        self.draws.append(dict(mesh=mesh.mesh_id, transform=m, material=material,
+                               palette=np.asarray(palette, np.float32)))
+        if caster:
+            self.casters.append(dict(mesh=mesh.mesh_id, transform=m,
+                                     material=material))
+
     def push_caster(self, mesh, transform, material=0):
         self.casters.append(dict(mesh=mesh.mesh_id, transform=_to_affine(transform),
                                  material=material))
@@ -70,18 +81,32 @@ class RenderList:
                                  tint=np.asarray(tint, np.float32)))
 
     # --- device arrays ----------------------------------------------------
-    def draw_arrays(self, max_draws, default_material):
+    def draw_arrays(self, max_draws, default_material, max_palettes=0,
+                    max_bones=128):
         mesh = np.zeros(max_draws, np.int32)
         world = np.zeros((max_draws, 3, 4), np.float32)
         world[:, :, :3] = np.eye(3)
         material = np.full(max_draws, default_material, np.int32)
         n = min(len(self.draws), max_draws)
+        out = dict(mesh=mesh, world=world, material=material, count=np.int32(n))
+        if max_palettes:
+            palettes = np.zeros((max_palettes, max_bones, 8), np.float32)
+            palettes[:, :, 0] = 1.0      # identity dual-quats
+            palette_id = np.zeros(max_draws, np.int32)
+            next_pal = 1
         for i, d in enumerate(self.draws[:n]):
             mesh[i] = d["mesh"]
             world[i] = d["transform"]
             material[i] = d["material"]
-        return dict(mesh=mesh, world=world, material=material,
-                    count=np.int32(n))
+            if max_palettes and d.get("palette") is not None and next_pal < max_palettes:
+                p = d["palette"]
+                palettes[next_pal, :len(p)] = p[:max_bones]
+                palette_id[i] = next_pal
+                next_pal += 1
+        if max_palettes:
+            out["palettes"] = palettes
+            out["palette_id"] = palette_id
+        return out
 
     def caster_arrays(self, max_draws):
         mesh = np.zeros(max_draws, np.int32)
