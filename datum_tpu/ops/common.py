@@ -65,6 +65,7 @@ class FrameConfig:
     enable_skinning: bool = False    # dual-quat skinned vertex path
     max_palettes: int = 16
     max_bones: int = 128
+    max_particle_quads: int = 0      # forward OIT billboard capacity
     enable_depth_of_field: bool = False
     enable_color_grading: bool = True
     enable_ssao: bool = True

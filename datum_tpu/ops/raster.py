@@ -52,7 +52,7 @@ def adjugate3(m):
          jnp.stack([c02, c12, c22], -1)], axis=-2)
 
 
-def triangle_setup(clip, tris, width, height, tiles_x, tiles_y):
+def triangle_setup(clip, tris, width, height, tiles_x, tiles_y, tri_valid=None):
     """Per-triangle raster setup.
 
     clip: (V, 4) clip positions; tris: (T, 3) int32 vertex ids
@@ -81,6 +81,8 @@ def triangle_setup(clip, tris, width, height, tiles_x, tiles_y):
               | (tris[:, 0] == tris[:, 2]))
     degenerate = shared | (jnp.abs(det) < 1e-14)
     valid = ~(out | degenerate)
+    if tri_valid is not None:
+        valid = valid & tri_valid
 
     # screen bbox (only meaningful when all w comfortably positive)
     w_ok = jnp.all(w > 1e-6, axis=1)

@@ -255,6 +255,9 @@ class RenderContext:
             self.config.max_instances, self.default_material,
             max_palettes=self.config.max_palettes if self.config.enable_skinning else 0,
             max_bones=self.config.max_bones)
+        if self.config.max_particle_quads > 0:
+            draws["forward"] = renderlist.forward_arrays(
+                self.config.max_particle_quads, camera)
         out = frame_mod.render_frame(self.config, self.device_state(), draws, sceneset)
         self.luminance = float(out["luminance"])
         return np.asarray(out["image"])

@@ -144,6 +144,27 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
         exposure = sceneset["camera"]["exposure"]
         hdr = jnp.where(gbuffer["mask"][..., None], hdr, sky * exposure)
 
+    # forward OIT: particles / translucents (reference: renderer.cpp
+    # :6596-6684 weighted-blend subpasses + weightblend resolve)
+    if cfg.max_particle_quads > 0:
+        from ..ops import blend as blend_ops
+
+        from .renderlist import RenderList
+
+        fwd = draws["forward"]
+        fclip = fwd["positions"] @ viewproj[:, :3].T + viewproj[:, 3]
+        ftris = jnp.asarray(RenderList.quad_triangles(cfg.max_particle_quads))
+        tvalid = jnp.arange(ftris.shape[0]) < fwd["quad_count"] * 2
+        fsetup = raster_ops.triangle_setup(fclip, ftris, w, h, tx, ty,
+                                           tri_valid=tvalid)
+        fbins, fcounts, fbig = raster_ops.bin_triangles(
+            fsetup, ftris.shape[0], tx, ty, cfg.bin_capacity, cfg.big_capacity)
+        exposure = sceneset["camera"]["exposure"]
+        accum, reveal = blend_ops.raster_blend(
+            fsetup, fbins, fbig, fwd["uv"], fwd["color"], ftris, depth,
+            tx, ty, w, h)
+        hdr = blend_ops.resolve_oit(hdr, accum * exposure, reveal)
+
     # scene luminance (log-average, reference: data/luminance.comp)
     lum_w = jnp.array([0.2126, 0.7152, 0.0722], jnp.float32)
     lum = jnp.exp(jnp.mean(jnp.log(1e-4 + hdr[:cfg.height, :cfg.width] @ lum_w)))

@@ -21,6 +21,7 @@ class RenderList:
         self.casters = []        # shadow-casting subset
         self.point_lights = []
         self.spot_lights = []
+        self.particles = []      # forward OIT billboard systems
         self.sprites = []        # overlay sprites (drawn post-composite)
         self.wireframes = []
 
@@ -73,6 +74,60 @@ class RenderList:
                                      direction=d,
                                      intensity=np.asarray(intensity, np.float32),
                                      attenuation=att, cutoff=float(cutoff)))
+
+    # --- forward / particles ----------------------------------------------
+    def push_particles(self, instance, emissive=0.0):
+        """Queue a live ParticleInstance for the forward OIT pass
+        (reference: ForwardList::push_particlesystem)."""
+        self.particles.append(dict(instance=instance, emissive=emissive))
+
+    def forward_arrays(self, max_quads, camera):
+        """Build camera-facing billboard quads for all queued particles.
+
+        Returns dict(positions (4Q,3), uv (4Q,2), color (4Q,4),
+        quad_count) — the forward vertex stream consumed by the WBOIT
+        raster (ops/blend.py).
+        """
+        positions = np.zeros((max_quads * 4, 3), np.float32)
+        uv = np.zeros((max_quads * 4, 2), np.float32)
+        color = np.zeros((max_quads * 4, 4), np.float32)
+        right = camera.right()
+        up = camera.up()
+        q = 0
+        for entry in self.particles:
+            inst = entry["instance"]
+            alive = np.nonzero(inst.alive)[0]
+            n = min(len(alive), max_quads - q)
+            if n <= 0:
+                continue
+            idx = alive[:n]
+            p = inst.position[idx]
+            sz = inst.size[idx]
+            rot = inst.rotation[idx]
+            col = inst.color[idx]
+            c, s = np.cos(rot)[:, None], np.sin(rot)[:, None]
+            r = right[None, :] * c + up[None, :] * s
+            u = up[None, :] * c - right[None, :] * s
+            rx = r * sz[:, 0:1]
+            uy = u * sz[:, 1:2]
+            base = q * 4
+            corners = np.stack([p - rx - uy, p + rx - uy, p + rx + uy, p - rx + uy],
+                               axis=1)                       # (n, 4, 3)
+            positions[base:base + 4 * n] = corners.reshape(-1, 3)
+            uv[base:base + 4 * n] = np.tile([[0, 0], [1, 0], [1, 1], [0, 1]],
+                                            (n, 1)).astype(np.float32)
+            color[base:base + 4 * n] = np.repeat(col, 4, axis=0)
+            q += n
+        return dict(positions=positions, uv=uv, color=color,
+                    quad_count=np.int32(q))
+
+    @staticmethod
+    def quad_triangles(max_quads):
+        """Static index pattern: quad i -> verts [4i..4i+3], 2 tris."""
+        base = np.arange(max_quads, dtype=np.int32)[:, None] * 4
+        t = np.concatenate([base + np.array([[0, 1, 2]], np.int32),
+                            base + np.array([[0, 2, 3]], np.int32)], axis=1)
+        return t.reshape(-1, 3)
 
     # --- overlays ---------------------------------------------------------
     def push_sprite(self, rect, image_id, layer=0.0, tint=(1, 1, 1, 1)):

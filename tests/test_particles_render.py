@@ -1,0 +1,84 @@
+"""Forward OIT particle rendering (stardust-style)."""
+
+import numpy as np
+
+from datum_tpu.math import Transform
+from datum_tpu.ops.common import FrameConfig
+from datum_tpu.render import Camera, RenderContext, RenderList, RenderParams
+from datum_tpu.render.particlesystem import (
+    Distribution, ParticleEmitter, ParticleSystem,
+)
+
+
+def test_particles_visible_and_blended():
+    cfg = FrameConfig(width=256, height=128, max_vertices=512, max_triangles=512,
+                      max_instances=4, bin_capacity=64, big_capacity=16,
+                      enable_shadows=False, max_particle_quads=256)
+    ctx = RenderContext(cfg)
+
+    ps = ParticleSystem(maxparticles=200, emitters=[ParticleEmitter(
+        rate=0.0, bursts=[(0.0, 150)], life=Distribution.constant(10.0),
+        velocity=Distribution.constant(0.0), shape="sphere", shape_radius=1.5,
+        size=Distribution.constant(0.25),
+        color=Distribution.constant([4.0, 2.0, 0.5, 0.6]),
+        acceleration=np.zeros(3, np.float32))])
+    inst = ps.create(seed=5)
+    ps.update(inst, 0.02, Transform.identity())
+    assert inst.count > 100
+
+    cam = Camera()
+    cam.set_projection(np.radians(60), 2.0)
+    cam.lookat(np.array([0.0, 0.0, 6.0]), np.array([0.0, 0.0, 0.0]),
+               np.array([0.0, 1.0, 0.0]))
+    rl = RenderList()
+    rl.push_particles(inst)
+    params = RenderParams(width=256, height=128)
+    params.sunintensity = np.zeros(3, np.float32)
+    params.ambientintensity = 0.0
+    img = ctx.render(cam, rl, params).astype(np.float32)
+
+    centre = img[40:90, 90:170]
+    assert centre.mean() > 2.0, f"particles invisible (mean {centre.mean()})"
+    # warm tint: red > blue
+    assert centre[..., 0].sum() > centre[..., 2].sum()
+    # corners empty
+    assert img[:8, :8].max() == 0
+
+
+def test_particles_occluded_by_opaque():
+    from datum_tpu.render import primitives
+
+    cfg = FrameConfig(width=256, height=128, max_vertices=512, max_triangles=512,
+                      max_instances=4, bin_capacity=64, big_capacity=16,
+                      enable_shadows=False, max_particle_quads=64)
+    ctx = RenderContext(cfg)
+    qv, qi = primitives.unit_quad()
+    wall = ctx.add_mesh(qv, qi)
+    mat = ctx.add_material(color=(0.1, 0.1, 0.9, 1))
+
+    ps = ParticleSystem(maxparticles=32, emitters=[ParticleEmitter(
+        rate=0.0, bursts=[(0.0, 20)], life=Distribution.constant(10.0),
+        velocity=Distribution.constant(0.0), shape="point",
+        size=Distribution.constant(0.3),
+        color=Distribution.constant([8.0, 8.0, 0.5, 0.9]),
+        acceleration=np.zeros(3, np.float32))])
+    inst = ps.create()
+    # particles at z=-2, wall at z=0 (between camera at z=6 and particles)
+    ps.update(inst, 0.02, Transform.translation([0, 0, -2.0]))
+
+    cam = Camera()
+    cam.set_projection(np.radians(60), 2.0)
+    cam.lookat(np.array([0.0, 0.0, 6.0]), np.array([0.0, 0.0, 0.0]),
+               np.array([0.0, 1.0, 0.0]))
+    params = RenderParams(width=256, height=128)
+    params.sunintensity = np.zeros(3, np.float32)
+    params.ambientintensity = 1.0
+
+    rl = RenderList()
+    rl.push_mesh(wall, Transform.rotation([0, 1, 0], 0.0) * Transform.identity(), mat)
+    rl.push_particles(inst)
+    img = ctx.render(cam, rl, params).astype(np.float32)
+    centre = img[50:78, 112:144]
+    # wall (blue-ish ambient) wins over yellow particles behind it
+    assert centre[..., 2].mean() > centre[..., 0].mean(), \
+        f"particles bled through wall: {centre.mean(axis=(0, 1))}"
