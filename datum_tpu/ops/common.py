@@ -66,6 +66,7 @@ class FrameConfig:
     max_palettes: int = 16
     max_bones: int = 128
     max_particle_quads: int = 0      # forward OIT billboard capacity
+    max_dynamic_vertices: int = 0    # per-frame vertex override slab (ocean)
     enable_depth_of_field: bool = False
     enable_color_grading: bool = True
     enable_ssao: bool = True

@@ -1,0 +1,114 @@
+"""FFT ocean simulation.
+
+TPU re-design of the reference ocean pipeline (reference:
+src/renderer/ocean.{h,cpp} — CPU Phillips-spectrum seed (seed_ocean
+ocean.cpp:128) + phase advance (update_ocean :217), then 5 compute
+dispatches: sim -> 64-point radix-2 iFFT x/y -> displacement/normal
+map -> vertex-buffer writer (data/ocean.*.comp)).  Here the spectrum
+evolves and inverts with jnp.fft.ifft2 in one fused jit, and the
+vertex writer samples the displacement map over the render grid.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+GRAVITY = 9.81
+
+
+def phillips_spectrum(n=64, size=64.0, wind=(8.0, 4.0), amplitude=2e-5,
+                      seed=0):
+    """Seed h0(k) (reference: seed_ocean).  Returns complex (n, n)."""
+    rng = np.random.RandomState(seed)
+    k1 = np.fft.fftfreq(n, d=size / (2 * np.pi * n))
+    kx, ky = np.meshgrid(k1, k1, indexing="xy")
+    k2 = kx * kx + ky * ky
+    k2 = np.where(k2 == 0, 1e-12, k2)
+    wind = np.asarray(wind, np.float64)
+    wspeed = np.linalg.norm(wind)
+    wdir = wind / max(wspeed, 1e-9)
+    l = wspeed * wspeed / GRAVITY
+    kdotw = (kx * wdir[0] + ky * wdir[1]) / np.sqrt(k2)
+    ph = (amplitude * np.exp(-1.0 / (k2 * l * l)) / (k2 * k2)
+          * kdotw ** 2)
+    # suppress tiny waves + waves against the wind
+    ph *= np.exp(-k2 * (size / n * 0.5) ** 2)
+    ph = np.where(kdotw < 0, ph * 0.1, ph)
+    ph[0, 0] = 0.0
+    xi = rng.randn(n, n) + 1j * rng.randn(n, n)
+    return (xi * np.sqrt(ph / 2.0)).astype(np.complex64)
+
+
+def wave_frequencies(n=64, size=64.0):
+    k1 = np.fft.fftfreq(n, d=size / (2 * np.pi * n))
+    kx, ky = np.meshgrid(k1, k1, indexing="xy")
+    k = np.sqrt(kx * kx + ky * ky)
+    omega = np.sqrt(GRAVITY * k)
+    return (kx.astype(np.float32), ky.astype(np.float32), k.astype(np.float32),
+            omega.astype(np.float32))
+
+
+def ocean_maps(h0, kx, ky, k, omega, t, choppiness=1.5):
+    """Evolve + invert the spectrum at time t.
+
+    Returns (displacement (n,n,3) [dx, height, dz], normal (n,n,3)).
+    Replaces ocean.sim/fftx/ffty/map.comp with one fused jnp program.
+    """
+    h0 = jnp.asarray(h0)
+    phase = omega * t
+    rot = jnp.exp(1j * phase)
+    h0_conj = jnp.conj(h0[(-jnp.arange(h0.shape[0])) % h0.shape[0]][:, (-jnp.arange(h0.shape[1])) % h0.shape[1]])
+    hk = h0 * rot + h0_conj * jnp.conj(rot)
+
+    height = jnp.fft.ifft2(hk).real * (h0.shape[0] * h0.shape[1])
+
+    ksafe = jnp.where(k == 0, 1e-12, k)
+    dx = jnp.fft.ifft2(1j * kx / ksafe * hk).real * (h0.shape[0] * h0.shape[1])
+    dz = jnp.fft.ifft2(1j * ky / ksafe * hk).real * (h0.shape[0] * h0.shape[1])
+
+    sx = jnp.fft.ifft2(1j * kx * hk).real * (h0.shape[0] * h0.shape[1])
+    sz = jnp.fft.ifft2(1j * ky * hk).real * (h0.shape[0] * h0.shape[1])
+
+    disp = jnp.stack([-choppiness * dx, height, -choppiness * dz], -1)
+    normal = jnp.stack([-sx, jnp.ones_like(sx), -sz], -1)
+    normal = normal / jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    return disp.astype(jnp.float32), normal.astype(jnp.float32)
+
+
+def displace_grid(base_xz, disp, normal, patch_size, swell=(0.0, 0.0, 0.0, 1.0)):
+    """Vertex writer: sample the (periodic) maps at grid positions.
+
+    base_xz: (V, 3) flat grid vertices (y=0); swell = (amp, dirx, dirz,
+    wavelength) Gerstner term (reference: ocean.gen.comp swell).
+    Returns (positions (V,3), normals (V,3)).
+    """
+    n = disp.shape[0]
+    u = base_xz[:, 0] / patch_size * n
+    v = base_xz[:, 2] / patch_size * n
+
+    def bil(m):
+        x0 = jnp.floor(u).astype(jnp.int32)
+        y0 = jnp.floor(v).astype(jnp.int32)
+        fx = (u - x0)[:, None]
+        fy = (v - y0)[:, None]
+        x0 = jnp.mod(x0, n)
+        y0 = jnp.mod(y0, n)
+        x1 = jnp.mod(x0 + 1, n)
+        y1 = jnp.mod(y0 + 1, n)
+        a = m[y0, x0] * (1 - fx) + m[y0, x1] * fx
+        b = m[y1, x0] * (1 - fx) + m[y1, x1] * fx
+        return a * (1 - fy) + b * fy
+
+    d = bil(disp)
+    nrm = bil(normal)
+    pos = base_xz + d
+
+    amp, dx_, dz_, wl = swell
+    if amp:
+        ph = (base_xz[:, 0] * dx_ + base_xz[:, 2] * dz_) * (2 * np.pi / wl)
+        pos = pos.at[:, 1].add(amp * jnp.sin(ph))
+        nrm = nrm.at[:, 0].add(-amp * jnp.cos(ph) * dx_)
+        nrm = nrm.at[:, 2].add(-amp * jnp.cos(ph) * dz_)
+        nrm = nrm / jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    return pos.astype(jnp.float32), nrm.astype(jnp.float32)

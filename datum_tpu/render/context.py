@@ -258,6 +258,15 @@ class RenderContext:
         if self.config.max_particle_quads > 0:
             draws["forward"] = renderlist.forward_arrays(
                 self.config.max_particle_quads, camera)
+        if self.config.max_dynamic_vertices > 0:
+            md = self.config.max_dynamic_vertices
+            if renderlist.oceans:
+                draws["dyn"] = renderlist.oceans[0].vertex_data(md)
+            else:
+                draws["dyn"] = dict(
+                    positions=np.zeros((md, 3), np.float32),
+                    normals=np.zeros((md, 3), np.float32),
+                    offset=np.int32(0), count=np.int32(0))
         out = frame_mod.render_frame(self.config, self.device_state(), draws, sceneset)
         self.luminance = float(out["luminance"])
         return np.asarray(out["image"])

@@ -69,6 +69,23 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
     w, h = cfg.padded_width, cfg.padded_height
     tx, ty = cfg.tiles_x, cfg.tiles_y
 
+    # dynamic vertex slab: device-computed geometry (ocean surface)
+    # overwrites its pool range each frame (reference: ocean.gen.comp
+    # writing displaced vertices into the mesh vertex buffer)
+    if cfg.max_dynamic_vertices > 0:
+        dyn = draws["dyn"]
+        md = cfg.max_dynamic_vertices
+        mask = (jnp.arange(md) < dyn["count"])[:, None]
+        cur_p = jax.lax.dynamic_slice(geom["positions"], (dyn["offset"], 0), (md, 3))
+        cur_n = jax.lax.dynamic_slice(geom["normals"], (dyn["offset"], 0), (md, 3))
+        new_p = jnp.where(mask, dyn["positions"], cur_p)
+        new_n = jnp.where(mask, dyn["normals"], cur_n)
+        geom = dict(geom)
+        geom["positions"] = jax.lax.dynamic_update_slice(
+            geom["positions"], new_p, (dyn["offset"], 0))
+        geom["normals"] = jax.lax.dynamic_update_slice(
+            geom["normals"], new_n, (dyn["offset"], 0))
+
     ex = expand_draws(geom, draws["mesh"], draws["count"],
                       cfg.max_vertices, cfg.max_triangles)
 

@@ -22,6 +22,7 @@ class RenderList:
         self.point_lights = []
         self.spot_lights = []
         self.particles = []      # forward OIT billboard systems
+        self.oceans = []         # dynamic ocean surfaces
         self.sprites = []        # overlay sprites (drawn post-composite)
         self.wireframes = []
 
