@@ -67,6 +67,7 @@ class FrameConfig:
     max_bones: int = 128
     max_particle_quads: int = 0      # forward OIT billboard capacity
     max_dynamic_vertices: int = 0    # per-frame vertex override slab (ocean)
+    backface_cull: bool = True       # cull camera-facing-away triangles
     enable_depth_of_field: bool = False
     enable_color_grading: bool = True
     enable_ssao: bool = True

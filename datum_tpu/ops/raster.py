@@ -52,11 +52,13 @@ def adjugate3(m):
          jnp.stack([c02, c12, c22], -1)], axis=-2)
 
 
-def triangle_setup(clip, tris, width, height, tiles_x, tiles_y, tri_valid=None):
+def triangle_setup(clip, tris, width, height, tiles_x, tiles_y, tri_valid=None,
+                   cull=0):
     """Per-triangle raster setup.
 
     clip: (V, 4) clip positions; tris: (T, 3) int32 vertex ids
-    (padding triangles use [0,0,0] -> zero area -> culled).
+    (padding triangles use [0,0,0] -> zero area -> culled);
+    cull: 0 = two-sided, +1 = cull det<0 backfaces, -1 = cull det>0.
 
     Returns dict with:
       adj (T,3,3), det (T,), zc (T,3) clip z,
@@ -81,6 +83,10 @@ def triangle_setup(clip, tris, width, height, tiles_x, tiles_y, tri_valid=None):
               | (tris[:, 0] == tris[:, 2]))
     degenerate = shared | (jnp.abs(det) < 1e-14)
     valid = ~(out | degenerate)
+    if cull > 0:
+        valid = valid & (det > 0)
+    elif cull < 0:
+        valid = valid & (det < 0)
     if tri_valid is not None:
         valid = valid & tri_valid
 

@@ -119,8 +119,10 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
         else:
             shadowmaps = raw
 
-    # raster (visibility buffer)
-    setup = raster_ops.triangle_setup(clip, ex["tris"], w, h, tx, ty)
+    # raster (visibility buffer); front faces carry det<0 under the
+    # Y-flipped projection + pack winding convention
+    setup = raster_ops.triangle_setup(clip, ex["tris"], w, h, tx, ty,
+                                      cull=-1 if cfg.backface_cull else 0)
     bins, counts, big_ids = raster_ops.bin_triangles(
         setup, cfg.max_triangles, tx, ty, cfg.bin_capacity, cfg.big_capacity)
     if cfg.use_pallas:
