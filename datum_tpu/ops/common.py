@@ -68,6 +68,7 @@ class FrameConfig:
     max_particle_quads: int = 0      # forward OIT billboard capacity
     max_dynamic_vertices: int = 0    # per-frame vertex override slab (ocean)
     backface_cull: bool = True       # cull camera-facing-away triangles
+    use_light_clusters: bool = False  # per-tile light lists vs dense loop
     enable_depth_of_field: bool = False
     enable_color_grading: bool = True
     enable_ssao: bool = True

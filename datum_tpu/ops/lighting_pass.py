@@ -53,7 +53,7 @@ def _inv_proj(proj):
 def shade_deferred(gbuffer, depth, sceneset, *, proj, invview,
                    ssao=None, fogvol=None, shadowfactor=None, shadowmaps=None,
                    ibl=None, env_specular=None, env_diffuse=None, envbrdf=None,
-                   full_size=None, y0=0):
+                   cluster=None, full_size=None, y0=0):
     """Main deferred shade.  Returns HDR color (H, W, 3) premultiplied by
     camera exposure (reference: lighting.comp:274-283 applies exposure at
     the end of the lighting pass).  full_size/y0 support row-band shards."""
@@ -130,20 +130,28 @@ def shade_deferred(gbuffer, depth, sceneset, *, proj, invview,
     diffuse = diffuse + d
     specular = specular + s
 
-    # point lights: bounded loop masked by count (dense screen pass)
+    # point lights: clustered per-tile lists when provided (reference:
+    # lighting.comp cluster-mask loops), else a bounded dense loop
     pl = sceneset["pointlights"]
     nlights = pl["position"].shape[0]
     count = pl["count"]
 
-    def body(i, accum):
-        dif, spec = accum
-        d_i, s_i = brdf.point_light(worldpos, normal, eyevec, material,
-                                    pl["position"][i], pl["intensity"][i],
-                                    pl["attenuation"][i])
-        on = (i < count).astype(jnp.float32)
-        return (dif + on * d_i, spec + on * s_i)
+    if cluster is not None and nlights > 0:
+        from .cluster import clustered_point_lights
+        lists, ccounts, ctx_, cty_ = cluster
+        d, s = clustered_point_lights(worldpos, normal, eyevec, material,
+                                      pl, lists, ccounts, ctx_, cty_)
+        diffuse = diffuse + d
+        specular = specular + s
+    elif nlights > 0:
+        def body(i, accum):
+            dif, spec = accum
+            d_i, s_i = brdf.point_light(worldpos, normal, eyevec, material,
+                                        pl["position"][i], pl["intensity"][i],
+                                        pl["attenuation"][i])
+            on = (i < count).astype(jnp.float32)
+            return (dif + on * d_i, spec + on * s_i)
 
-    if nlights > 0:
         diffuse, specular = jax.lax.fori_loop(0, jnp.minimum(count, nlights),
                                               body, (diffuse, specular))
 

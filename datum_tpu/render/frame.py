@@ -144,10 +144,19 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
 
     # deferred lighting
     ibl = device.get("ibl")
+    cluster = None
+    if cfg.use_light_clusters:
+        from ..ops.cluster import bin_lights
+        pl = sceneset["pointlights"]
+        lists, ccounts = bin_lights(pl["position"], pl["attenuation"][:, 3],
+                                    pl["count"], sceneset["view"],
+                                    sceneset["proj"], tx, ty, w, h,
+                                    cfg.tile_light_capacity)
+        cluster = (lists, ccounts, tx, ty)
     hdr = lighting_pass.shade_deferred(
         gbuffer, depth, sceneset,
         proj=sceneset["proj"], invview=sceneset["invview"],
-        shadowmaps=shadowmaps, ibl=ibl)
+        shadowmaps=shadowmaps, ibl=ibl, cluster=cluster)
 
     # skybox background (reference: forward pass skybox.vert/frag fills
     # uncovered pixels along the view ray)
