@@ -1,0 +1,106 @@
+"""Volumetric froxel fog.
+
+TPU re-design of the reference fog chain (reference:
+data/fog.density.comp — 160x90x64 froxel scattering with height-fog
+density and ESM-shadowed main light; data/fog.scatter.comp —
+front-to-back accumulation into in-scatter + transmittance; applied in
+lighting via global_fog, data/lighting.inc:473-490; froxel depth =
+(z/D)^FogDepthExponent * FogDepthRange).
+
+The z-accumulation is a cumsum/cumprod (no scan); the screen-space
+apply avoids per-pixel 3D gathers by upsampling each depth slice
+densely and blending with per-pixel slice masks — pure VPU work.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .common import FOG_W, FOG_H, FOG_D, FOG_DEPTH_RANGE, FOG_DEPTH_EXPONENT
+
+
+def froxel_depths(n=FOG_D, depth_range=FOG_DEPTH_RANGE, exponent=FOG_DEPTH_EXPONENT):
+    k = (jnp.arange(n, dtype=jnp.float32) + 0.5) / n
+    return jnp.power(k, exponent) * depth_range
+
+
+def build_fog_volume(sceneset, *, proj, invview, shadow=None, normalquery=None,
+                     fog_w=FOG_W, fog_h=FOG_H, fog_d=FOG_D,
+                     depth_range=FOG_DEPTH_RANGE, height_falloff=0.15,
+                     base_height=0.0, ambient=0.1):
+    """Returns fog volume (fog_d, fog_h, fog_w, 4): [in-scatter rgb,
+    transmittance]."""
+    fogdensity = sceneset["camera"]["fogdensity"]      # rgb sigma + w scale
+    ml = sceneset["mainlight"]
+
+    inv00 = 1.0 / proj[0, 0]
+    inv11 = 1.0 / proj[1, 1]
+    xs = (jnp.arange(fog_w, dtype=jnp.float32) + 0.5) / fog_w * 2 - 1
+    ys = (jnp.arange(fog_h, dtype=jnp.float32) + 0.5) / fog_h * 2 - 1
+    ds = froxel_depths(fog_d, depth_range)
+
+    rx = inv00 * xs[None, None, :]
+    ry = inv11 * ys[None, :, None]
+    dist = ds[:, None, None]
+    viewpos = jnp.stack([
+        jnp.broadcast_to(rx * dist, (fog_d, fog_h, fog_w)),
+        jnp.broadcast_to(ry * dist, (fog_d, fog_h, fog_w)),
+        jnp.broadcast_to(-dist, (fog_d, fog_h, fog_w)),
+    ], -1)
+    worldpos = viewpos @ invview[:3, :3].T + invview[:3, 3]
+
+    # height-fog density (exponential falloff above base_height)
+    sigma = (fogdensity[3]
+             * jnp.exp(-jnp.maximum(worldpos[..., 1] - base_height, 0.0)
+                       * height_falloff))
+    sigma_rgb = fogdensity[:3] * sigma[..., None]
+
+    # main-light in-scatter, shadowed when an ESM is available
+    sun = ml["intensity"]
+    if shadow is not None:
+        from .shadow import shadow_factor_esm
+        esm, zmx, zsc = shadow
+        sf = shadow_factor_esm(worldpos.reshape(-1, 3), esm, zmx, zsc,
+                               ml["splits"], ml["shadowview"],
+                               dist * jnp.ones((fog_d, fog_h, fog_w))
+                               .reshape(-1))
+        sf = sf.reshape(fog_d, fog_h, fog_w)
+    else:
+        sf = 1.0
+    light = sun * (sf[..., None] if shadow is not None else 1.0) + ambient
+
+    # front-to-back accumulation along z (cumsum/cumprod formulation)
+    dz = jnp.diff(jnp.concatenate([jnp.zeros(1), froxel_depths(fog_d, depth_range)]))
+    tau = jnp.cumsum(sigma * dz[:, None, None], axis=0)
+    transmit = jnp.exp(-tau)
+    scatter_step = sigma_rgb * light * (transmit * dz[:, None, None])[..., None]
+    inscatter = jnp.cumsum(scatter_step, axis=0)
+    return jnp.concatenate([inscatter, transmit[..., None]], -1)
+
+
+def apply_fog(hdr, depth, fogvol, proj, *, depth_range=FOG_DEPTH_RANGE,
+              exponent=FOG_DEPTH_EXPONENT):
+    """Blend the fog volume over the HDR image (dense slice blending).
+
+    color' = color * transmittance + inscatter, slice chosen per pixel
+    from view depth (reference: lighting.comp fog apply + global_fog).
+    """
+    h, w = depth.shape
+    fog_d = fogvol.shape[0]
+    dist = proj[2, 3] / (depth + proj[2, 2])
+    slice_f = jnp.power(jnp.clip(dist / depth_range, 0.0, 1.0), 1.0 / exponent) * fog_d - 0.5
+    k0 = jnp.clip(jnp.floor(slice_f), 0, fog_d - 1)
+    frac = jnp.clip(slice_f - k0, 0.0, 1.0)
+
+    # upsample each slice to screen res once (dense resize, no gathers),
+    # blend via per-pixel slice masks
+    import jax
+
+    out0 = jnp.zeros((h, w, 4), jnp.float32)
+    out1 = jnp.zeros((h, w, 4), jnp.float32)
+    for k in range(fog_d):
+        up = jax.image.resize(fogvol[k], (h, w, 4), method="linear")
+        out0 = out0 + up * (k0 == k)[..., None]
+        out1 = out1 + up * (jnp.minimum(k0 + 1, fog_d - 1) == k)[..., None]
+    fog = out0 + (out1 - out0) * frac[..., None]
+    return hdr * fog[..., 3:4] + fog[..., :3]

@@ -172,6 +172,17 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
         exposure = sceneset["camera"]["exposure"]
         hdr = jnp.where(gbuffer["mask"][..., None], hdr, sky * exposure)
 
+    # volumetric fog (reference: fog.density/scatter.comp + lighting apply)
+    if cfg.enable_fog:
+        from ..ops import fog as fog_ops
+
+        fogvol = fog_ops.build_fog_volume(
+            sceneset, proj=sceneset["proj"], invview=sceneset["invview"],
+            shadow=shadowmaps if (cfg.enable_shadows and cfg.shadow_mode == "esm") else None,
+            depth_range=cfg.fog_depth_range)
+        hdr = fog_ops.apply_fog(hdr, depth, fogvol, sceneset["proj"],
+                                depth_range=cfg.fog_depth_range)
+
     # forward OIT: particles / translucents (reference: renderer.cpp
     # :6596-6684 weighted-blend subpasses + weightblend resolve)
     if cfg.max_particle_quads > 0:
