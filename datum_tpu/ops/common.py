@@ -71,9 +71,9 @@ class FrameConfig:
     use_light_clusters: bool = False  # per-tile light lists vs dense loop
     enable_depth_of_field: bool = False
     enable_color_grading: bool = True
-    enable_ssao: bool = True
-    enable_ssr: bool = True
-    enable_bloom: bool = True
+    enable_ssao: bool = False        # quarter-res HBAO (gather-heavy)
+    enable_ssr: bool = False         # half-res SSR march (gather-heavy)
+    enable_bloom: bool = True        # dense conv chain - cheap
     enable_fog: bool = False
     fog_depth_range: float = FOG_DEPTH_RANGE
 

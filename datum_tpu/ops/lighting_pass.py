@@ -115,10 +115,16 @@ def shade_deferred(gbuffer, depth, sceneset, *, proj, invview,
     if shadowfactor is not None:
         sf = shadowfactor
     elif shadowmaps is not None and isinstance(shadowmaps, tuple):
+        # half-res nearest-tap ESM lookup, densely upsampled: the ESM is
+        # pre-blurred so quality holds, and gather count drops 32x
+        import jax
         from .shadow import shadow_factor_esm
         esm, zmx, zsc = shadowmaps
-        sf = shadow_factor_esm(worldpos, esm, zmx, zsc, ml["splits"],
-                               ml["shadowview"], -viewpos[..., 2], normal=normal)
+        sf_h = shadow_factor_esm(worldpos[::2, ::2], esm, zmx, zsc,
+                                 ml["splits"], ml["shadowview"],
+                                 -viewpos[::2, ::2, 2],
+                                 normal=normal[::2, ::2], nearest=True)
+        sf = jax.image.resize(sf_h, (h, w), method="linear")
     elif shadowmaps is not None:
         from .shadow import shadow_factor as _shadow_factor
         sf = _shadow_factor(worldpos, shadowmaps, ml["splits"], ml["shadowview"],

@@ -95,3 +95,40 @@ def resolve_gbuffer(vis, setup, tris, tri_instance, attrs, instances, materials,
         normal=jnp.where(bg[..., None], zero, normal_out),
         mask=mask,
     )
+
+
+def gbuffer_from_planes(planes, textures, texture_filter="nearest"):
+    """Gbuffer from the fused raster kernel's interpolated planes
+    (ops/raster_pallas.py raster_shade_pallas) — the only per-pixel
+    gather left is the albedo texture tap."""
+    mask = planes["vis"] >= 0
+    nrm = brdf.normalize(planes["normal"])
+
+    s = textures.shape[1]
+    uv = planes["uv"]
+    if texture_filter == "none":
+        albedo = jnp.ones(planes["color"].shape[:2] + (4,), jnp.float32)
+    elif texture_filter == "nearest":
+        tx = jnp.mod((uv[..., 0] * s).astype(jnp.int32), s)
+        ty = jnp.mod((uv[..., 1] * s).astype(jnp.int32), s)
+        flat = textures.reshape(-1, textures.shape[-1])
+        idx = planes["albedo_id"] * (s * s) + ty * s + tx
+        albedo = flat[idx].astype(jnp.float32) / 255.0
+    else:
+        albedo = sample_bilinear(textures, planes["albedo_id"], uv)
+
+    m = brdf.make_material(albedo[..., :3] * planes["color"],
+                           planes["emissive"], planes["metalness"],
+                           planes["reflectivity"], planes["roughness"])
+    diffuse = jnp.concatenate([m["diffuse"], planes["emissive"][..., None]], -1)
+    specular = jnp.concatenate([m["specular"], planes["roughness"][..., None]], -1)
+    normal_out = jnp.concatenate(
+        [nrm * 0.5 + 0.5, jnp.zeros_like(planes["emissive"])[..., None]], -1)
+    bg = ~mask
+    zero = jnp.zeros_like(diffuse)
+    return dict(
+        diffuse=jnp.where(bg[..., None], zero, diffuse),
+        specular=jnp.where(bg[..., None], zero, specular),
+        normal=jnp.where(bg[..., None], zero, normal_out),
+        mask=mask,
+    )

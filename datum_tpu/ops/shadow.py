@@ -102,7 +102,7 @@ def build_esm(shadowmaps, shadowview, blur_sigma=1.5):
 
 
 def shadow_factor_esm(worldpos, esm, zmax, zscale, splits, shadowview, view_dist,
-                      normal=None):
+                      normal=None, nearest=False):
     """Single-tap ESM shadow factor.
 
     lit = clamp(E[exp(c d'_occ)] * exp(-c d'_ref), 0, 1): an occluder
@@ -127,17 +127,23 @@ def shadow_factor_esm(worldpos, esm, zmax, zscale, splits, shadowview, view_dist
             & (ref > 0) & (ref < 1) & (view_dist < splits[s] * 1.05)
         x = u * res - 0.5
         y = v * res - 0.5
-        x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, res - 1)
-        y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, res - 1)
-        x1 = jnp.minimum(x0 + 1, res - 1)
-        y1 = jnp.minimum(y0 + 1, res - 1)
-        fx = jnp.clip(x - x0, 0, 1)
-        fy = jnp.clip(y - y0, 0, 1)
-        e00 = esm[s, y0, x0]
-        e01 = esm[s, y0, x1]
-        e10 = esm[s, y1, x0]
-        e11 = esm[s, y1, x1]
-        tap = (e00 * (1 - fx) + e01 * fx) * (1 - fy) + (e10 * (1 - fx) + e11 * fx) * fy
+        if nearest:
+            xi = jnp.clip(jnp.round(x).astype(jnp.int32), 0, res - 1)
+            yi = jnp.clip(jnp.round(y).astype(jnp.int32), 0, res - 1)
+            tap = esm[s, yi, xi]
+        else:
+            x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, res - 1)
+            y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, res - 1)
+            x1 = jnp.minimum(x0 + 1, res - 1)
+            y1 = jnp.minimum(y0 + 1, res - 1)
+            fx = jnp.clip(x - x0, 0, 1)
+            fy = jnp.clip(y - y0, 0, 1)
+            e00 = esm[s, y0, x0]
+            e01 = esm[s, y0, x1]
+            e10 = esm[s, y1, x0]
+            e11 = esm[s, y1, x1]
+            tap = ((e00 * (1 - fx) + e01 * fx) * (1 - fy)
+                   + (e10 * (1 - fx) + e11 * fx) * fy)
         # receiver normalized depth-from-nearest, slope bias of ~2 texels
         dref = (zmax[s] - ref) * zscale[s]
         bias = wtexel * zscale[s] * jnp.linalg.norm(m[2, :3]) * 2.0

@@ -125,22 +125,33 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
                                       cull=-1 if cfg.backface_cull else 0)
     bins, counts, big_ids = raster_ops.bin_triangles(
         setup, cfg.max_triangles, tx, ty, cfg.bin_capacity, cfg.big_capacity)
-    if cfg.use_pallas:
-        from ..ops.raster_pallas import raster_pallas
-        depth, vis, l0, l1 = raster_pallas(setup, bins, big_ids, counts,
-                                           tx, ty, w, h)
-        lam = jnp.stack([l0, l1, 1.0 - l0 - l1], axis=-1)
+    if cfg.use_pallas and not cfg.enable_material_maps:
+        # fused raster + attribute/material interpolation: no per-pixel
+        # attribute gathers at all (gather throughput is the TPU wall)
+        from ..ops.raster_pallas import raster_shade_pallas
+        tri_mat = draws["material"][ex["tri_draw"]]
+        planes = raster_shade_pallas(
+            setup, bins, big_ids, counts, ex["tris"], uv, wnormal, tri_mat,
+            device["materials"], tx, ty, w, h)
+        depth, vis = planes["depth"], planes["vis"]
+        gbuffer = shade_ops.gbuffer_from_planes(planes, device["textures"])
     else:
-        depth, vis = raster_ops.raster(setup, bins, big_ids, tx, ty, w, h)
-        lam = None
+        if cfg.use_pallas:
+            from ..ops.raster_pallas import raster_pallas
+            depth, vis, l0, l1 = raster_pallas(setup, bins, big_ids, counts,
+                                               tx, ty, w, h)
+            lam = jnp.stack([l0, l1, 1.0 - l0 - l1], axis=-1)
+        else:
+            depth, vis = raster_ops.raster(setup, bins, big_ids, tx, ty, w, h)
+            lam = None
 
-    # deferred material resolve -> gbuffer
-    attrs = dict(uv=uv, normal=wnormal, tangent=wtangent)
-    gbuffer = shade_ops.resolve_gbuffer(
-        vis, setup, ex["tris"], ex["tri_draw"], attrs,
-        dict(material=draws["material"]), device["materials"],
-        device["textures"], w, h, material_maps=cfg.enable_material_maps,
-        lam=lam)
+        # deferred material resolve -> gbuffer
+        attrs = dict(uv=uv, normal=wnormal, tangent=wtangent)
+        gbuffer = shade_ops.resolve_gbuffer(
+            vis, setup, ex["tris"], ex["tri_draw"], attrs,
+            dict(material=draws["material"]), device["materials"],
+            device["textures"], w, h, material_maps=cfg.enable_material_maps,
+            lam=lam)
 
     # deferred lighting
     ibl = device.get("ibl")
@@ -153,10 +164,20 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
                                     sceneset["proj"], tx, ty, w, h,
                                     cfg.tile_light_capacity)
         cluster = (lists, ccounts, tx, ty)
+    # ambient occlusion (reference: hbao.comp), quarter res
+    ssao_img = None
+    if cfg.enable_ssao:
+        from ..ops.ssao import hbao, make_hbao_params
+        import numpy as _np
+        pr = make_hbao_params()
+        ao = hbao(depth[::4, ::4], gbuffer["normal"][::4, ::4, :3],
+                  sceneset["proj"], sceneset["view"], params=pr)
+        ssao_img = jax.image.resize(ao[..., 0], (h, w), method="linear")
+
     hdr = lighting_pass.shade_deferred(
         gbuffer, depth, sceneset,
         proj=sceneset["proj"], invview=sceneset["invview"],
-        shadowmaps=shadowmaps, ibl=ibl, cluster=cluster)
+        shadowmaps=shadowmaps, ibl=ibl, cluster=cluster, ssao=ssao_img)
 
     # skybox background (reference: forward pass skybox.vert/frag fills
     # uncovered pixels along the view ray)
@@ -208,8 +229,41 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
     lum_w = jnp.array([0.2126, 0.7152, 0.0722], jnp.float32)
     lum = jnp.exp(jnp.mean(jnp.log(1e-4 + hdr[:cfg.height, :cfg.width] @ lum_w)))
 
-    # composite: tonemap (+grade later) -> sRGB u8
-    rgb = composite_ops.composite(hdr, 1.0)
+    # screen-space reflections at half res (reference: ssr.comp + Hi-Z)
+    ssr_img = None
+    if cfg.enable_ssr:
+        from ..ops.ssr import ssr as ssr_op
+        gb_h = {k: (v[::2, ::2] if hasattr(v, "ndim") else v)
+                for k, v in gbuffer.items()}
+        ssr_h = ssr_op(hdr[::2, ::2], depth[::2, ::2], gb_h,
+                       sceneset["proj"], sceneset["view"],
+                       envbrdf_lut=ibl["envbrdf"] if ibl else None)
+        ssr_img = jax.image.resize(ssr_h, (h, w, 4), method="linear")
+
+    # bloom (reference: bloom.luma + separable blurs)
+    bloom_img = None
+    if cfg.enable_bloom:
+        from ..ops.bloom import bloom as bloom_op
+        bloom_img = bloom_op(hdr, sceneset["camera"]["bloomstrength"])
+
+    # depth of field: half-res blur mixed by focal distance
+    dof_blur = dof_amount = None
+    if cfg.enable_depth_of_field:
+        from ..ops.blur import downsample2, gaussian_blur
+        blurred = jax.image.resize(gaussian_blur(downsample2(hdr), 3.0, 6),
+                                   (h, w, 3), method="linear")
+        dist = sceneset["proj"][2, 3] / (depth + sceneset["proj"][2, 2])
+        amount = jnp.clip(jnp.abs(dist - sceneset["camera"]["focaldistance"])
+                          / jnp.maximum(sceneset["camera"]["focalwidth"], 1e-3),
+                          0.0, 1.0)
+        dof_blur, dof_amount = blurred, amount
+
+    lut = device.get("colorlut") if cfg.enable_color_grading else None
+
+    rgb = composite_ops.composite(hdr, 1.0, bloom=bloom_img,
+                                  bloom_strength=1.0, ssr=ssr_img,
+                                  dof_blur=dof_blur, dof_amount=dof_amount,
+                                  lut=lut)
     image = composite_ops.to_u8_image(rgb[:cfg.height, :cfg.width])
 
     return dict(image=image, luminance=lum, depth=depth, vis=vis)

@@ -67,3 +67,45 @@ def test_near_plane_crossing():
     clip = hp @ proj.T
     d_ref, v_ref, d_p, v_p, l0, l1, setup = run_both(clip, np.array([[0, 1, 2]]))
     np.testing.assert_array_equal(v_ref, v_p)
+
+
+def test_fused_attr_kernel_matches_deferred(rng):
+    """raster_shade_pallas (interpret) matches resolve_gbuffer output."""
+    import jax.numpy as jnp
+    from datum_tpu.ops.raster_pallas import raster_shade_pallas
+    from datum_tpu.ops import shade as S
+
+    proj = perspective_proj(np.radians(70), W / H, 0.1)
+    pts = rng.randn(30, 3).astype(np.float32) * 2
+    pts[:, 2] -= 6
+    hp = np.concatenate([pts, np.ones((30, 1), np.float32)], 1)
+    clip = jnp.asarray(hp @ proj.T)
+    tris = jnp.asarray(rng.randint(0, 30, (40, 3)).astype(np.int32))
+    uv = jnp.asarray(rng.rand(30, 2).astype(np.float32))
+    nrm = jnp.asarray(rng.randn(30, 3).astype(np.float32))
+    tri_mat = jnp.zeros(40, jnp.int32)
+    materials = dict(
+        color=jnp.asarray(np.tile([0.5, 0.6, 0.7, 1.0], (4, 1)).astype(np.float32)),
+        emissive=jnp.zeros(4), metalness=jnp.full(4, 0.3),
+        roughness=jnp.full(4, 0.6), reflectivity=jnp.full(4, 0.5),
+        albedomap=jnp.zeros(4, jnp.int32),
+    )
+
+    setup = R.triangle_setup(clip, tris, W, H, TX, TY)
+    bins, counts, big = R.bin_triangles(setup, 40, TX, TY, 32, 8)
+    planes = raster_shade_pallas(setup, bins, big, counts, tris, uv, nrm,
+                                 tri_mat, materials, TX, TY, W, H,
+                                 interpret=True)
+    d_ref, v_ref = R.raster(setup, bins, big, TX, TY, W, H)
+    v_ref = np.asarray(v_ref)
+    vis = np.asarray(planes["vis"])
+    agree = v_ref == vis
+    assert agree.mean() > 0.998
+
+    # interpolated uv matches the deferred resolve on agreeing pixels
+    lam, mask = R.resolve_barycentrics(jnp.asarray(vis), setup, W, H)
+    vid = np.asarray(tris)[np.maximum(vis, 0)]
+    uv_ref = (np.asarray(uv)[vid] * np.asarray(lam)[..., None]).sum(-2)
+    sel = agree & (vis >= 0)
+    err = np.abs(np.asarray(planes["uv"])[sel] - uv_ref[sel])
+    assert err.max() < 1e-3, err.max()
