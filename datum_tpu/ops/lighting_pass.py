@@ -108,7 +108,8 @@ def shade_deferred(gbuffer, depth, sceneset, *, proj, invview,
         specular = specular + s * sceneset["camera"]["specularintensity"]
     else:
         # constant-ambient fallback while IBL inputs are absent
-        diffuse = diffuse + ambient * 0.2
+        amb = jnp.asarray(ambient * 0.2)
+        diffuse = diffuse + (amb[..., None] if amb.ndim == 2 else amb)
 
     # main light
     ml = sceneset["mainlight"]
@@ -117,7 +118,6 @@ def shade_deferred(gbuffer, depth, sceneset, *, proj, invview,
     elif shadowmaps is not None and isinstance(shadowmaps, tuple):
         # half-res nearest-tap ESM lookup, densely upsampled: the ESM is
         # pre-blurred so quality holds, and gather count drops 32x
-        import jax
         from .shadow import shadow_factor_esm
         esm, zmx, zsc = shadowmaps
         sf_h = shadow_factor_esm(worldpos[::2, ::2], esm, zmx, zsc,

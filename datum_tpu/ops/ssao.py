@@ -40,7 +40,7 @@ def _view_positions(depth, proj, width, height):
     invp = _inv_proj(proj)
     yn = ((jnp.arange(h, dtype=jnp.float32) + 0.5) / height * 2.0 - 1.0)[:, None]
     xn = ((jnp.arange(w, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0)[None, :]
-    dist = proj[2, 3] / (depth + proj[2, 2])
+    dist = proj[2, 3] / jnp.maximum(depth + proj[2, 2], 1e-8)   # bg depth=0 guard
     return jnp.stack([invp[0, 0] * xn * dist, invp[1, 1] * yn * dist, -dist], -1)
 
 
@@ -123,7 +123,7 @@ def _view_positions_at(depth_vals, sx, sy, proj, width, height):
     invp = _inv_proj(proj)
     xn = (sx.astype(jnp.float32) + 0.5) / width * 2.0 - 1.0
     yn = (sy.astype(jnp.float32) + 0.5) / height * 2.0 - 1.0
-    dist = proj[2, 3] / (depth_vals + proj[2, 2])
+    dist = proj[2, 3] / jnp.maximum(depth_vals + proj[2, 2], 1e-8)
     return jnp.stack([invp[0, 0] * xn * dist, invp[1, 1] * yn * dist, -dist], -1)
 
 

@@ -91,7 +91,7 @@ def ssr(hdr_color, depth, gbuffer, proj, view, envbrdf_lut=None):
     hi = hit_t
     for _ in range(REFINE_STEPS):
         mid = 0.5 * (lo + hi)
-        p = position + (end - position) * mid
+        p = position + (end - position) * mid[..., None]
         px, py = to_screen(p)
         ray_z = -p[..., 2]
         scene_z, _ = sample_scene_z(px, py)
@@ -100,7 +100,7 @@ def ssr(hdr_color, depth, gbuffer, proj, view, envbrdf_lut=None):
         hi = jnp.where(above, hi, mid)
 
     t_hit = 0.5 * (lo + hi)
-    p_hit = position + (end - position) * t_hit
+    p_hit = position + (end - position) * t_hit[..., None]
     px, py = to_screen(p_hit)
     sx = jnp.clip(px.astype(jnp.int32), 0, w - 1)
     sy = jnp.clip(py.astype(jnp.int32), 0, h - 1)

@@ -156,12 +156,19 @@ class RenderContext:
                                                   reflectivity=0.5)
         self._device = None
         self.skybox = None
+        self.colorlut = None
         self._envbrdf = None
         self.luminance = 0.18   # last frame's log-average luminance readback
 
     def set_skybox(self, skybox):
         """Attach an EnvMap/SkyBox as the global environment."""
         self.skybox = skybox
+        self._device = None
+
+    def set_colorlut(self, lut):
+        """3D grading LUT (S, S, S, 3) float in [0,1] (reference:
+        src/renderer/colorlut.{h,cpp})."""
+        self.colorlut = np.asarray(lut, np.float32)
         self._device = None
 
     def envbrdf_lut(self):
@@ -239,6 +246,8 @@ class RenderContext:
                     mips=tuple(self.skybox.mips),
                     envbrdf=jnp.asarray(self.envbrdf_lut()),
                 )
+            if self.colorlut is not None:
+                self._device["colorlut"] = jnp.asarray(self.colorlut)
         return self._device
 
     # --- frame ------------------------------------------------------------
