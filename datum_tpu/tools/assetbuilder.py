@@ -1,0 +1,147 @@
+"""Core asset pack builder.
+
+Reference parity: tools/assetbuilder.cpp — builds core.pack with the
+built-in meshes, LUTs, default textures, fonts, materials and shader
+entries (reference compiles GLSL to SPIR-V; the TPU build's 'shaders'
+are kernel names resolved by the ops registry, stored as TEXT assets so
+the pack keeps the same id layout, magic and version).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..asset.corepack import CORE_MAGIC, CORE_VERSION, CoreAsset
+from ..asset.pack import PackWriter, VERTEX_DTYPE, IMAGE_RGBA, IMAGE_RGBE, IMAGE_F32
+from ..math import color as color_codec
+from ..render import primitives
+
+
+def _mesh_payload(verts_dict, idx):
+    n = len(verts_dict["position"])
+    v = np.zeros(n, VERTEX_DTYPE)
+    v["position"] = verts_dict["position"]
+    v["texcoord"] = verts_dict["texcoord"]
+    v["normal"] = verts_dict["normal"]
+    v["tangent"] = verts_dict["tangent"]
+    return v, np.asarray(idx, np.int32)
+
+
+# every kernel-backed pipeline in the core pack: id -> implementing symbol
+KERNEL_REGISTRY = {
+    CoreAsset.cluster_comp: "datum_tpu.ops.cluster.bin_lights",
+    CoreAsset.lighting_comp: "datum_tpu.ops.lighting_pass.shade_deferred",
+    CoreAsset.ssao_comp: "datum_tpu.ops.ssao.hbao",
+    CoreAsset.ssr_comp: "datum_tpu.ops.ssr.ssr",
+    CoreAsset.depth_blit_comp: "datum_tpu.ops.raster_pallas.raster_pallas",
+    CoreAsset.depth_mip_comp: "datum_tpu.ops.depth_pyramid.build_depth_pyramid",
+    CoreAsset.esm_gen_comp: "datum_tpu.ops.shadow.build_esm",
+    CoreAsset.esm_hblur_comp: "datum_tpu.ops.blur.gaussian_blur",
+    CoreAsset.esm_vblur_comp: "datum_tpu.ops.blur.gaussian_blur",
+    CoreAsset.fog_density_comp: "datum_tpu.ops.fog.build_fog_volume",
+    CoreAsset.fog_scatter_comp: "datum_tpu.ops.fog.build_fog_volume",
+    CoreAsset.luminance_comp: "datum_tpu.render.frame._frame#luminance",
+    CoreAsset.bloom_luma_comp: "datum_tpu.ops.bloom.bloom",
+    CoreAsset.bloom_hblur_comp: "datum_tpu.ops.blur.gaussian_blur",
+    CoreAsset.bloom_vblur_comp: "datum_tpu.ops.blur.gaussian_blur",
+    CoreAsset.color_hblur_comp: "datum_tpu.ops.blur.gaussian_blur",
+    CoreAsset.color_vblur_comp: "datum_tpu.ops.blur.gaussian_blur",
+    CoreAsset.convolve_comp: "datum_tpu.ops.ibl.convolve_cubemap",
+    CoreAsset.project_comp: "datum_tpu.ops.ibl.sh_project",
+    CoreAsset.skybox_gen_comp: "datum_tpu.ops.skybox_gen.generate_skybox",
+    CoreAsset.ocean_sim_comp: "datum_tpu.ops.ocean.ocean_maps",
+    CoreAsset.ocean_fftx_comp: "datum_tpu.ops.ocean.ocean_maps#ifft2",
+    CoreAsset.ocean_ffty_comp: "datum_tpu.ops.ocean.ocean_maps#ifft2",
+    CoreAsset.ocean_map_comp: "datum_tpu.ops.ocean.ocean_maps",
+    CoreAsset.ocean_gen_comp: "datum_tpu.ops.ocean.displace_grid",
+    CoreAsset.geometry_frag: "datum_tpu.ops.raster_pallas.raster_shade_pallas",
+    CoreAsset.prepass_frag: "datum_tpu.ops.raster_pallas.raster_pallas",
+    CoreAsset.shadow_frag: "datum_tpu.ops.shadow.render_shadow_cascades",
+    CoreAsset.model_geometry_vert: "datum_tpu.ops.geometry.transform_vertices_rigid",
+    CoreAsset.actor_geometry_vert: "datum_tpu.ops.geometry.transform_vertices_skinned",
+    CoreAsset.weightblend_frag: "datum_tpu.ops.blend.resolve_oit",
+    CoreAsset.particle_frag: "datum_tpu.ops.blend.raster_blend",
+    CoreAsset.composite_frag: "datum_tpu.ops.composite.composite",
+    CoreAsset.sprite_frag: "datum_tpu.render.sprite.blit_sprite",
+}
+
+
+def build_core_pack(path, *, envbrdf_size=64, skybox_size=64, lut_size=16,
+                    compress=True):
+    """Build core.pack.  Returns the catalog dict."""
+    w = PackWriter()
+    catalog = {int(k): v for k, v in KERNEL_REGISTRY.items()}
+    w.write_catalog(CoreAsset.catalog, CORE_MAGIC, CORE_VERSION,
+                    {int(k): str(v) for k, v in KERNEL_REGISTRY.items()})
+
+    # default textures
+    white = np.full((1, 4, 4), 0xFFFFFFFF, np.uint32)
+    w.write_image(CoreAsset.white_diffuse, 4, 4, 1, 1, IMAGE_RGBA, white.tobytes())
+    nominal = color_codec.pack_rgba(np.tile([0.5, 0.5, 1.0, 1.0], (1, 4, 4, 1)))
+    w.write_image(CoreAsset.nominal_normal, 4, 4, 1, 1, IMAGE_RGBA, nominal.tobytes())
+    zero = np.zeros((1, 4, 4), np.uint32)
+    w.write_image(CoreAsset.zero_depth, 4, 4, 1, 1, IMAGE_RGBA, zero.tobytes())
+
+    # built-in meshes
+    for cid, make in [(CoreAsset.unit_quad, primitives.unit_quad),
+                      (CoreAsset.unit_cube, primitives.unit_cube),
+                      (CoreAsset.unit_cone, primitives.unit_cone),
+                      (CoreAsset.unit_hemi, primitives.unit_hemi),
+                      (CoreAsset.unit_sphere, primitives.unit_sphere)]:
+        vd, idx = make()
+        v, i = _mesh_payload(vd, idx)
+        w.write_mesh(cid, v, i, v["position"].min(0), v["position"].max(0),
+                     compress=compress)
+
+    # kernel entries as TEXT assets (keep id layout)
+    for cid, name in KERNEL_REGISTRY.items():
+        w.write_text(cid, name.encode())
+
+    # env BRDF LUT (f32 image, 3ch packed as rgbe in the reference; we
+    # store f32 rows [a, b, c, 0])
+    from ..ops.ibl import bake_envbrdf
+    lut = bake_envbrdf(envbrdf_size, 64)
+    lut4 = np.concatenate([lut, np.zeros(lut.shape[:2] + (1,), np.float32)], -1)
+    w.write_image(CoreAsset.envbrdf_lut, envbrdf_size, envbrdf_size, 1, 1,
+                  IMAGE_F32, lut4[..., 0].tobytes() if False else lut4.astype(np.float32).tobytes(),
+                  compress=compress)
+
+    # default skybox (procedural, RGBE-encoded cube faces as 6 layers)
+    from ..ops.skybox_gen import generate_skybox
+    sky = np.asarray(generate_skybox(
+        skybox_size, skycolor=(0.65, 0.57, 0.475), groundcolor=(0.41, 0.37, 0.32),
+        sundirection=np.array([-0.4, -0.7, -0.6]) / np.linalg.norm([-0.4, -0.7, -0.6]),
+        sunintensity=(8.0, 7.56, 7.88)))
+    rgbe = color_codec.pack_rgbe(sky)
+    w.write_image(CoreAsset.default_skybox, skybox_size, skybox_size, 6, 1,
+                  IMAGE_RGBE, rgbe.astype(np.uint32).tobytes(), compress=compress)
+
+    # identity color LUT
+    g = np.linspace(0, 1, lut_size, dtype=np.float32)
+    b, gg, r = np.meshgrid(g, g, g, indexing="ij")
+    lut3 = np.stack([r, gg, b, np.ones_like(r)], -1)
+    w.write_image(CoreAsset.color_lut, lut_size, lut_size, lut_size, 1,
+                  IMAGE_RGBA, color_codec.pack_rgba(lut3).tobytes(), compress=compress)
+
+    # default material + debug font
+    w.write_material(CoreAsset.default_material, color=(0.75, 0.75, 0.75, 1))
+    from ..render.sprite import Font
+    font = Font.builtin()
+    atlas_rgba = color_codec.pack_rgba(font.atlas.astype(np.float32) / 255.0)
+    w.write_image(900, font.atlas.shape[1], font.atlas.shape[0], 1, 1,
+                  IMAGE_RGBA, atlas_rgba[None].tobytes())
+    n = font.glyphcount
+    w.write_font(CoreAsset.debug_font, 900, font.ascent, font.descent,
+                 font.leading, font.x, font.y, font.width, font.height,
+                 font.offsetx, font.offsety, font.advance)
+
+    w.save(path)
+    return catalog
+
+
+if __name__ == "__main__":
+    import sys
+
+    out = sys.argv[1] if len(sys.argv) > 1 else "core.pack"
+    build_core_pack(out)
+    print(f"built {out}")
