@@ -69,6 +69,8 @@ class FrameConfig:
     max_dynamic_vertices: int = 0    # per-frame vertex override slab (ocean)
     backface_cull: bool = True       # cull camera-facing-away triangles
     use_light_clusters: bool = False  # per-tile light lists vs dense loop
+    max_spot_shadows: int = 0        # spot lights with shadow maps
+    spot_shadow_res: int = 256
     enable_depth_of_field: bool = False
     enable_color_grading: bool = True
     enable_ssao: bool = False        # quarter-res HBAO (gather-heavy)

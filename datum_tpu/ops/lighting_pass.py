@@ -53,7 +53,7 @@ def _inv_proj(proj):
 def shade_deferred(gbuffer, depth, sceneset, *, proj, invview,
                    ssao=None, fogvol=None, shadowfactor=None, shadowmaps=None,
                    ibl=None, env_specular=None, env_diffuse=None, envbrdf=None,
-                   cluster=None, full_size=None, y0=0):
+                   cluster=None, spotmaps=None, full_size=None, y0=0):
     """Main deferred shade.  Returns HDR color (H, W, 3) premultiplied by
     camera exposure (reference: lighting.comp:274-283 applies exposure at
     the end of the lighting pass).  full_size/y0 support row-band shards."""
@@ -161,12 +161,23 @@ def shade_deferred(gbuffer, depth, sceneset, *, proj, invview,
         diffuse, specular = jax.lax.fori_loop(0, jnp.minimum(count, nlights),
                                               body, (diffuse, specular))
 
-    # spot lights
+    # spot lights (shadowed for the first max_spot_shadows slots)
     sl = sceneset.get("spotlights")
     if sl is not None and sl["position"].shape[0] > 0:
+        n_maps = spotmaps.shape[0] if spotmaps is not None else 0
+
         def sbody(i, accum):
             dif, spec = accum
-            shadow = jnp.ones((h, w), jnp.float32)
+            if n_maps > 0:
+                from .shadow import spot_shadow_factor
+                shadow = jax.lax.cond(
+                    i < n_maps,
+                    lambda: spot_shadow_factor(
+                        worldpos, spotmaps[jnp.minimum(i, n_maps - 1)],
+                        sl["shadowview"][i]),
+                    lambda: jnp.ones((h, w), jnp.float32))
+            else:
+                shadow = jnp.ones((h, w), jnp.float32)
             d_i, s_i = brdf.spot_light(worldpos, normal, eyevec, material,
                                        sl["position"][i], sl["intensity"][i],
                                        sl["attenuation"][i], sl["direction"][i],

@@ -155,6 +155,37 @@ def shadow_factor_esm(worldpos, esm, zmax, zscale, splits, shadowview, view_dist
     return factor
 
 
+def render_spot_maps(world_pos, tris, spotview, n_maps, *, res=256,
+                     bin_capacity=128, big_capacity=32, use_pallas=False):
+    """Depth maps for the first n_maps spot lights (reference:
+    src/renderer/spotmap.cpp render_spotmaps — one D32 target per spot,
+    parabolic in the reference, perspective here)."""
+    return render_shadow_cascades(world_pos, tris, spotview[:n_maps],
+                                  res=res, bin_capacity=bin_capacity,
+                                  big_capacity=big_capacity,
+                                  use_pallas=use_pallas)
+
+
+def spot_shadow_factor(worldpos, spotmap, shadowview, bias=2e-3):
+    """Single-tap perspective shadow test for one spot light.
+
+    worldpos (H, W, 3); spotmap (R, R) reverse-Z; shadowview (4, 4).
+    """
+    res = spotmap.shape[0]
+    hp = worldpos @ shadowview[:3, :3].T + shadowview[:3, 3]
+    ww = worldpos @ shadowview[3, :3] + shadowview[3, 3]
+    ws = jnp.where(jnp.abs(ww) < 1e-8, 1e-8, ww)
+    u = hp[..., 0] / ws * 0.5 + 0.5
+    v = hp[..., 1] / ws * 0.5 + 0.5
+    ref = hp[..., 2] / ws
+    inside = (u > 0) & (u < 1) & (v > 0) & (v < 1) & (ref > 0) & (ref < 1) & (ww > 0)
+    xi = jnp.clip((u * res).astype(jnp.int32), 0, res - 1)
+    yi = jnp.clip((v * res).astype(jnp.int32), 0, res - 1)
+    stored = spotmap[yi, xi]
+    lit = (stored <= ref + bias).astype(jnp.float32)
+    return jnp.where(inside, lit, 1.0)
+
+
 def shadow_split_weights(splits, nslices, depth_dist):
     """Per-cascade blend weights (reference: lighting.inc shadow_split).
 

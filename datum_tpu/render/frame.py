@@ -174,10 +174,20 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
                   sceneset["proj"], sceneset["view"], params=pr)
         ssao_img = jax.image.resize(ao[..., 0], (h, w), method="linear")
 
+    spotmaps = None
+    if cfg.max_spot_shadows > 0:
+        from ..ops.shadow import render_spot_maps
+        spotmaps = render_spot_maps(
+            worldp, ex["tris"], sceneset["spotlights"]["shadowview"],
+            cfg.max_spot_shadows, res=cfg.spot_shadow_res,
+            bin_capacity=cfg.shadow_bin_capacity, big_capacity=cfg.big_capacity,
+            use_pallas=cfg.use_pallas)
+
     hdr = lighting_pass.shade_deferred(
         gbuffer, depth, sceneset,
         proj=sceneset["proj"], invview=sceneset["invview"],
-        shadowmaps=shadowmaps, ibl=ibl, cluster=cluster, ssao=ssao_img)
+        shadowmaps=shadowmaps, ibl=ibl, cluster=cluster, ssao=ssao_img,
+        spotmaps=spotmaps)
 
     # skybox background (reference: forward pass skybox.vert/frag fills
     # uncovered pixels along the view ray)

@@ -18,6 +18,32 @@ from ..ops.common import (
 )
 
 
+def _spot_shadowview(light):
+    """Perspective shadow matrix for one spot light.
+
+    The reference warps vertices parabolically to fit wide cones in one
+    map (reference: spotmap.*.vert + data/transform.inc:187
+    map_parabolic); a perspective projection with fov matched to the
+    cone keeps edge functions linear for the TPU raster and covers the
+    same cutoff range.
+    """
+    from ..math import Transform
+    from ..math.matrix import perspective_proj
+
+    pos = np.asarray(light["position"], np.float32)
+    d = np.asarray(light["direction"], np.float32)
+    d = d / max(np.linalg.norm(d), 1e-9)
+    up = np.array([0.0, 1.0, 0.0], np.float32)
+    if abs(float(np.dot(d, up))) > 0.99:
+        up = np.array([1.0, 0.0, 0.0], np.float32)
+    view = Transform.lookat(pos, pos + d, up).inverse().matrix()
+    half = np.arccos(np.clip(light["cutoff"], -0.999, 0.999))
+    fov = np.clip(2.2 * half, 0.2, 2.8)
+    zfar = float(light["attenuation"][3]) or 50.0
+    proj = perspective_proj(fov, 1.0, 0.05, zfar)
+    return (proj @ view).astype(np.float32)
+
+
 def _mainlight(camera, params):
     from .shadow import prepare_shadowview
 
@@ -94,12 +120,14 @@ def make_sceneset(camera, params: RenderParams, *, point_lights=(), spot_lights=
     sl_dir = np.zeros((n_spot, 3), np.float32)
     sl_dir[:, 1] = -1
     sl_cut = np.zeros((n_spot,), np.float32)
+    sl_view = np.tile(np.eye(4, dtype=np.float32), (n_spot, 1, 1))
     for i, l in enumerate(spot_lights[:n_spot]):
         sl_pos[i] = l["position"]
         sl_int[i] = l["intensity"]
         sl_att[i] = l["attenuation"]
         sl_dir[i] = l["direction"]
         sl_cut[i] = l["cutoff"]
+        sl_view[i] = _spot_shadowview(l)
 
     return dict(
         proj=proj.astype(np.float32),
@@ -125,7 +153,7 @@ def make_sceneset(camera, params: RenderParams, *, point_lights=(), spot_lights=
         ),
         spotlights=dict(
             position=sl_pos, intensity=sl_int, attenuation=sl_att,
-            direction=sl_dir, cutoff=sl_cut,
+            direction=sl_dir, cutoff=sl_cut, shadowview=sl_view,
             count=np.int32(min(len(spot_lights), n_spot)),
         ),
     )

@@ -158,3 +158,51 @@ class TestCubePack:
         rl2.push_pointlight([0, 2.0, 3.0], [30.0, 30.0, 30.0], (1.0, 0.0, 1.0), range_=50)
         lit = ctx.render(make_camera(), rl2, params)
         assert lit.astype(int).sum() > dark.astype(int).sum() + 1000
+
+
+class TestSpotShadows:
+    def test_spot_light_casts_shadow(self):
+        from datum_tpu.render import primitives
+
+        cfg = FrameConfig(width=256, height=128, max_vertices=2048,
+                          max_triangles=2048, max_instances=8, bin_capacity=64,
+                          big_capacity=8, enable_shadows=False,
+                          max_spot_shadows=2, spot_shadow_res=128,
+                          shadow_bin_capacity=64)
+        sctx = RenderContext(cfg)
+        pv, pi = primitives.plane(8.0)
+        floor = sctx.add_mesh(pv, pi)
+        cv, ci = primitives.unit_cube()
+        cube = sctx.add_mesh(cv, ci)
+        mat = sctx.add_material(color=(0.9, 0.9, 0.9, 1))
+
+        cam = Camera()
+        cam.set_projection(np.radians(60), 2.0)
+        cam.lookat(np.array([0.0, 7.0, 9.0]), np.array([0.0, 0.0, 0.0]),
+                   np.array([0.0, 1.0, 0.0]))
+        params = RenderParams(width=256, height=128)
+        params.sunintensity = np.zeros(3, np.float32)
+        params.ambientintensity = 0.02
+
+        def render(with_cube):
+            rl = RenderList()
+            rl.push_mesh(floor, Transform.identity(), mat)
+            if with_cube:
+                rl.push_mesh(cube, Transform.translation([0.0, 2.0, 0.0]), mat)
+            rl.push_spotlight([0.0, 7.0, 0.0], [0.0, -1.0, 0.0],
+                              [220.0, 220.0, 220.0], cutoff=0.6,
+                              attenuation=(1.0, 0.0, 1.0), range_=20.0)
+            return sctx.render(cam, rl, params).astype(np.float32)
+
+        lit = render(False)
+        shadowed = render(True)
+        assert lit.max() > 20, "spot not lighting floor"
+        # the cube's footprint shadow darkens floor pixels around its
+        # base; find pixels that dropped strongly (excluding pixels the
+        # cube itself now covers, which change color rather than darken
+        # smoothly — ratio test over the central floor band)
+        band_l = lit[55:85, 96:160].mean(-1)
+        band_s = shadowed[55:85, 96:160].mean(-1)
+        ratio = (band_s + 1) / (band_l + 1)
+        assert (ratio < 0.5).sum() > 20, \
+            f"no spot shadow: min ratio {ratio.min():.2f}"
