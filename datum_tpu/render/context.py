@@ -267,6 +267,8 @@ class RenderContext:
         if self.config.max_particle_quads > 0:
             draws["forward"] = renderlist.forward_arrays(
                 self.config.max_particle_quads, camera)
+        if self.config.max_decals_active > 0:
+            draws["decals"] = renderlist.decal_arrays(self.config.max_decals_active)
         if self.config.max_dynamic_vertices > 0:
             md = self.config.max_dynamic_vertices
             if renderlist.oceans:

@@ -164,6 +164,14 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
                                     sceneset["proj"], tx, ty, w, h,
                                     cfg.tile_light_capacity)
         cluster = (lists, ccounts, tx, ty)
+    # deferred decals (reference: lighting.comp:136-164 decal loop)
+    if cfg.max_decals_active > 0:
+        from ..ops.decal import apply_decals
+        from ..ops.lighting_pass import reconstruct_positions
+        _, wpos = reconstruct_positions(depth, sceneset["proj"],
+                                        sceneset["invview"], w, h)
+        gbuffer = apply_decals(gbuffer, wpos, draws["decals"])
+
     # ambient occlusion (reference: hbao.comp), quarter res
     ssao_img = None
     if cfg.enable_ssao:

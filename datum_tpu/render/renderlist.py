@@ -23,6 +23,7 @@ class RenderList:
         self.spot_lights = []
         self.particles = []      # forward OIT billboard systems
         self.oceans = []         # dynamic ocean surfaces
+        self.decals = []
         self.sprites = []        # overlay sprites (drawn post-composite)
         self.wireframes = []
 
@@ -75,6 +76,40 @@ class RenderList:
                                      direction=d,
                                      intensity=np.asarray(intensity, np.float32),
                                      attenuation=att, cutoff=float(cutoff)))
+
+    # --- decals -----------------------------------------------------------
+    def push_decal(self, transform, halfdim, color=(1, 1, 1, 1), metalness=0.0,
+                   roughness=1.0, reflectivity=0.5, emissive=0.0):
+        """Oriented-box decal (reference: renderlist push_decals +
+        decallist)."""
+        from ..math.quaternion import quat_to_matrix
+
+        self.decals.append(dict(
+            position=np.asarray(transform.translation_vec(), np.float32),
+            inv_rot=quat_to_matrix(transform.rotation_quat()).T.astype(np.float32),
+            halfdim=np.asarray(halfdim, np.float32),
+            color=np.asarray(color, np.float32),
+            metalness=metalness, roughness=roughness,
+            reflectivity=reflectivity, emissive=emissive))
+
+    def decal_arrays(self, max_decals):
+        out = dict(
+            position=np.zeros((max_decals, 3), np.float32),
+            inv_rot=np.tile(np.eye(3, dtype=np.float32), (max_decals, 1, 1)),
+            halfdim=np.ones((max_decals, 3), np.float32),
+            color=np.zeros((max_decals, 4), np.float32),
+            metalness=np.zeros(max_decals, np.float32),
+            roughness=np.ones(max_decals, np.float32),
+            reflectivity=np.full(max_decals, 0.5, np.float32),
+            emissive=np.zeros(max_decals, np.float32),
+            count=np.int32(min(len(self.decals), max_decals)),
+        )
+        for i, d in enumerate(self.decals[:max_decals]):
+            for k in ("position", "inv_rot", "halfdim", "color"):
+                out[k][i] = d[k]
+            for k in ("metalness", "roughness", "reflectivity", "emissive"):
+                out[k][i] = d[k]
+        return out
 
     # --- forward / particles ----------------------------------------------
     def push_particles(self, instance, emissive=0.0):

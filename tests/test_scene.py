@@ -237,3 +237,64 @@ class TestBC3:
         img = np.full((8, 8, 4), 128, np.uint8)
         out = decode_bc3(encode_bc3(img), 8, 8)
         assert np.abs(out.astype(int) - 128).max() <= 6
+
+
+class TestOcclusion:
+    def test_occluder_hides_object(self):
+        from datum_tpu.render.occlusion import OcclusionBuffer
+        from datum_tpu.math.matrix import perspective_proj, look_at_matrix
+
+        proj = perspective_proj(np.radians(60), 16 / 9, 0.1)
+        view = look_at_matrix(np.array([0.0, 0, 10]), np.array([0.0, 0, 0]),
+                              np.array([0.0, 1, 0]))
+        vp = proj @ view
+        buf = OcclusionBuffer()
+        # big wall at z=0 covering the view
+        wall = np.array([[-20, -20, 0], [20, -20, 0], [20, 20, 0], [-20, 20, 0]],
+                        np.float32)
+        buf.fill_elements(vp, wall, np.array([0, 1, 2, 0, 2, 3]))
+        # object behind the wall -> culled
+        assert not buf.visible([-1, -1, -6], [1, 1, -4], vp)
+        # object in front of the wall -> visible
+        assert buf.visible([-1, -1, 4], [1, 1, 6], vp)
+        # off to the side (on-screen but past wall edge... use off-screen)
+        assert not buf.visible([100, 100, -5], [102, 102, -4], vp)
+
+    def test_empty_buffer_everything_visible(self):
+        from datum_tpu.render.occlusion import OcclusionBuffer
+        from datum_tpu.math.matrix import perspective_proj
+
+        buf = OcclusionBuffer()
+        vp = perspective_proj(np.radians(60), 16 / 9, 0.1)
+        assert buf.visible([-1, -1, -6], [1, 1, -4], vp)
+
+
+class TestDecals:
+    def test_decal_recolors_floor(self):
+        from datum_tpu.ops.common import FrameConfig
+        from datum_tpu.render import Camera, RenderContext, RenderList, RenderParams
+        from datum_tpu.render import primitives
+
+        cfg = FrameConfig(width=256, height=128, max_vertices=1024,
+                          max_triangles=1024, max_instances=4, bin_capacity=64,
+                          big_capacity=8, enable_shadows=False,
+                          max_decals_active=4)
+        ctx = RenderContext(cfg)
+        pv, pi = primitives.plane(8.0)
+        floor = ctx.add_mesh(pv, pi)
+        mat = ctx.add_material(color=(0.8, 0.8, 0.8, 1))
+        cam = Camera()
+        cam.set_projection(np.radians(60), 2.0)
+        cam.lookat(np.array([0.0, 6.0, 6.0]), np.array([0.0, 0.0, 0.0]),
+                   np.array([0.0, 1.0, 0.0]))
+        params = RenderParams(width=256, height=128)
+        rl = RenderList()
+        rl.push_mesh(floor, Transform.identity(), mat)
+        rl.push_decal(Transform.translation([0, 0, 0]), [1.5, 1.0, 1.5],
+                      color=(1.0, 0.05, 0.05, 1.0))
+        img = ctx.render(cam, rl, params).astype(np.float32)
+        centre = img[55:75, 112:144]
+        outside = img[100:120, 30:60]
+        assert centre[..., 0].mean() > centre[..., 1].mean() * 1.5, \
+            f"decal not red: {centre.mean(axis=(0, 1))}"
+        assert abs(outside[..., 0].mean() - outside[..., 1].mean()) < 10
