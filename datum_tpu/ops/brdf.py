@@ -48,7 +48,11 @@ def make_material(albedo, emissive, metalness, reflectivity, roughness):
 
 
 def fresnel_schlick(f0, f90, u):
-    return f0 + (f90 - f0) * jnp.power(saturate(1.0 - u), 5.0)
+    # pow(x,5) via multiplies: pow lowers to exp/log transcendentals on
+    # the VPU and dominates the lighting pass at 2M pixels
+    x = saturate(1.0 - u)
+    x2 = x * x
+    return f0 + (f90 - f0) * (x2 * x2 * x)
 
 
 def visibility_smith(NdotV, NdotL, alpha):
@@ -122,7 +126,9 @@ def point_light(position, normal, eyevec, material, light_pos, intensity, attenu
 
     att = jnp.sign(NdotL) / (attenuation[..., 2] + attenuation[..., 1] * dist
                              + attenuation[..., 0] * dist * dist)
-    falloff = saturate(1.0 - jnp.power(dist / jnp.maximum(attenuation[..., 3], 1e-6), 4.0))
+    dr = dist / jnp.maximum(attenuation[..., 3], 1e-6)
+    dr2 = dr * dr
+    falloff = saturate(1.0 - dr2 * dr2)
     att = att * falloff * falloff
     w = (NdotL * att)[..., None]
     return w * fd[..., None] * intensity, w * fr * intensity
@@ -141,7 +147,9 @@ def spot_light(position, normal, eyevec, material, light_pos, intensity, attenua
 
     att = jnp.sign(NdotL) / (attenuation[..., 2] + attenuation[..., 1] * dist
                              + attenuation[..., 0] * dist * dist)
-    falloff = saturate(1.0 - jnp.power(dist / jnp.maximum(attenuation[..., 3], 1e-6), 4.0))
+    dr = dist / jnp.maximum(attenuation[..., 3], 1e-6)
+    dr2 = dr * dr
+    falloff = saturate(1.0 - dr2 * dr2)
     att = att * falloff * falloff
     cone = vdot(direction, -lightvec)[..., 0]
     att = att * jnp.clip((cone - cutoff) / 0.05, 0.0, 1.0)

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from .common import TILE_H, TILE_W, FrameConfig
 
-BIN_MAX_SPAN = 32  # max tiles a binned triangle may cover; larger -> big list
+BIN_MAX_SPAN = 16  # max tiles a binned triangle may cover; larger -> big list
 
 
 def adjugate3(m):
@@ -138,12 +138,15 @@ def bin_triangles(setup, n_tris, tiles_x, tiles_y, bin_capacity, big_capacity):
     pair_ok = setup["valid"][:, None] & (k[None, :] < span[:, None])
     tile = jnp.where(pair_ok, tile, n_tiles)                          # sentinel
 
+    # pack (tile, tri) into one int32 key: a single-array sort moves half
+    # the data of an argsort+gather and stays in draw order per tile
+    assert T <= (1 << 21), "triangle capacity exceeds packed sort key"
     tri_ids = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[:, None],
                                tile.shape)
-    # stable sort by tile keeps pairs in triangle (draw) order per tile
-    order = jnp.argsort(tile.reshape(-1), stable=True)
-    sorted_tile = tile.reshape(-1)[order]
-    sorted_tri = tri_ids.reshape(-1)[order]
+    key = (tile.reshape(-1) << 21) | tri_ids.reshape(-1)
+    skey = jnp.sort(key)
+    sorted_tile = skey >> 21
+    sorted_tri = skey & ((1 << 21) - 1)
 
     starts = jnp.searchsorted(sorted_tile, jnp.arange(n_tiles + 1, dtype=jnp.int32))
     counts = jnp.minimum(starts[1:] - starts[:-1], bin_capacity)

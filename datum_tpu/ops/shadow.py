@@ -93,7 +93,9 @@ def build_esm(shadowmaps, shadowview, blur_sigma=1.5):
         # d' = 0 at the nearest occluder, grows away from the light;
         # background (raw depth 0) maps to the largest d' -> reads lit
         dprime = (zmax - shadowmaps[s]) * norm_scale
-        e = jnp.exp(jnp.clip(ESM_C * dprime, 0.0, 85.0))
+        # cap the exponent: the box-blur cumsum differences lose f32
+        # precision when the dynamic range exceeds ~1e4 of the window sum
+        e = jnp.exp(jnp.clip(ESM_C * dprime, 0.0, 20.0))
         e = gaussian_blur(e, blur_sigma, radius=2)
         esms.append(e)
         zmaxs.append(zmax)
@@ -147,7 +149,7 @@ def shadow_factor_esm(worldpos, esm, zmax, zscale, splits, shadowview, view_dist
         # receiver normalized depth-from-nearest, slope bias of ~2 texels
         dref = (zmax[s] - ref) * zscale[s]
         bias = wtexel * zscale[s] * jnp.linalg.norm(m[2, :3]) * 2.0
-        lit = jnp.clip(tap * jnp.exp(jnp.clip(-ESM_C * (dref - bias), -85.0, 85.0)),
+        lit = jnp.clip(tap * jnp.exp(jnp.clip(-ESM_C * (dref - bias), -20.0, 20.0)),
                        0.0, 1.0)
         use = inside & (~chosen)
         factor = jnp.where(use, lit, factor)
