@@ -57,7 +57,8 @@ def render_frame_sharded(cfg: FrameConfig, mesh, device, draws, sceneset):
                 big_capacity=cfg.big_capacity)
             shadowmaps = (build_esm(raw, sceneset["mainlight"]["shadowview"])
                           if cfg.shadow_mode == "esm" else raw)
-        setup = raster_ops.triangle_setup(clip, ex["tris"], w, h, tx, ty)
+        setup = raster_ops.triangle_setup(clip, ex["tris"], w, h, tx, ty,
+                                          cull=-1 if cfg.backface_cull else 0)
         bins, counts, big_ids = raster_ops.bin_triangles(
             setup, cfg.max_triangles, tx, ty, cfg.bin_capacity, cfg.big_capacity)
 
