@@ -100,6 +100,25 @@ def shade_deferred(gbuffer, depth, sceneset, *, proj, invview,
         bj = jnp.clip((ndv * s).astype(jnp.int32), 0, s - 1)
         envbrdf = lut[bi, bj]
 
+    # SH irradiance probes add to env diffuse (reference:
+    # lighting.comp:210-221 probe_irradiance accumulation)
+    probes = sceneset.get("probes")
+    if probes is not None and int(probes["position"].shape[0]) > 0 \
+            and env_diffuse is not None:
+        total_w = jnp.ones(worldpos.shape[:-1], jnp.float32)
+        acc = env_diffuse
+        for i in range(probes["position"].shape[0]):
+            on = (i < probes["count"]).astype(jnp.float32)
+            pd = jnp.linalg.norm(probes["position"][i, :3] - worldpos, axis=-1)
+            dr = pd / jnp.maximum(probes["position"][i, 3], 1e-6)
+            dr2 = dr * dr
+            att = jnp.clip(1.0 - dr2 * dr2, 0.0, 1.0)
+            att = att * att * on
+            irr = brdf.probe_irradiance(probes["sh"][i], normal)
+            acc = acc + irr * att[..., None]
+            total_w = total_w + att
+        env_diffuse = acc / total_w[..., None]
+
     # environment / ambient term
     if env_diffuse is not None and envbrdf is not None:
         d, s = brdf.env_light(material, env_diffuse, env_specular, envbrdf,

@@ -259,7 +259,8 @@ class RenderContext:
         if sceneset is None:
             sceneset = make_sceneset(camera, params,
                                      point_lights=renderlist.point_lights,
-                                     spot_lights=renderlist.spot_lights)
+                                     spot_lights=renderlist.spot_lights,
+                                     probes=renderlist.probes)
         draws = renderlist.draw_arrays(
             self.config.max_instances, self.default_material,
             max_palettes=self.config.max_palettes if self.config.enable_skinning else 0,

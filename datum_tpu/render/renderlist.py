@@ -24,6 +24,7 @@ class RenderList:
         self.particles = []      # forward OIT billboard systems
         self.oceans = []         # dynamic ocean surfaces
         self.decals = []
+        self.probes = []
         self.sprites = []        # overlay sprites (drawn post-composite)
         self.wireframes = []
 
@@ -76,6 +77,11 @@ class RenderList:
                                      direction=d,
                                      intensity=np.asarray(intensity, np.float32),
                                      attenuation=att, cutoff=float(cutoff)))
+
+    def push_probe(self, position, sh, radius=5.0):
+        """SH irradiance probe (reference: renderlist probe entries)."""
+        self.probes.append(dict(position=np.asarray(position, np.float32),
+                                sh=np.asarray(sh, np.float32), radius=radius))
 
     # --- decals -----------------------------------------------------------
     def push_decal(self, transform, halfdim, color=(1, 1, 1, 1), metalness=0.0,

@@ -91,7 +91,8 @@ class RenderParams:
 
 def make_sceneset(camera, params: RenderParams, *, point_lights=(), spot_lights=(),
                   probes=(), environments=(), prevview=None,
-                  n_point=MAX_POINT_LIGHTS, n_spot=MAX_SPOT_LIGHTS):
+                  n_point=MAX_POINT_LIGHTS, n_spot=MAX_SPOT_LIGHTS,
+                  n_probe=8):
     """Pack camera + params + lights into the fixed-shape SceneSet pytree.
 
     point_lights: iterable of dict(position, intensity, attenuation).
@@ -156,4 +157,19 @@ def make_sceneset(camera, params: RenderParams, *, point_lights=(), spot_lights=
             direction=sl_dir, cutoff=sl_cut, shadowview=sl_view,
             count=np.int32(min(len(spot_lights), n_spot)),
         ),
+        probes=_probes(probes, n_probe),
     )
+
+
+def _probes(probes, n_probe):
+    """SH irradiance probes (reference: lighting.inc Probe — position.xyz
+    + radius in w, 9x3 SH coefficients)."""
+    pos = np.zeros((n_probe, 4), np.float32)
+    pos[:, 3] = 1.0
+    sh = np.zeros((n_probe, 9, 3), np.float32)
+    for i, p in enumerate(probes[:n_probe]):
+        pos[i, :3] = p["position"]
+        pos[i, 3] = p.get("radius", 5.0)
+        sh[i] = np.asarray(p["sh"], np.float32).reshape(9, 3)
+    return dict(position=pos, sh=sh,
+                count=np.int32(min(len(probes), n_probe)))

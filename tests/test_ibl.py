@@ -130,3 +130,50 @@ class TestFrameWithIBL:
         # chrome sphere reflects environment -> nonzero
         centre = img[54:74, 118:138].astype(np.float32)
         assert centre.mean() > 2
+
+
+class TestProbes:
+    def test_probe_brightens_locally(self):
+        import jax.numpy as jnp
+        from datum_tpu.ops.common import FrameConfig
+        from datum_tpu.render import Camera, RenderContext, RenderList, RenderParams
+        from datum_tpu.render.skybox import SkyBox
+        from datum_tpu.render import primitives
+        from datum_tpu.math import Transform
+        from datum_tpu.ops import ibl as ibl_ops
+
+        cfg = FrameConfig(width=256, height=128, max_vertices=2048,
+                          max_triangles=2048, max_instances=4, bin_capacity=64,
+                          big_capacity=8, enable_shadows=False)
+        ctx = RenderContext(cfg)
+        ctx.set_skybox(SkyBox(size=16, convolve_samples=8))
+        pv, pi = primitives.plane(10.0)
+        floor = ctx.add_mesh(pv, pi)
+        mat = ctx.add_material(color=(0.8, 0.8, 0.8, 1))
+        cam = Camera()
+        cam.set_projection(np.radians(60), 2.0)
+        cam.lookat(np.array([0.0, 6.0, 8.0]), np.array([0.0, 0.0, 0.0]),
+                   np.array([0.0, 1.0, 0.0]))
+        params = RenderParams(width=256, height=128)
+        params.sunintensity = np.zeros(3, np.float32)
+        params.ambientintensity = 1.0
+
+        def render(with_probe):
+            rl = RenderList()
+            rl.push_mesh(floor, Transform.identity(), mat)
+            if with_probe:
+                # a bright warm probe: constant SH (L0-only)
+                bright = jnp.full((6, 8, 8, 3),
+                                  jnp.asarray([6.0, 3.0, 1.0]), jnp.float32)
+                sh = np.asarray(ibl_ops.sh_project(bright))
+                rl.push_probe([2.0, 0.5, 0.0], sh, radius=3.0)
+            return ctx.render(cam, rl, params).astype(np.float32)
+
+        base = render(False)
+        lit = render(True)
+        # near the probe the floor gains warm light; far corner unchanged
+        near = lit[60:76, 160:200] - base[60:76, 160:200]
+        far = lit[100:120, 10:40] - base[100:120, 10:40]
+        assert near.mean() > 3, f"probe had no effect ({near.mean():.2f})"
+        assert near[..., 0].mean() > near[..., 2].mean()   # warm
+        assert abs(far.mean()) < 2
