@@ -80,3 +80,91 @@ def run_game_loop(game_init, game_update, game_render, *, fps=60,
         game_render(platform, state, sink, lerp)
         frames += 1
     return state, sink
+
+
+class TripleBuffer:
+    """Lock-free-style triple-buffered frame handoff.
+
+    Reference parity: the RenderFrame exchange between the 60 Hz update
+    thread and the render thread (reference: test/datumtest.cpp:49-62,
+    520-548 — writeframe = readyframe.exchange(writeframe)).
+    """
+
+    def __init__(self, make_frame):
+        import threading as _t
+
+        self._frames = [make_frame() for _ in range(3)]
+        self._ready = None        # index of the freshest completed frame
+        self._lock = _t.Lock()
+        self._write = 0
+        self._read = None
+
+    def write_frame(self):
+        return self._frames[self._write]
+
+    def publish(self):
+        """Update thread: swap the written frame into the ready slot."""
+        with self._lock:
+            old_ready = self._ready
+            self._ready = self._write
+            # reuse the stale ready slot (or the never-used third buffer)
+            free = {0, 1, 2} - {self._ready, self._read}
+            self._write = free.pop() if old_ready is None or old_ready in free \
+                else old_ready
+
+    def acquire_read(self):
+        """Render thread: take the freshest frame (None if nothing new)."""
+        with self._lock:
+            if self._ready is None:
+                return None
+            self._read = self._ready
+            self._ready = None
+            return self._frames[self._read]
+
+
+def run_threaded_loop(game_init, game_update, game_render, *, hz=60,
+                      max_frames=None, sink=None, platform=None,
+                      make_frame=dict):
+    """Dedicated update thread + render on the caller thread.
+
+    Reference parity: the datumtest host model (reference:
+    test/datumtest-xcb.cpp:1083-1127 — update thread stepping at 1/hz,
+    render thread spinning on the freshest ready frame).
+    """
+    import threading as _t
+
+    platform = platform or Platform()
+    sink = sink or FrameSink()
+    inp = GameInput()
+    state = game_init(platform)
+    buffers = TripleBuffer(make_frame)
+    stop = _t.Event()
+
+    def update_thread():
+        dt = 1.0 / hz
+        next_t = time.perf_counter()
+        while not stop.is_set() and not platform.terminated:
+            game_update(platform, state, inp, dt, buffers.write_frame())
+            buffers.publish()
+            next_t += dt
+            delay = next_t - time.perf_counter()
+            if delay > 0:
+                time.sleep(min(delay, dt))
+
+    t = _t.Thread(target=update_thread, daemon=True)
+    t.start()
+    frames = 0
+    try:
+        while not platform.terminated:
+            if max_frames is not None and frames >= max_frames:
+                break
+            frame = buffers.acquire_read()
+            if frame is None:
+                time.sleep(0.0005)
+                continue
+            game_render(platform, state, frame, sink)
+            frames += 1
+    finally:
+        stop.set()
+        t.join(timeout=2.0)
+    return state, sink
