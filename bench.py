@@ -23,7 +23,8 @@ def main():
         width=1920, height=1088, sphere_detail=24, n_point_lights=8,
         max_vertices=1 << 15, max_triangles=1 << 15,
         bin_capacity=256, big_capacity=64,
-        use_pallas=True, enable_material_maps=False)
+        use_pallas=True, enable_material_maps=False,
+        texture_filter="nearest_half")
     device = jax.device_put(ctx.device_state())
 
     def frame_inputs(t):

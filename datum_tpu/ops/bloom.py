@@ -18,16 +18,20 @@ RADIUS = 16
 
 
 def bloom(hdr, strength=1.0):
-    """hdr (H, W, 3) -> bloom contribution (H, W, 3) to add pre-tonemap?
+    """hdr (H, W, 3) -> blurred tonemapped overflow at full res.
 
     The reference composites tonemapped bloom additively after tonemap
-    (composite.frag adds bloom sampled from the blurred luma target);
-    we return the blurred tonemapped overflow at full res.
+    (composite.frag adds bloom sampled from the blurred luma target).
+    Runs at quarter res with the cumsum box-gaussian; the upsample is a
+    dense jax.image.resize (gather-free).
     """
-    half = downsample2(hdr)
-    luma = half @ jnp.array([0.299, 0.587, 0.114], jnp.float32)
+    import jax
+
+    quarter = downsample2(downsample2(hdr))
+    luma = quarter @ jnp.array([0.299, 0.587, 0.114], jnp.float32)
     t = jnp.clip(luma - CUTOFF, 0.0, 1.0)
     t = t * t * (3.0 - 2.0 * t)   # smoothstep(0,1, luma-cutoff)
-    seeded = tonemap(half * t[..., None])
-    blurred = gaussian_blur(seeded, SIGMA, RADIUS)
-    return upsample2_bilinear(blurred, hdr.shape[0], hdr.shape[1]) * strength
+    seeded = tonemap(quarter * t[..., None])
+    blurred = gaussian_blur(seeded, SIGMA * 0.5)
+    return jax.image.resize(blurred, (hdr.shape[0], hdr.shape[1], 3),
+                            method="linear") * strength

@@ -62,6 +62,7 @@ class FrameConfig:
     shadow_mode: str = "esm"         # 'esm' (1-tap) or 'pcf' (12-tap poisson)
     enable_material_maps: bool = True  # sample surface/normal textures
     use_pallas: bool = False         # Mosaic raster kernel (TPU only)
+    texture_filter: str = "nearest"  # none|nearest_half|nearest|bilinear
     enable_skinning: bool = False    # dual-quat skinned vertex path
     max_palettes: int = 16
     max_bones: int = 128

@@ -106,14 +106,24 @@ def gbuffer_from_planes(planes, textures, texture_filter="nearest"):
 
     s = textures.shape[1]
     uv = planes["uv"]
+
+    def nearest_tap(uv_, ids_):
+        tx = jnp.mod((uv_[..., 0] * s).astype(jnp.int32), s)
+        ty = jnp.mod((uv_[..., 1] * s).astype(jnp.int32), s)
+        flat = textures.reshape(-1, textures.shape[-1])
+        idx = ids_ * (s * s) + ty * s + tx
+        return flat[idx].astype(jnp.float32) / 255.0
+
     if texture_filter == "none":
         albedo = jnp.ones(planes["color"].shape[:2] + (4,), jnp.float32)
+    elif texture_filter == "nearest_half":
+        # gather at half res, dense upsample: quarters the gather cost
+        import jax
+        a_h = nearest_tap(uv[::2, ::2], planes["albedo_id"][::2, ::2])
+        h, w = uv.shape[:2]
+        albedo = jax.image.resize(a_h, (h, w, a_h.shape[-1]), method="linear")
     elif texture_filter == "nearest":
-        tx = jnp.mod((uv[..., 0] * s).astype(jnp.int32), s)
-        ty = jnp.mod((uv[..., 1] * s).astype(jnp.int32), s)
-        flat = textures.reshape(-1, textures.shape[-1])
-        idx = planes["albedo_id"] * (s * s) + ty * s + tx
-        albedo = flat[idx].astype(jnp.float32) / 255.0
+        albedo = nearest_tap(uv, planes["albedo_id"])
     else:
         albedo = sample_bilinear(textures, planes["albedo_id"], uv)
 

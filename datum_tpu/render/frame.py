@@ -134,7 +134,8 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
             setup, bins, big_ids, counts, ex["tris"], uv, wnormal, tri_mat,
             device["materials"], tx, ty, w, h)
         depth, vis = planes["depth"], planes["vis"]
-        gbuffer = shade_ops.gbuffer_from_planes(planes, device["textures"])
+        gbuffer = shade_ops.gbuffer_from_planes(planes, device["textures"],
+                                                texture_filter=cfg.texture_filter)
     else:
         if cfg.use_pallas:
             from ..ops.raster_pallas import raster_pallas
