@@ -135,14 +135,20 @@ def shade_deferred(gbuffer, depth, sceneset, *, proj, invview,
     if shadowfactor is not None:
         sf = shadowfactor
     elif shadowmaps is not None and isinstance(shadowmaps, tuple):
-        # half-res nearest-tap ESM lookup, densely upsampled: the ESM is
-        # pre-blurred so quality holds, and gather count drops 32x
-        from .shadow import shadow_factor_esm
+        # half-res single-gather ESM lookup, densely upsampled (the ESM
+        # is pre-blurred so quality holds); avg-pool instead of strided
+        # slicing (lane-strided reads are slow on TPU)
+        from .shadow import shadow_factor_esm_fast
+
+        def pool2(x):
+            sh = x.shape
+            return x.reshape(sh[0] // 2, 2, sh[1] // 2, 2, *sh[2:]).mean((1, 3))
+
         esm, zmx, zsc = shadowmaps
-        sf_h = shadow_factor_esm(worldpos[::2, ::2], esm, zmx, zsc,
-                                 ml["splits"], ml["shadowview"],
-                                 -viewpos[::2, ::2, 2],
-                                 normal=normal[::2, ::2], nearest=True)
+        sf_h = shadow_factor_esm_fast(pool2(worldpos), esm, zmx, zsc,
+                                      ml["splits"], ml["shadowview"],
+                                      pool2(-viewpos[..., 2]),
+                                      normal=pool2(normal))
         sf = jax.image.resize(sf_h, (h, w), method="linear")
     elif shadowmaps is not None:
         from .shadow import shadow_factor as _shadow_factor

@@ -250,3 +250,47 @@ def shadow_factor(worldpos, shadowmaps, splits, shadowview, view_dist,
         total_w = total_w + w_s
 
     return jnp.where(total_w > 1e-6, lit_acc / jnp.maximum(total_w, 1e-6), 1.0)
+
+
+def shadow_factor_esm_fast(worldpos, esm, zmax, zscale, splits, shadowview,
+                           view_dist, normal=None):
+    """Single-gather ESM factor: per-pixel cascade chosen arithmetically,
+    then ONE combined nearest tap from the stacked maps.
+
+    The general path gathers once per slice (4x the taps) — at TPU
+    gather throughput (~15-25 ms per 2M taps) that dominated lighting.
+    """
+    nslices, res, _ = esm.shape
+    # monotonic splits -> slice index = count of splits below the distance
+    s_sel = jnp.zeros(view_dist.shape, jnp.int32)
+    for s in range(nslices - 1):
+        s_sel = s_sel + (view_dist > splits[s] * 1.05).astype(jnp.int32)
+
+    # select per-pixel matrix rows (4 rows x 4) via where-chain
+    rows = shadowview[0]
+    rows = jnp.broadcast_to(rows, view_dist.shape + (4, 4))
+    m_sel = rows
+    for s in range(1, nslices):
+        m_sel = jnp.where((s_sel == s)[..., None, None], shadowview[s], m_sel)
+    zmax_sel = zmax[s_sel]
+    zscale_sel = zscale[s_sel]
+    xnorm = jnp.linalg.norm(shadowview[:, 0, :3], axis=-1)
+    znorm = jnp.linalg.norm(shadowview[:, 2, :3], axis=-1)
+    wtexel = 2.0 / (res * xnorm[s_sel])
+    pos = worldpos if normal is None else worldpos + normal * (1.5 * wtexel)[..., None]
+
+    clip = jnp.einsum("...ij,...j->...i", m_sel[..., :3, :3], pos) + m_sel[..., :3, 3]
+    u = clip[..., 0] * 0.5 + 0.5
+    v = clip[..., 1] * 0.5 + 0.5
+    ref = clip[..., 2]
+    inside = (u > 0.01) & (u < 0.99) & (v > 0.01) & (v < 0.99) \
+        & (ref > 0) & (ref < 1)
+    xi = jnp.clip((u * res).astype(jnp.int32), 0, res - 1)
+    yi = jnp.clip((v * res).astype(jnp.int32), 0, res - 1)
+    tap = esm.reshape(-1)[s_sel * (res * res) + yi * res + xi]
+
+    dref = (zmax_sel - ref) * zscale_sel
+    bias = wtexel * zscale_sel * znorm[s_sel] * 2.0
+    lit = jnp.clip(tap * jnp.exp(jnp.clip(-ESM_C * (dref - bias), -20.0, 20.0)),
+                   0.0, 1.0)
+    return jnp.where(inside, lit, 1.0)
