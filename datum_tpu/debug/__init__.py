@@ -9,6 +9,6 @@ offline viewing.
 from .debug import (
     DebugLog, timed_block, begin_timed_block, end_timed_block, frame_marker,
     statistic_hit, resource_use, debug_menu_value, stream_debuglog,
-    load_debuglog, g_debuglog,
+    load_debuglog, g_debuglog, log_once,
 )
 from .overlay import render_debug_overlay

@@ -139,3 +139,14 @@ def load_debuglog(path):
             name = f.read(nlen).decode()
             out.append(dict(kind=kind, name=name, time=ts, extra=extra, frame=frame))
     return out
+
+
+_logged_once = set()
+
+
+def log_once(message):
+    """Print a message at most once per process (reference: debug.h
+    LOG_ONCE macro)."""
+    if message not in _logged_once:
+        _logged_once.add(message)
+        print(message)

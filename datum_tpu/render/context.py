@@ -291,3 +291,22 @@ def _resample_nearest(img, size):
     yi = (np.arange(size) * h // size).clip(0, h - 1)
     xi = (np.arange(size) * w // size).clip(0, w - 1)
     return img[yi][:, xi]
+
+
+def render_fallback(width, height, tick=0):
+    """Loader frame shown before assets/pipelines are ready (reference:
+    renderer.cpp:6383-6419 render_fallback + test/fallback.h logo)."""
+    from .sprite import Font, draw_text
+
+    img = np.zeros((height, width, 3), np.uint8)
+    # subtle animated scan background
+    ys = (np.arange(height)[:, None] + tick) % 32
+    img[..., 2] = (ys < 2) * 24
+    font = Font.builtin()
+    text = "DATUM TPU"
+    tw = len(text) * 6 * 2
+    draw_text(img, font, text, (width - tw) // 2, height // 2 - 8,
+              tint=(0.9, 0.9, 1.0, 1.0), scale=2)
+    draw_text(img, font, "LOADING" + "." * (1 + tick // 20 % 3), (width - tw) // 2,
+              height // 2 + 14, tint=(0.5, 0.5, 0.6, 1.0))
+    return img

@@ -63,3 +63,36 @@ def test_dump_runs(tmp_path):
 
     out = dump("/root/reference/bin/cube.pack")
     assert "MESH" in out
+
+
+def test_hdr_roundtrip(tmp_path, rng):
+    from datum_tpu.tools.hdr import save_hdr, load_hdr
+
+    img = (rng.rand(16, 32, 3) * 50).astype(np.float32)
+    p = str(tmp_path / "t.hdr")
+    save_hdr(p, img)
+    back = load_hdr(p)
+    err = np.abs(back - img) / np.maximum(img.max(-1, keepdims=True), 1e-6)
+    assert err.max() < 0.02  # 8-bit shared-exponent mantissa
+
+
+def test_embed_image(rng):
+    from datum_tpu.tools.assetembed import embed_image
+
+    img = (rng.rand(4, 4, 4) * 255).astype(np.uint8)
+    src = embed_image(img, "logo")
+    ns = {}
+    exec(src, ns)
+    assert ns["logo_width"] == 4 and ns["logo_height"] == 4
+    assert bytes(b"".join([ns["logo_data"]]) if isinstance(ns["logo_data"], bytes)
+                 else b"".join(ns["logo_data"])) == img.tobytes()
+    csrc = embed_image(img, "logo", lang="c")
+    assert "logo_data[]" in csrc
+
+
+def test_render_fallback():
+    from datum_tpu.render.context import render_fallback
+
+    fb = render_fallback(320, 180, tick=5)
+    assert fb.shape == (180, 320, 3)
+    assert fb.max() > 100   # logo text visible
