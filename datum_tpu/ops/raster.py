@@ -182,6 +182,7 @@ def raster(setup, bins, big_ids, tiles_x, tiles_y, width, height, tile_ids=None)
     each device its band; bins rows always correspond 1:1 to tile_ids.
     """
     adj, det, zc = setup["adj"], setup["det"], setup["zc"]
+    ylim = setup.get("ylim")           # optional per-tri y scissor band
     # per-triangle packed setup: e-coeffs (9) + z-over-det dot coeffs (3)
     ez = adj * (zc[:, :, None] / det[:, None, None])   # rows scaled: depth = sum_i e_i*z_i/det
     if tile_ids is None:
@@ -209,6 +210,10 @@ def raster(setup, bins, big_ids, tiles_x, tiles_y, width, height, tile_ids=None)
         # reject the mirror image of w<0 (behind-eye) triangle regions:
         # interpolated clip w = det/sum(e) must be positive
         inside = inside & ((e0 + e1 + e2) * det[t][:, None, None] > 0)
+        if ylim is not None:
+            yl = ylim[t]
+            inside = inside & (yn >= yl[:, 0, None, None]) \
+                & (yn < yl[:, 1, None, None])
         zs = z3.sum(axis=1)                           # (n_tiles, 3): coeffs for depth
         d = zs[:, 0, None, None] * xn + zs[:, 1, None, None] * yn + zs[:, 2, None, None]
         passed = (inside & ok[:, None, None]

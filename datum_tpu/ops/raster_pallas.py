@@ -42,10 +42,16 @@ def pack_tile_setup(setup, bins, big_ids):
     ez = adj * (zc[:, :, None] / det[:, None, None])
     zs = ez.sum(axis=1)                               # (T, 3)
     sgn = jnp.sign(det)
+    T = adj.shape[0]
+    ylim = setup.get("ylim")
+    if ylim is None:
+        ylim = jnp.broadcast_to(jnp.array([-8.0, 8.0], jnp.float32), (T, 2))
     flat = jnp.concatenate([
         adj.reshape(-1, 9) * sgn[:, None], zs,
-        jnp.ones((adj.shape[0], 1), jnp.float32),
-        jnp.zeros((adj.shape[0], SETUP_WIDTH - 13), jnp.float32),
+        jnp.ones((T, 1), jnp.float32),
+        jnp.zeros((T, 1), jnp.float32),     # slot 13: tri id (set below)
+        ylim,                                # slots 14/15: y scissor band
+        jnp.zeros((T, SETUP_WIDTH - 16), jnp.float32),
     ], axis=-1)                                       # (T, SETUP_WIDTH)
 
     # big-list entries FIRST so the dynamic trip count (B + bin count)
@@ -80,6 +86,7 @@ def _raster_kernel(tile_ids_ref, counts_ref, rows_ref,
         inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
         s = e0 + e1 + e2
         inside = inside & (s > 0) & (rows_ref[k, 12] > 0)
+        inside = inside & (yn >= rows_ref[k, 14]) & (yn < rows_ref[k, 15])
         d = rows_ref[k, 9] * xn + rows_ref[k, 10] * yn + rows_ref[k, 11]
         passed = inside & (d > depth) & (d <= 1.0)
         inv_s = 1.0 / jnp.where(s == 0, 1.0, s)

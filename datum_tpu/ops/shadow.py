@@ -27,38 +27,52 @@ POISSON = np.stack([_r * np.cos(_a), _r * np.sin(_a)], -1).astype(np.float32)
 
 def render_shadow_cascades(world_pos, tris, shadowview, *, res=1024,
                            bin_capacity=128, big_capacity=32, use_pallas=False):
-    """Rasterize depth-only cascades.
+    """Rasterize depth-only cascades in ONE pass.
 
-    world_pos: (V, 3) world-space caster vertices; tris: (T, 3);
-    shadowview: (S, 4, 4).  Returns (S, res, res) reverse-Z depth.
+    All S slices render into a vertically stacked virtual framebuffer
+    (res wide, S*res tall): each slice's projection is rescaled on the
+    fly so its NDC maps to its band — one triangle-stream (S copies with
+    remapped matrices), one binning sort, one raster launch instead of
+    S.  world_pos: (V, 3); tris: (T, 3); shadowview: (S, 4, 4).
+    Returns (S, res, res) reverse-Z depth.
     """
+    n_slices = shadowview.shape[0]
     tiles_x = res // raster_ops.TILE_W
-    tiles_y = res // raster_ops.TILE_H
+    tiles_y = (res * n_slices) // raster_ops.TILE_H
+    vh = res * n_slices
+    V = world_pos.shape[0]
+    T = tris.shape[0]
 
+    # band remap in clip space: y'/w = (y/w + offset_s) / n_slices
+    clips = []
+    for s in range(n_slices):
+        m = shadowview[s]
+        c = world_pos @ m[:, :3].T + m[:, 3]
+        y = (c[:, 1] + (2.0 * s - (n_slices - 1)) * c[:, 3]) * (1.0 / n_slices)
+        clips.append(jnp.stack([c[:, 0], y, c[:, 2], c[:, 3]], -1))
+    clip_all = jnp.concatenate(clips, axis=0)                 # (S*V, 4)
+    tris_all = jnp.concatenate(
+        [tris + s * V for s in range(n_slices)], axis=0)      # (S*T, 3)
+
+    setup = raster_ops.triangle_setup(clip_all, tris_all, res, vh,
+                                      tiles_x, tiles_y)
+    # per-band scissor: casters crossing a slice frustum's y-planes are
+    # not clipped by the homogeneous raster, so bound coverage to the
+    # triangle's own band (applied per pixel inside the raster)
+    band = jnp.arange(n_slices * T, dtype=jnp.int32) // T
+    band_lo = -1.0 + band.astype(jnp.float32) * (2.0 / n_slices)
+    setup["ylim"] = jnp.stack([band_lo, band_lo + 2.0 / n_slices], -1)
+    bins, counts, big = raster_ops.bin_triangles(
+        setup, tris_all.shape[0], tiles_x, tiles_y, bin_capacity,
+        big_capacity)
     if use_pallas:
         from .raster_pallas import raster_pallas
-
-        slices = []
-        for s in range(shadowview.shape[0]):
-            mat = shadowview[s]
-            clip = world_pos @ mat[:, :3].T + mat[:, 3]
-            setup = raster_ops.triangle_setup(clip, tris, res, res, tiles_x, tiles_y)
-            bins, counts, big = raster_ops.bin_triangles(
-                setup, tris.shape[0], tiles_x, tiles_y, bin_capacity, big_capacity)
-            depth, _, _, _ = raster_pallas(setup, bins, big, counts,
-                                           tiles_x, tiles_y, res, res)
-            slices.append(depth)
-        return jnp.stack(slices)
-
-    def one_slice(mat):
-        clip = world_pos @ mat[:, :3].T + mat[:, 3]
-        setup = raster_ops.triangle_setup(clip, tris, res, res, tiles_x, tiles_y)
-        bins, counts, big = raster_ops.bin_triangles(
-            setup, tris.shape[0], tiles_x, tiles_y, bin_capacity, big_capacity)
-        depth, _ = raster_ops.raster(setup, bins, big, tiles_x, tiles_y, res, res)
-        return depth
-
-    return jax.vmap(one_slice)(shadowview)
+        depth, _, _, _ = raster_pallas(setup, bins, big, counts,
+                                       tiles_x, tiles_y, res, vh)
+    else:
+        depth, _ = raster_ops.raster(setup, bins, big, tiles_x, tiles_y,
+                                     res, vh)
+    return depth.reshape(n_slices, res, res)
 
 
 ESM_C = 40.0
