@@ -101,8 +101,13 @@ def _raster_kernel(tile_ids_ref, counts_ref, rows_ref,
             jnp.full((TILE_H, TILE_W), -1.0, jnp.float32),
             jnp.zeros((TILE_H, TILE_W), jnp.float32),
             jnp.zeros((TILE_H, TILE_W), jnp.float32))
-    count = jnp.minimum(counts_ref[i], n_entries)
-    depth, vis, l0, l1 = jax.lax.fori_loop(0, count, body, init)
+    # two segments: [0, big_count) valid big entries, then the tile's
+    # binned range [n_big, n_big + count) — skips the empty big slots
+    big_count = counts_ref[0]
+    count = counts_ref[2 + i]
+    carry = jax.lax.fori_loop(0, big_count, body, init)
+    depth, vis, l0, l1 = jax.lax.fori_loop(
+        counts_ref[1], counts_ref[1] + count, body, carry)
     depth_ref[...] = depth
     vis_ref[...] = vis
     l0_ref[...] = l0
@@ -121,7 +126,10 @@ def raster_pallas(setup, bins, big_ids, counts, tiles_x, tiles_y, width, height,
         counts = counts[tile_ids]
     n_tiles = tile_ids.shape[0]
     B = big_ids.shape[0]
-    trip = jnp.minimum(counts + B, n_entries).astype(jnp.int32)
+    # scalar-prefetch layout: [n_valid_bigs, B, per-tile bin counts...]
+    big_count = jnp.sum(big_ids >= 0).astype(jnp.int32)
+    trip = jnp.concatenate([big_count[None], jnp.int32(B)[None],
+                            counts.astype(jnp.int32)])
 
     def kernel_wrap(tile_ids_ref, counts_ref, rows_ref,
                     depth_ref, vis_ref, l0_ref, l1_ref):
@@ -246,8 +254,10 @@ def _raster_shade_kernel(tile_ids_ref, counts_ref, rows_ref, out_refs,
 
     zeros = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     init = (zeros, zeros - 1.0) + tuple(zeros for _ in range(13))
-    count = jnp.minimum(counts_ref[i], n_entries)
-    out = jax.lax.fori_loop(0, count, body, init)
+    big_count = counts_ref[0]
+    count = counts_ref[2 + i]
+    carry = jax.lax.fori_loop(0, big_count, body, init)
+    out = jax.lax.fori_loop(counts_ref[1], counts_ref[1] + count, body, carry)
     for j in range(N_PLANES):
         out_refs[j][...] = out[j]
 
@@ -271,7 +281,9 @@ def raster_shade_pallas(setup, bins, big_ids, counts, tris, uv, normal,
         counts = counts[tile_ids]
     n_tiles = tile_ids.shape[0]
     B = big_ids.shape[0]
-    trip = jnp.minimum(counts + B, n_entries).astype(jnp.int32)
+    big_count = jnp.sum(big_ids >= 0).astype(jnp.int32)
+    trip = jnp.concatenate([big_count[None], jnp.int32(B)[None],
+                            counts.astype(jnp.int32)])
 
     N_PLANES = 15
 
