@@ -119,3 +119,35 @@ def transform_vertices_skinned(positions, normals, tangents, vtx_instance,
                                     vtx_instance, max_bones)
     return transform_vertices_rigid(skinned, sn, st, vtx_instance, inst_world,
                                     viewproj)
+
+
+def wind_bend(positions, wind, scale):
+    """Main foliage bend (reference: data/transform.inc:156-165
+    transform_bend): bend factor from height, renormalized to preserve
+    the vertex's distance from the pivot.
+
+    positions: (V, 3) LOCAL mesh-space positions; wind: (3,) direction *
+    strength; scale: (3,) height weighting (typically (0, 1/h, 0)).
+    """
+    bf = positions @ jnp.asarray(scale, jnp.float32)
+    bf = bf + 1.0
+    bf = bf * bf
+    bf = bf * bf - bf
+    bent = positions + jnp.asarray(wind, jnp.float32) * bf[:, None]
+    ln = jnp.linalg.norm(positions, axis=-1, keepdims=True)
+    bln = jnp.maximum(jnp.linalg.norm(bent, axis=-1, keepdims=True), 1e-9)
+    return bent / bln * ln
+
+
+def wind_detail_bend(positions, world_anchor, time, wind, scale):
+    """Per-vertex flutter (reference: transform.inc:169-181
+    transform_detailbend): two incommensurate triangle waves phased by
+    position."""
+    phase = positions @ jnp.full((3,), jnp.sum(world_anchor), jnp.float32)
+    w = jnp.stack([(time + phase) * 1.975, (time + phase) * 0.793], -1)
+    waves = jnp.mod(w, 1.0) * 2.0 - 1.0
+    waves = jnp.abs(jnp.mod(waves + 0.5, 1.0) * 2.0 - 1.0)
+    waves = waves * waves * (3.0 - 2.0 * waves)
+    wavesum = waves.sum(-1)
+    hf = positions @ jnp.asarray(scale, jnp.float32)
+    return positions + jnp.asarray(wind, jnp.float32) * (wavesum * hf)[:, None]

@@ -298,3 +298,27 @@ class TestDecals:
         assert centre[..., 0].mean() > centre[..., 1].mean() * 1.5, \
             f"decal not red: {centre.mean(axis=(0, 1))}"
         assert abs(outside[..., 0].mean() - outside[..., 1].mean()) < 10
+
+
+class TestWindBend:
+    def test_bend_preserves_length_and_moves_tops(self):
+        import jax.numpy as jnp
+        from datum_tpu.ops.geometry import wind_bend
+
+        pos = np.array([[0, 0, 0], [0, 1, 0], [0, 2, 0], [1, 0.1, 0]], np.float32)
+        bent = np.asarray(wind_bend(jnp.asarray(pos), [0.5, 0, 0], [0, 0.5, 0]))
+        # lengths preserved
+        np.testing.assert_allclose(np.linalg.norm(bent, axis=1),
+                                   np.linalg.norm(pos, axis=1), atol=1e-5)
+        # taller vertices bend more toward +x
+        assert bent[2, 0] > bent[1, 0] > 0
+        assert abs(bent[0, 0]) < 1e-6
+
+    def test_detail_bend_animates(self):
+        import jax.numpy as jnp
+        from datum_tpu.ops.geometry import wind_detail_bend
+
+        pos = jnp.asarray(np.array([[0, 1, 0], [0.5, 1.5, 0]], np.float32))
+        a = np.asarray(wind_detail_bend(pos, np.ones(3), 0.0, [0.2, 0, 0], [0, 1, 0]))
+        b = np.asarray(wind_detail_bend(pos, np.ones(3), 0.37, [0.2, 0, 0], [0, 1, 0]))
+        assert np.abs(a - b).max() > 1e-4
