@@ -1,0 +1,51 @@
+"""Terrain meshes from heightmaps.
+
+Reference parity: the terrain vertex path (reference:
+data/terrain.prepass/geometry.vert — heightmap-displaced grid with LOD
+morphing).  The TPU build bakes the displaced grid at build time (the
+pool is persistent device memory); LOD levels are separate meshes the
+scene selects by distance, like the asteroids example.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def make_terrain_mesh(heightmap, size=64.0, height_scale=8.0, step=1):
+    """Grid mesh displaced by a (H, W) heightmap.
+
+    Returns (vertices dict, indices) for RenderContext.add_mesh; step
+    subsamples the heightmap for LOD levels.
+    """
+    hm = np.asarray(heightmap, np.float32)[::step, ::step]
+    h, w = hm.shape
+    xs = np.linspace(0, size, w, dtype=np.float32)
+    zs = np.linspace(0, size, h, dtype=np.float32)
+    gx, gz = np.meshgrid(xs, zs, indexing="xy")
+    gy = hm * height_scale
+
+    # normals from central differences
+    dx = np.gradient(gy, xs[1] - xs[0] if w > 1 else 1.0, axis=1)
+    dz = np.gradient(gy, zs[1] - zs[0] if h > 1 else 1.0, axis=0)
+    n = np.stack([-dx, np.ones_like(gy), -dz], -1)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+
+    pos = np.stack([gx, gy, gz], -1).reshape(-1, 3)
+    uv = np.stack([gx / size, gz / size], -1).reshape(-1, 2)
+    nrm = n.reshape(-1, 3)
+    tan = np.tile([1, 0, 0, 1.0], (len(pos), 1)).astype(np.float32)
+
+    idx = []
+    for j in range(h - 1):
+        for i in range(w - 1):
+            a = j * w + i
+            idx += [a, a + w, a + 1, a + 1, a + w, a + w + 1]
+    return (dict(position=pos, texcoord=uv, normal=nrm, tangent=tan),
+            np.asarray(idx, np.int32))
+
+
+def terrain_lod_chain(heightmap, size=64.0, height_scale=8.0, levels=3):
+    """LOD chain: full res, half, quarter grids."""
+    return [make_terrain_mesh(heightmap, size, height_scale, step=1 << i)
+            for i in range(levels)]

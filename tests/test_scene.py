@@ -322,3 +322,21 @@ class TestWindBend:
         a = np.asarray(wind_detail_bend(pos, np.ones(3), 0.0, [0.2, 0, 0], [0, 1, 0]))
         b = np.asarray(wind_detail_bend(pos, np.ones(3), 0.37, [0.2, 0, 0], [0, 1, 0]))
         assert np.abs(a - b).max() > 1e-4
+
+
+class TestTerrain:
+    def test_heightmap_mesh(self):
+        from datum_tpu.render.terrain import make_terrain_mesh, terrain_lod_chain
+        from datum_tpu.math.perlin import PerlinEngine
+
+        eng = PerlinEngine(3)
+        xs, ys = np.meshgrid(np.linspace(0, 4, 33), np.linspace(0, 4, 33))
+        hm = eng.noise2(xs, ys) * 0.5 + 0.5
+        verts, idx = make_terrain_mesh(hm, size=32.0, height_scale=4.0)
+        assert len(verts["position"]) == 33 * 33
+        assert idx.max() < len(verts["position"])
+        n = np.linalg.norm(verts["normal"], axis=1)
+        np.testing.assert_allclose(n, 1.0, atol=1e-4)
+        assert verts["position"][:, 1].std() > 0.1   # actually displaced
+        lods = terrain_lod_chain(hm, levels=3)
+        assert len(lods[2][0]["position"]) < len(lods[0][0]["position"])
