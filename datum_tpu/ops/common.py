@@ -62,11 +62,14 @@ class FrameConfig:
     shadow_mode: str = "esm"         # 'esm' (1-tap) or 'pcf' (12-tap poisson)
     enable_material_maps: bool = True  # sample surface/normal textures
     use_pallas: bool = False         # Mosaic raster kernel (TPU only)
+    raster_kernel: str = "mxu"       # 'mxu' (matmul chunks) or 'v2' (scalar loop)
     texture_filter: str = "nearest"  # none|nearest_half|nearest|bilinear
     enable_skinning: bool = False    # dual-quat skinned vertex path
     max_palettes: int = 16
     max_bones: int = 128
     max_particle_quads: int = 0      # forward OIT billboard capacity
+    max_translucent_draws: int = 0   # translucent meshes via OIT
+    max_translucent_tris: int = 4096
     max_dynamic_vertices: int = 0    # per-frame vertex override slab (ocean)
     backface_cull: bool = True       # cull camera-facing-away triangles
     use_light_clusters: bool = False  # per-tile light lists vs dense loop

@@ -317,3 +317,222 @@ def raster_shade_pallas(setup, bins, big_ids, counts, tris, uv, normal,
         emissive=u[10], metalness=u[11], roughness=u[12],
         reflectivity=u[13], albedo_id=jnp.round(u[14]).astype(jnp.int32),
     )
+
+
+# ---------------------------------------------------------------------------
+# v3: MXU-formulated raster — triangle chunks as matmuls.
+#
+# The v2 loop pays hundreds of cycles per triangle in dynamic scalar
+# loads.  v3 processes V3_CHUNK triangles at once: edge/depth/scissor
+# values for all (triangle, pixel) pairs come from ONE dot_general of a
+# transposed coefficient block against a per-pixel basis matrix; the
+# depth test reduces across the chunk with max + first-match one-hot;
+# the winner's per-vertex attributes come from ONE one-hot matmul.
+# Every memory access is an aligned vector slice.
+# ---------------------------------------------------------------------------
+
+V3_CHUNK = 128
+V3_PIX = TILE_H * TILE_W      # whole tile as one pixel block (4096)
+N_COEF = 24                   # 6 groups x 3 rows: e0 e1 e2 d scis_lo scis_hi
+N_ATTR = 32
+
+
+def pack_v3(setup, bins, big_ids, tris, uv, normal, tri_material, materials):
+    """Transposed per-tile blocks: coefT (n_tiles, 24, E), attrT
+    (n_tiles, 32, E)."""
+    adj, det, zc = setup["adj"], setup["det"], setup["zc"]
+    ez = adj * (zc[:, :, None] / det[:, None, None])
+    zs = ez.sum(axis=1)
+    sgn = jnp.sign(det)
+    T = adj.shape[0]
+    ylim = setup.get("ylim")
+    if ylim is None:
+        ylim = jnp.broadcast_to(jnp.array([-8.0, 8.0], jnp.float32), (T, 2))
+    zero = jnp.zeros((T, 1), jnp.float32)
+    one = jnp.ones((T, 1), jnp.float32)
+    coef = jnp.concatenate([
+        adj.reshape(-1, 9) * sgn[:, None],                  # rows 0..8
+        zs,                                                 # rows 9..11 (d)
+        zero, one, -ylim[:, 0:1],                           # rows 12..14 e3
+        zero, -one, ylim[:, 1:2],                           # rows 15..17 e4
+        jnp.zeros((T, N_COEF - 18), jnp.float32),
+    ], axis=-1)                                             # (T, 24)
+
+    uv_t = uv[tris].reshape(-1, 6)
+    n_t = normal[tris].reshape(-1, 9)
+    mat = tri_material
+    mrows = jnp.concatenate([
+        materials["color"][mat][:, :3],
+        materials["emissive"][mat][:, None],
+        materials["metalness"][mat][:, None],
+        materials["roughness"][mat][:, None],
+        materials["reflectivity"][mat][:, None],
+        materials["albedomap"][mat][:, None].astype(jnp.float32),
+    ], axis=-1)                                             # (T, 8)
+    attr = jnp.concatenate([
+        uv_t, n_t,
+        jnp.zeros((T, 1), jnp.float32),                     # row 15: tri id
+        mrows,
+        jnp.zeros((T, N_ATTR - 24), jnp.float32),
+    ], axis=-1)                                             # (T, 32)
+
+    ids = jnp.concatenate(
+        [jnp.broadcast_to(big_ids[None, :], (bins.shape[0], big_ids.shape[0])),
+         bins], axis=1)
+    ok = (ids >= 0)
+    t = jnp.maximum(ids, 0)
+    coefT = (coef[t] * ok[..., None]).transpose(0, 2, 1)    # (n_tiles, 24, E)
+    attrG = attr[t] * ok[..., None]
+    attrG = attrG.at[..., 15].set(ids.astype(jnp.float32))
+    attrT = attrG.transpose(0, 2, 1)                        # (n_tiles, 32, E)
+    return coefT, attrT
+
+
+def _v3_kernel(tile_ids_ref, counts_ref, coefT_ref, attrT_ref, out_refs,
+               *, tiles_x, width, height, n_entries):
+    i = pl.program_id(0)
+    tile = tile_ids_ref[i]
+    ty = tile // tiles_x
+    tx = tile % tiles_x
+    n_chunks = n_entries // V3_CHUNK
+
+    yy = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
+    yn_t = (ty.astype(jnp.float32) * TILE_H + yy + 0.5) * (2.0 / height) - 1.0
+    xn_t = (tx.astype(jnp.float32) * TILE_W + xx + 0.5) * (2.0 / width) - 1.0
+    xn = xn_t.reshape(1, V3_PIX)
+    yn = yn_t.reshape(1, V3_PIX)
+    one = jnp.ones_like(xn)
+    basis = jnp.concatenate([xn, yn, one], axis=0)          # (3, PIX)
+
+    # P24: column group g activates coefficient rows 3g..3g+2
+    # (static construction — Mosaic lacks dynamic_update_slice)
+    blocks = []
+    for g in range(6):
+        parts = []
+        if g:
+            parts.append(jnp.zeros((3 * g, V3_PIX), jnp.float32))
+        parts.append(basis)
+        if N_COEF - 3 * g - 3:
+            parts.append(jnp.zeros((N_COEF - 3 * g - 3, V3_PIX), jnp.float32))
+        blocks.append(jnp.concatenate(parts, axis=0))
+    P = jnp.concatenate(blocks, axis=1)
+
+    count = counts_ref[1] + counts_ref[2 + i]   # big slots + tile bins
+
+    def chunk_step(c, carry):
+        best_d, best = carry                                # (1,PIX),(15,PIX)
+        C = coefT_ref[:, pl.ds(c * V3_CHUNK, V3_CHUNK)]     # (24, CHUNK)
+        A = attrT_ref[:, pl.ds(c * V3_CHUNK, V3_CHUNK)]     # (32, CHUNK)
+        active = ((jax.lax.broadcasted_iota(jnp.int32, (V3_CHUNK, 1), 0)
+                   + c * V3_CHUNK) < count)
+
+        E6 = jax.lax.dot_general(C, P, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        # (CHUNK, 6*PIX)
+        e0 = E6[:, 0 * V3_PIX:1 * V3_PIX]
+        e1 = E6[:, 1 * V3_PIX:2 * V3_PIX]
+        e2 = E6[:, 2 * V3_PIX:3 * V3_PIX]
+        d = E6[:, 3 * V3_PIX:4 * V3_PIX]
+        s3 = E6[:, 4 * V3_PIX:5 * V3_PIX]
+        s4 = E6[:, 5 * V3_PIX:6 * V3_PIX]
+        s = e0 + e1 + e2
+        inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (s > 0) & active
+        inside = inside & (s3 >= 0) & (s4 > 0)
+        valid = inside & (d > best_d) & (d <= 1.0)
+        score = jnp.where(valid, d, -1.0)
+
+        cmax = jnp.max(score, axis=0, keepdims=True)        # (1, PIX)
+        hit = (score == cmax) & (cmax > 0)
+        first = hit & (jnp.cumsum(hit.astype(jnp.int32), axis=0) == 1)
+        oh = first.astype(jnp.float32)
+
+        inv_s = 1.0 / jnp.where(s == 0.0, 1.0, s)
+        l0 = jnp.sum(e0 * inv_s * oh, axis=0, keepdims=True)
+        l1 = jnp.sum(e1 * inv_s * oh, axis=0, keepdims=True)
+        l2 = 1.0 - l0 - l1
+
+        WA = jax.lax.dot_general(A, oh, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        # (32, PIX): winner's per-vertex/per-tri values
+        u = WA[0:1] * l0 + WA[2:3] * l1 + WA[4:5] * l2
+        v = WA[1:2] * l0 + WA[3:4] * l1 + WA[5:6] * l2
+        nx = WA[6:7] * l0 + WA[9:10] * l1 + WA[12:13] * l2
+        ny = WA[7:8] * l0 + WA[10:11] * l1 + WA[13:14] * l2
+        nz = WA[8:9] * l0 + WA[11:12] * l1 + WA[14:15] * l2
+
+        won = cmax > 0
+        tri_id = jnp.where(won, WA[15:16], best[1:2])
+        new = jnp.concatenate([cmax, tri_id, u, v, nx, ny, nz,
+                               WA[16:24]], axis=0)          # (15, PIX)
+        best = jnp.where(won, new, best)
+        best_d = jnp.where(won, cmax, best_d)
+        return best_d, best
+
+    init_d = jnp.zeros((1, V3_PIX), jnp.float32)
+    init_b = jnp.concatenate([
+        jnp.zeros((1, V3_PIX), jnp.float32),
+        jnp.full((1, V3_PIX), -1.0, jnp.float32),
+        jnp.zeros((13, V3_PIX), jnp.float32)], axis=0)
+    best_d, best = jax.lax.fori_loop(0, n_chunks, chunk_step, (init_d, init_b))
+    out_refs[0][...] = best_d.reshape(TILE_H, TILE_W)
+    for j in range(1, 15):
+        out_refs[j][...] = best[j:j + 1].reshape(TILE_H, TILE_W)
+
+
+def raster_shade_mxu(setup, bins, big_ids, counts, tris, uv, normal,
+                     tri_material, materials, tiles_x, tiles_y, width, height,
+                     tile_ids=None, interpret=False):
+    """MXU raster+shade.  Same contract as raster_shade_pallas."""
+    coefT, attrT = pack_v3(setup, bins, big_ids, tris, uv, normal,
+                           tri_material, materials)
+    E = coefT.shape[2]
+    pad = (-E) % V3_CHUNK
+    if pad:
+        coefT = jnp.pad(coefT, ((0, 0), (0, 0), (0, pad)))
+        attrT = jnp.pad(attrT, ((0, 0), (0, 0), (0, pad)))
+    n_entries = coefT.shape[2]
+
+    if tile_ids is None:
+        tile_ids = jnp.arange(tiles_x * tiles_y, dtype=jnp.int32)
+    else:
+        coefT = coefT[tile_ids]
+        attrT = attrT[tile_ids]
+        counts = counts[tile_ids]
+    n_tiles = tile_ids.shape[0]
+    B = big_ids.shape[0]
+    trip = jnp.concatenate([jnp.sum(big_ids >= 0).astype(jnp.int32)[None],
+                            jnp.int32(B)[None], counts.astype(jnp.int32)])
+
+    N_OUT = 15
+
+    def kernel_wrap(tile_ids_ref, counts_ref, coefT_ref, attrT_ref, *outs):
+        _v3_kernel(tile_ids_ref, counts_ref, coefT_ref.at[0], attrT_ref.at[0],
+                   [o.at[0] for o in outs], tiles_x=tiles_x, width=width,
+                   height=height, n_entries=n_entries)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec((1, N_COEF, n_entries), lambda i, *_: (i, 0, 0)),
+                  pl.BlockSpec((1, N_ATTR, n_entries), lambda i, *_: (i, 0, 0))],
+        out_specs=[pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0))
+                   for _ in range(N_OUT)],
+    )
+    out_shape = [jax.ShapeDtypeStruct((n_tiles, TILE_H, TILE_W), jnp.float32)
+                 for _ in range(N_OUT)]
+    planes = pl.pallas_call(kernel_wrap, grid_spec=grid_spec,
+                            out_shape=out_shape, interpret=interpret)(
+        tile_ids, trip, coefT, attrT)
+
+    from .raster import _untile
+    tyl = n_tiles // tiles_x
+    u = [_untile(p, tiles_x, tyl) for p in planes]
+    return dict(
+        depth=u[0], vis=jnp.round(u[1]).astype(jnp.int32),
+        uv=jnp.stack([u[2], u[3]], -1),
+        normal=jnp.stack([u[4], u[5], u[6]], -1),
+        color=jnp.stack([u[7], u[8], u[9]], -1),
+        emissive=u[10], metalness=u[11], roughness=u[12],
+        reflectivity=u[13], albedo_id=jnp.round(u[14]).astype(jnp.int32),
+    )

@@ -268,6 +268,9 @@ class RenderContext:
         if self.config.max_particle_quads > 0:
             draws["forward"] = renderlist.forward_arrays(
                 self.config.max_particle_quads, camera)
+        if self.config.max_translucent_draws > 0:
+            draws["translucent"] = renderlist.translucent_arrays(
+                self.config.max_translucent_draws, self.default_material)
         if self.config.max_decals_active > 0:
             draws["decals"] = renderlist.decal_arrays(self.config.max_decals_active)
         if self.config.max_dynamic_vertices > 0:

@@ -128,9 +128,11 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
     if cfg.use_pallas and not cfg.enable_material_maps:
         # fused raster + attribute/material interpolation: no per-pixel
         # attribute gathers at all (gather throughput is the TPU wall)
-        from ..ops.raster_pallas import raster_shade_pallas
+        from ..ops.raster_pallas import raster_shade_pallas, raster_shade_mxu
+        shade_fn = (raster_shade_mxu if cfg.raster_kernel == "mxu"
+                    else raster_shade_pallas)
         tri_mat = draws["material"][ex["tri_draw"]]
-        planes = raster_shade_pallas(
+        planes = shade_fn(
             setup, bins, big_ids, counts, ex["tris"], uv, wnormal, tri_mat,
             device["materials"], tx, ty, w, h)
         depth, vis = planes["depth"], planes["vis"]
@@ -222,6 +224,34 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
             depth_range=cfg.fog_depth_range)
         hdr = fog_ops.apply_fog(hdr, depth, fogvol, sceneset["proj"],
                                 depth_range=cfg.fog_depth_range)
+
+    # translucent meshes via weighted-blend OIT (reference:
+    # renderer.cpp:6596-6684 translucent subpass; v1 shading = tinted
+    # N.L-less blend, clustered forward shading on the backlog)
+    if cfg.max_translucent_draws > 0:
+        from ..ops import blend as blend_ops
+
+        td = draws["translucent"]
+        tex = expand_draws(geom, td["mesh"], td["count"],
+                           cfg.max_vertices, cfg.max_translucent_tris)
+        tpos = geom["positions"][tex["src_v"]]
+        tclip, _, _, _ = transform_vertices_rigid(
+            tpos, geom["normals"][tex["src_v"]],
+            geom["tangents"][tex["src_v"]], tex["vtx_draw"], td["world"],
+            viewproj)
+        tmat = td["material"][tex["vtx_draw"]]
+        tcol = device["materials"]["color"][tmat]          # (V, 4)
+        tuv = geom["texcoords"][tex["src_v"]]
+        tsetup = raster_ops.triangle_setup(tclip, tex["tris"], w, h, tx, ty,
+                                           tri_valid=tex["t_valid"])
+        tbins, tcounts, tbig = raster_ops.bin_triangles(
+            tsetup, cfg.max_translucent_tris, tx, ty, cfg.bin_capacity,
+            cfg.big_capacity)
+        exposure_t = sceneset["camera"]["exposure"]
+        taccum, treveal = blend_ops.raster_blend(
+            tsetup, tbins, tbig, tuv, tcol, tex["tris"], depth, tx, ty, w, h,
+            soft=False)
+        hdr = blend_ops.resolve_oit(hdr, taccum * exposure_t, treveal)
 
     # forward OIT: particles / translucents (reference: renderer.cpp
     # :6596-6684 weighted-blend subpasses + weightblend resolve)

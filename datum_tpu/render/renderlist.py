@@ -25,6 +25,7 @@ class RenderList:
         self.oceans = []         # dynamic ocean surfaces
         self.decals = []
         self.probes = []
+        self.translucents = []
         self.sprites = []        # overlay sprites (drawn post-composite)
         self.wireframes = []
 
@@ -47,6 +48,25 @@ class RenderList:
         if caster:
             self.casters.append(dict(mesh=mesh.mesh_id, transform=m,
                                      material=material))
+
+    def push_translucent(self, mesh, transform, material):
+        """Translucent mesh for the weighted-blend OIT pass (reference:
+        forwardlist push_translucent; material alpha < 1)."""
+        self.translucents.append(dict(mesh=mesh.mesh_id,
+                                      transform=_to_affine(transform),
+                                      material=material))
+
+    def translucent_arrays(self, max_draws, default_material):
+        mesh = np.zeros(max_draws, np.int32)
+        world = np.zeros((max_draws, 3, 4), np.float32)
+        world[:, :, :3] = np.eye(3)
+        material = np.full(max_draws, default_material, np.int32)
+        n = min(len(self.translucents), max_draws)
+        for i, d in enumerate(self.translucents[:n]):
+            mesh[i] = d["mesh"]
+            world[i] = d["transform"]
+            material[i] = d["material"]
+        return dict(mesh=mesh, world=world, material=material, count=np.int32(n))
 
     def push_caster(self, mesh, transform, material=0):
         self.casters.append(dict(mesh=mesh.mesh_id, transform=_to_affine(transform),

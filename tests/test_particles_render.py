@@ -82,3 +82,38 @@ def test_particles_occluded_by_opaque():
     # wall (blue-ish ambient) wins over yellow particles behind it
     assert centre[..., 2].mean() > centre[..., 0].mean(), \
         f"particles bled through wall: {centre.mean(axis=(0, 1))}"
+
+
+def test_translucent_mesh_blends():
+    from datum_tpu.render import primitives
+    from datum_tpu.ops.common import FrameConfig
+    from datum_tpu.render import Camera, RenderContext, RenderList, RenderParams
+    from datum_tpu.math import Transform
+
+    cfg = FrameConfig(width=256, height=128, max_vertices=1024, max_triangles=1024,
+                      max_instances=4, bin_capacity=64, big_capacity=16,
+                      enable_shadows=False, max_translucent_draws=4,
+                      max_translucent_tris=64)
+    ctx = RenderContext(cfg)
+    qv, qi = primitives.unit_quad()
+    quad = ctx.add_mesh(qv, qi)
+    opaque_red = ctx.add_material(color=(1, 0, 0, 1))
+    glass_blue = ctx.add_material(color=(0.1, 0.2, 3.0, 0.5))
+
+    cam = Camera()
+    cam.set_projection(np.radians(60), 2.0)
+    cam.lookat(np.array([0.0, 0.0, 5.0]), np.array([0.0, 0.0, 0.0]),
+               np.array([0.0, 1.0, 0.0]))
+    params = RenderParams(width=256, height=128)
+    params.ambientintensity = 1.0
+
+    rl = RenderList()
+    rl.push_mesh(quad, Transform.translation([0, 0, -1.0]), opaque_red)
+    rl.push_translucent(quad, Transform.translation([0.5, 0, 1.0]), glass_blue)
+    img = ctx.render(cam, rl, params).astype(np.float32)
+    # overlap region: red shows through blue glass -> both channels up
+    overlap = img[40:80, 140:180]
+    red_only = img[40:80, 60:90]
+    assert overlap[..., 2].mean() > 20, f"glass invisible {overlap.mean(0).mean(0)}"
+    assert overlap[..., 0].mean() > 10, "background lost behind glass"
+    assert red_only[..., 2].mean() < overlap[..., 2].mean() * 0.5

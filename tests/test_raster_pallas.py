@@ -109,3 +109,46 @@ def test_fused_attr_kernel_matches_deferred(rng):
     sel = agree & (vis >= 0)
     err = np.abs(np.asarray(planes["uv"])[sel] - uv_ref[sel])
     assert err.max() < 1e-3, err.max()
+
+
+def test_mxu_kernel_matches_v2(rng):
+    """raster_shade_mxu (interpret) matches raster_shade_pallas."""
+    import jax.numpy as jnp
+    from datum_tpu.ops.raster_pallas import raster_shade_pallas, raster_shade_mxu
+
+    proj = perspective_proj(np.radians(70), W / H, 0.1)
+    pts = rng.randn(40, 3).astype(np.float32) * 2
+    pts[:, 2] -= 6
+    hp = np.concatenate([pts, np.ones((40, 1), np.float32)], 1)
+    clip = jnp.asarray(hp @ proj.T)
+    tris = jnp.asarray(rng.randint(0, 40, (60, 3)).astype(np.int32))
+    uv = jnp.asarray(rng.rand(40, 2).astype(np.float32))
+    nrm = jnp.asarray(rng.randn(40, 3).astype(np.float32))
+    tri_mat = jnp.asarray(rng.randint(0, 3, 60).astype(np.int32))
+    materials = dict(
+        color=jnp.asarray(rng.rand(4, 4).astype(np.float32)),
+        emissive=jnp.asarray(rng.rand(4).astype(np.float32)),
+        metalness=jnp.asarray(rng.rand(4).astype(np.float32)),
+        roughness=jnp.asarray(rng.rand(4).astype(np.float32)),
+        reflectivity=jnp.asarray(rng.rand(4).astype(np.float32)),
+        albedomap=jnp.zeros(4, jnp.int32),
+    )
+    setup = R.triangle_setup(clip, tris, W, H, TX, TY)
+    bins, counts, big = R.bin_triangles(setup, 60, TX, TY, 32, 8)
+
+    a = raster_shade_pallas(setup, bins, big, counts, tris, uv, nrm, tri_mat,
+                            materials, TX, TY, W, H, interpret=True)
+    b = raster_shade_mxu(setup, bins, big, counts, tris, uv, nrm, tri_mat,
+                         materials, TX, TY, W, H, interpret=True)
+    va, vb = np.asarray(a["vis"]), np.asarray(b["vis"])
+    agree = va == vb
+    assert agree.mean() > 0.998, f"{(~agree).sum()} vis mismatches"
+    sel = agree & (va >= 0)
+    np.testing.assert_allclose(np.asarray(a["depth"])[sel],
+                               np.asarray(b["depth"])[sel], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a["uv"])[sel],
+                               np.asarray(b["uv"])[sel], atol=2e-3)
+    np.testing.assert_allclose(np.asarray(a["normal"])[sel],
+                               np.asarray(b["normal"])[sel], atol=2e-3)
+    np.testing.assert_allclose(np.asarray(a["color"])[sel],
+                               np.asarray(b["color"])[sel], atol=1e-4)
