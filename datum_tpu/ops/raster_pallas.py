@@ -444,7 +444,11 @@ def _v3_kernel(tile_ids_ref, counts_ref, coefT_ref, attrT_ref, out_refs,
 
         cmax = jnp.max(score, axis=0, keepdims=True)        # (1, PIX)
         hit = (score == cmax) & (cmax > 0)
-        first = hit & (jnp.cumsum(hit.astype(jnp.int32), axis=0) == 1)
+        # first-match tie-break without cumsum (unsupported in Mosaic):
+        # lowest row index among hits
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (V3_CHUNK, V3_PIX), 0)
+        fid = jnp.min(jnp.where(hit, ridx, V3_CHUNK + 1), axis=0, keepdims=True)
+        first = hit & (ridx == fid)
         oh = first.astype(jnp.float32)
 
         inv_s = 1.0 / jnp.where(s == 0.0, 1.0, s)

@@ -1,0 +1,86 @@
+"""3D debug overlays composited on the host: lines, wireframes, gizmos.
+
+Reference parity: the overlay pipeline family (reference: data/line.*,
+wireframe.*, gizmo.*, outline.* programs + overlaylist builders).
+Overlay geometry is tiny (debug aids), so projecting on the host and
+blitting 2D lines over the presented frame gives the same capability
+without device round-trips.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _project(points, viewproj, width, height):
+    hp = np.concatenate([np.asarray(points, np.float32),
+                         np.ones((len(points), 1), np.float32)], -1)
+    clip = hp @ np.asarray(viewproj, np.float32).T
+    w = clip[:, 3]
+    ok = w > 1e-4
+    sw = np.where(ok, w, 1.0)
+    x = (clip[:, 0] / sw * 0.5 + 0.5) * width
+    y = (clip[:, 1] / sw * 0.5 + 0.5) * height
+    return x, y, ok
+
+
+def draw_line_2d(image, x0, y0, x1, y1, color=(255, 255, 255), alpha=1.0):
+    """Sampled line segment blit into a uint8 (H, W, 3) frame."""
+    h, w = image.shape[:2]
+    n = int(max(abs(x1 - x0), abs(y1 - y0), 1)) + 1
+    xs = np.linspace(x0, x1, n)
+    ys = np.linspace(y0, y1, n)
+    valid = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
+    xi = xs[valid].astype(np.int32)
+    yi = ys[valid].astype(np.int32)
+    c = np.asarray(color, np.float32)
+    image[yi, xi] = np.clip(image[yi, xi] * (1 - alpha) + c * alpha,
+                            0, 255).astype(np.uint8)
+
+
+def draw_lines(image, segments, viewproj, color=(255, 255, 255), alpha=1.0):
+    """World-space line list: segments (N, 2, 3)."""
+    h, w = image.shape[:2]
+    segs = np.asarray(segments, np.float32).reshape(-1, 2, 3)
+    x, y, ok = _project(segs.reshape(-1, 3), viewproj, w, h)
+    x = x.reshape(-1, 2)
+    y = y.reshape(-1, 2)
+    ok = ok.reshape(-1, 2).all(1)
+    for i in np.nonzero(ok)[0]:
+        draw_line_2d(image, x[i, 0], y[i, 0], x[i, 1], y[i, 1], color, alpha)
+
+
+def draw_wireframe(image, positions, indices, transform, viewproj,
+                   color=(80, 255, 120), alpha=0.8):
+    """Wireframe of a triangle mesh (edges of each triangle)."""
+    pos = transform.transform_point(np.asarray(positions, np.float32))
+    tris = np.asarray(indices, np.int32).reshape(-1, 3)
+    edges = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]])
+    # unique undirected edges
+    key = np.sort(edges, axis=1)
+    _, idx = np.unique(key[:, 0].astype(np.int64) << 32 | key[:, 1], return_index=True)
+    segs = pos[edges[idx]]
+    draw_lines(image, segs, viewproj, color, alpha)
+
+
+def draw_gizmo(image, transform, viewproj, size=1.0):
+    """RGB axis gizmo at a transform (reference: gizmo.vert/frag)."""
+    o = transform.translation_vec()
+    from ..math.quaternion import quat_rotate
+
+    q = transform.rotation_quat()
+    for axis, color in ((np.array([1.0, 0, 0]), (255, 64, 64)),
+                        (np.array([0, 1.0, 0]), (64, 255, 64)),
+                        (np.array([0, 0, 1.0]), (64, 128, 255))):
+        tip = o + quat_rotate(q, axis * size)
+        draw_lines(image, [[o, tip]], viewproj, color, 1.0)
+
+
+def draw_bound(image, bound, viewproj, color=(255, 220, 60), alpha=0.8):
+    """AABB outline (the line_cube overlay)."""
+    mn, mx = bound.min, bound.max
+    c = np.array([[x, y, z] for x in (mn[0], mx[0])
+                  for y in (mn[1], mx[1]) for z in (mn[2], mx[2])], np.float32)
+    e = [(0, 1), (0, 2), (0, 4), (1, 3), (1, 5), (2, 3), (2, 6),
+         (3, 7), (4, 5), (4, 6), (5, 7), (6, 7)]
+    draw_lines(image, c[np.asarray(e)], viewproj, color, alpha)
