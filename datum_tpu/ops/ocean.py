@@ -112,3 +112,61 @@ def displace_grid(base_xz, disp, normal, patch_size, swell=(0.0, 0.0, 0.0, 1.0))
         nrm = nrm.at[:, 2].add(-amp * jnp.cos(ph) * dz_)
         nrm = nrm / jnp.linalg.norm(nrm, axis=-1, keepdims=True)
     return pos.astype(jnp.float32), nrm.astype(jnp.float32)
+
+
+def water_color_lut(size=64, deep=(0.02, 0.08, 0.14), shallow=(0.10, 0.42, 0.40),
+                    facing_tint=(0.25, 0.45, 0.55)):
+    """Procedural water-color LUT texture (the ocean albedo map asset).
+
+    Axis u = depth scale (0 shallow -> 1 deep), axis v = fresnel facing
+    (0 grazing -> 1 head-on); the top rows are reserved pure-white foam
+    so per-vertex foam can whiten by pushing v -> 1 (reference:
+    data/ocean.frag albedo = texture(albedomap, (scale, facing))).
+    Returns (size, size, 4) float32 rgba.
+    """
+    u = np.linspace(0, 1, size, dtype=np.float32)[None, :, None]
+    v = np.linspace(0, 1, size, dtype=np.float32)[:, None, None]
+    deep = np.asarray(deep, np.float32)
+    shallow = np.asarray(shallow, np.float32)
+    tint = np.asarray(facing_tint, np.float32)
+    rgb = shallow * (1 - u) + deep * u
+    rgb = rgb * (1 - 0.5 * v) + tint * (0.5 * v)
+    foam = np.clip((v - 0.9) / 0.1, 0, 1)
+    rgb = rgb * (1 - foam) + foam
+    a = np.ones((size, size, 1), np.float32)
+    return np.concatenate([np.broadcast_to(rgb, (size, size, 3)), a], -1)
+
+
+def ocean_lut_uv(pos, nrm, cam_pos, foamplane=(0.0, 1.0, 0.0, 0.0),
+                 foamwaveheight=1.0, foamwavescale=0.0,
+                 foamshoreheight=0.1, foamshorescale=0.0,
+                 depthscale=0.05, waterdepth=20.0):
+    """Per-vertex water-LUT coordinates + foam (reference data/ocean.frag
+    main: scale/facing albedo lookup, wavefoam from the foam plane with a
+    cubed falloff, shorefoam from water depth).
+
+    The reference reads scene depth behind the surface per fragment; on
+    the TPU path the surface is shaded through the generic deferred
+    pipeline, so water depth is approximated by `waterdepth` minus the
+    plane height (deep water unless the caller passes a terrain-aware
+    value).  Returns (V, 2) texcoords into water_color_lut.
+    """
+    cam = jnp.asarray(cam_pos, jnp.float32)
+    eyevec = cam[None, :] - pos
+    eyevec = eyevec / jnp.maximum(
+        jnp.linalg.norm(eyevec, axis=-1, keepdims=True), 1e-6)
+    facing = jnp.clip(1.0 - jnp.sum(eyevec * nrm, -1), 0.0, 1.0)
+
+    fp = jnp.asarray(foamplane, jnp.float32)
+    height = pos @ fp[:3] + fp[3]
+    dist = jnp.maximum(waterdepth - height, 0.0)
+    hw = height - foamwaveheight
+    wavefoam = jnp.clip(hw * hw * hw * foamwavescale, 0.0, 1.0)
+    shorefoam = jnp.clip(height - (dist - foamshoreheight) * foamshorescale,
+                         0.0, 1.0) * 0.27
+    foam = jnp.clip(wavefoam + shorefoam, 0.0, 1.0)
+
+    u = jnp.clip(depthscale * dist, 1e-3, 1.0)
+    v = (1.0 - facing) * 0.88          # grazing -> lighter rows
+    v = v + foam * (1.0 - v)           # foam whitens (v=1 row is white)
+    return jnp.stack([u, v], -1).astype(jnp.float32)

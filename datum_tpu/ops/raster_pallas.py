@@ -331,8 +331,11 @@ def raster_shade_pallas(setup, bins, big_ids, counts, tris, uv, normal,
 # Every memory access is an aligned vector slice.
 # ---------------------------------------------------------------------------
 
-V3_CHUNK = 128
-V3_PIX = TILE_H * TILE_W      # whole tile as one pixel block (4096)
+V3_CHUNK = 128                # lane slices must be 128-aligned (Mosaic)
+V3_HALF = TILE_H // 2         # tile processed as two 16-row halves: the
+V3_PIX = V3_HALF * TILE_W     # full-tile E6 (CHUNK, 6*4096) f32 blew the
+                              # 16M scoped-vmem limit by 124K; half-tile
+                              # blocks of 2048 pixels fit comfortably
 N_COEF = 24                   # 6 groups x 3 rows: e0 e1 e2 d scis_lo scis_hi
 N_ATTR = 32
 
@@ -395,10 +398,18 @@ def _v3_kernel(tile_ids_ref, counts_ref, coefT_ref, attrT_ref, out_refs,
     ty = tile // tiles_x
     tx = tile % tiles_x
     n_chunks = n_entries // V3_CHUNK
+    count = counts_ref[1] + counts_ref[2 + i]   # big slots + tile bins
 
-    yy = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
-    xx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
-    yn_t = (ty.astype(jnp.float32) * TILE_H + yy + 0.5) * (2.0 / height) - 1.0
+    for half in range(TILE_H // V3_HALF):
+        _v3_half(half, ty, tx, count, n_chunks, coefT_ref, attrT_ref,
+                 out_refs, width=width, height=height)
+
+
+def _v3_half(half, ty, tx, count, n_chunks, coefT_ref, attrT_ref, out_refs,
+             *, width, height):
+    yy = jax.lax.broadcasted_iota(jnp.int32, (V3_HALF, TILE_W), 0).astype(jnp.float32)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (V3_HALF, TILE_W), 1).astype(jnp.float32)
+    yn_t = (ty.astype(jnp.float32) * TILE_H + half * V3_HALF + yy + 0.5) * (2.0 / height) - 1.0
     xn_t = (tx.astype(jnp.float32) * TILE_W + xx + 0.5) * (2.0 / width) - 1.0
     xn = xn_t.reshape(1, V3_PIX)
     yn = yn_t.reshape(1, V3_PIX)
@@ -417,8 +428,6 @@ def _v3_kernel(tile_ids_ref, counts_ref, coefT_ref, attrT_ref, out_refs,
             parts.append(jnp.zeros((N_COEF - 3 * g - 3, V3_PIX), jnp.float32))
         blocks.append(jnp.concatenate(parts, axis=0))
     P = jnp.concatenate(blocks, axis=1)
-
-    count = counts_ref[1] + counts_ref[2 + i]   # big slots + tile bins
 
     def chunk_step(c, carry):
         best_d, best = carry                                # (1,PIX),(15,PIX)
@@ -479,9 +488,10 @@ def _v3_kernel(tile_ids_ref, counts_ref, coefT_ref, attrT_ref, out_refs,
         jnp.full((1, V3_PIX), -1.0, jnp.float32),
         jnp.zeros((13, V3_PIX), jnp.float32)], axis=0)
     best_d, best = jax.lax.fori_loop(0, n_chunks, chunk_step, (init_d, init_b))
-    out_refs[0][...] = best_d.reshape(TILE_H, TILE_W)
+    r0, r1 = half * V3_HALF, (half + 1) * V3_HALF
+    out_refs[0][r0:r1, :] = best_d.reshape(V3_HALF, TILE_W)
     for j in range(1, 15):
-        out_refs[j][...] = best[j:j + 1].reshape(TILE_H, TILE_W)
+        out_refs[j][r0:r1, :] = best[j:j + 1].reshape(V3_HALF, TILE_W)
 
 
 def raster_shade_mxu(setup, bins, big_ids, counts, tris, uv, normal,

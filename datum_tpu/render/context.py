@@ -224,6 +224,17 @@ class RenderContext:
         self._device = None
         return self.pool.add_mesh(vertices, indices, **kw)
 
+    def add_water_material(self, color=(1, 1, 1, 1), metalness=0.0,
+                           roughness=0.08, reflectivity=0.9, **lut_kw) -> int:
+        """Water material: procedural (depth, facing) color LUT as the
+        albedo map; ocean vertices carry LUT coords (reference:
+        data/ocean.frag albedo lookup + core Ocean material asset)."""
+        from ..ops.ocean import water_color_lut
+        tex = self.add_texture(water_color_lut(**lut_kw))
+        return self.add_material(color=color, metalness=metalness,
+                                 roughness=roughness,
+                                 reflectivity=reflectivity, albedomap=tex)
+
     # --- device state -----------------------------------------------------
     def device_state(self):
         if self._device is None:
@@ -276,11 +287,13 @@ class RenderContext:
         if self.config.max_dynamic_vertices > 0:
             md = self.config.max_dynamic_vertices
             if renderlist.oceans:
-                draws["dyn"] = renderlist.oceans[0].vertex_data(md)
+                draws["dyn"] = renderlist.oceans[0].vertex_data(
+                    md, camera.position)
             else:
                 draws["dyn"] = dict(
                     positions=np.zeros((md, 3), np.float32),
                     normals=np.zeros((md, 3), np.float32),
+                    texcoords=np.zeros((md, 2), np.float32),
                     offset=np.int32(0), count=np.int32(0))
         out = frame_mod.render_frame(self.config, self.device_state(), draws, sceneset)
         self.luminance = float(out["luminance"])

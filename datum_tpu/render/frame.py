@@ -85,6 +85,12 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
             geom["positions"], new_p, (dyn["offset"], 0))
         geom["normals"] = jax.lax.dynamic_update_slice(
             geom["normals"], new_n, (dyn["offset"], 0))
+        if "texcoords" in dyn:      # ocean water-LUT coords
+            cur_t = jax.lax.dynamic_slice(
+                geom["texcoords"], (dyn["offset"], 0), (md, 2))
+            geom["texcoords"] = jax.lax.dynamic_update_slice(
+                geom["texcoords"], jnp.where(mask, dyn["texcoords"], cur_t),
+                (dyn["offset"], 0))
 
     ex = expand_draws(geom, draws["mesh"], draws["count"],
                       cfg.max_vertices, cfg.max_triangles)

@@ -21,6 +21,8 @@ from ..ops import ocean as ocean_ops
 
 @dataclasses.dataclass
 class OceanParams:
+    """Simulation + shading params (reference: src/renderer/ocean.h
+    OceanParams and geometrylist.h:60 push_ocean arguments)."""
     wind: tuple = (8.0, 4.0)
     amplitude: float = 4e-4
     choppiness: float = 1.5
@@ -29,6 +31,14 @@ class OceanParams:
     swellwavelength: float = 40.0
     flow: tuple = (0.0, 0.0)
     seed: int = 0
+    # shading (data/ocean.frag)
+    bumpscale: tuple = (1.0, 1.0, 1.0)
+    foamplane: tuple = (0.0, 1.0, 0.0, 0.0)
+    foamwaveheight: float = 1.0
+    foamwavescale: float = 0.0
+    foamshoreheight: float = 0.1
+    foamshorescale: float = 0.0
+    waterdepth: float = 20.0
 
 
 class Ocean:
@@ -71,28 +81,40 @@ class Ocean:
         self._base_dev = jnp.asarray(pos)
         self._compute = jax.jit(self._compute_impl)
 
-    def _compute_impl(self, t):
+    def _compute_impl(self, t, cam_pos):
+        p = self.params
+        # flow scrolls the (periodic) displacement field under the grid
+        # (reference: data/ocean.frag params.flow scrolling the bump maps)
+        base = self._base_dev.at[:, 0].add(p.flow[0] * t)
+        base = base.at[:, 2].add(p.flow[1] * t)
         disp, normal = ocean_ops.ocean_maps(
-            self.h0, self.kx, self.ky, self.k, self.omega, t,
-            self.params.choppiness)
-        swell = (self.params.swellamplitude, self.params.swelldirection[0],
-                 self.params.swelldirection[1], self.params.swellwavelength)
-        return ocean_ops.displace_grid(self._base_dev, disp, normal,
-                                       self.patch_size, swell)
+            self.h0, self.kx, self.ky, self.k, self.omega, t, p.choppiness)
+        swell = (p.swellamplitude, p.swelldirection[0],
+                 p.swelldirection[1], p.swellwavelength)
+        pos, nrm = ocean_ops.displace_grid(base, disp, normal,
+                                           self.patch_size, swell)
+        pos = pos - (base - self._base_dev)     # flow moves waves, not mesh
+        uv = ocean_ops.ocean_lut_uv(
+            pos, nrm, cam_pos, p.foamplane, p.foamwaveheight, p.foamwavescale,
+            p.foamshoreheight, p.foamshorescale, waterdepth=p.waterdepth)
+        return pos, nrm, uv
 
     def update(self, dt):
         """Advance simulation time (reference: update_ocean)."""
         self.time += dt
 
-    def vertex_data(self, max_dynamic):
-        """(positions, normals, offset, count) padded to max_dynamic."""
-        pos, nrm = self._compute(jnp.float32(self.time))
+    def vertex_data(self, max_dynamic, cam_pos=(0.0, 10.0, 0.0)):
+        """(positions, normals, texcoords, offset, count) padded to
+        max_dynamic.  texcoords index a water_color_lut texture."""
+        pos, nrm, uv = self._compute(jnp.float32(self.time),
+                                     jnp.asarray(cam_pos, jnp.float32))
         pad = max_dynamic - self.vertexcount
         if pad < 0:
             raise ValueError("ocean grid exceeds max_dynamic_vertices")
         pos = jnp.pad(pos, ((0, pad), (0, 0)))
         nrm = jnp.pad(nrm, ((0, pad), (0, 0)))
-        return dict(positions=pos, normals=nrm,
+        uv = jnp.pad(uv, ((0, pad), (0, 0)))
+        return dict(positions=pos, normals=nrm, texcoords=uv,
                     offset=np.int32(self.vertex_offset),
                     count=np.int32(self.vertexcount))
 

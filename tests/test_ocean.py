@@ -82,3 +82,49 @@ class TestOceanRender:
         assert cov > 0.1, f"ocean coverage {cov}"
         diff = np.abs(imgs[1] - imgs[0]).mean()
         assert diff > 0.05, f"ocean static between frames (diff {diff})"
+
+    def test_water_lut_shading_and_foam(self):
+        from datum_tpu.ops.common import FrameConfig
+        from datum_tpu.ops.ocean import ocean_lut_uv, water_color_lut
+        from datum_tpu.render import Camera, RenderContext, RenderList, RenderParams
+        from datum_tpu.render.ocean import Ocean, OceanParams, render_ocean_surface
+        from datum_tpu.math import Transform
+
+        lut = water_color_lut()
+        # foam row is white, deep row is dark
+        assert lut[-1, 32, :3].min() > 0.95
+        assert lut[0, -1, :3].max() < 0.3
+
+        # foam whitens the v coordinate above the foam plane
+        pos = np.array([[0, 3.0, 0], [0, -1.0, 0]], np.float32)
+        nrm = np.tile([0, 1, 0.0], (2, 1)).astype(np.float32)
+        uv = np.asarray(ocean_lut_uv(pos, nrm, (0, 10, 50.0),
+                                     foamwaveheight=1.0, foamwavescale=2.0))
+        assert uv[0, 1] > uv[1, 1] + 0.3, f"no foam whitening {uv}"
+
+        cfg = FrameConfig(width=256, height=128, max_vertices=1 << 14,
+                          max_triangles=1 << 15, max_instances=4,
+                          bin_capacity=512, big_capacity=32,
+                          enable_shadows=False, texture_filter="bilinear",
+                          max_dynamic_vertices=1 << 14)
+        ctx = RenderContext(cfg)
+        ocean = Ocean(ctx, grid=48, patch_size=64.0,
+                      params=OceanParams(amplitude=2e-3, foamwavescale=1.5,
+                                         foamwaveheight=0.4, flow=(0.5, 0.2)))
+        water = ctx.add_water_material()
+        cam = Camera()
+        cam.set_projection(np.radians(60), 2.0)
+        cam.lookat(np.array([32.0, 9.0, 78.0]), np.array([32.0, 0.0, 32.0]),
+                   np.array([0.0, 1.0, 0.0]))
+        params = RenderParams(width=256, height=128)
+        params.sunintensity = np.array([4.0, 4.0, 3.8], np.float32)
+        ocean.update(1.2)
+        rl = RenderList()
+        render_ocean_surface(ocean, rl, Transform.identity(), water)
+        img = ctx.render(cam, rl, params).astype(np.float32)
+        water_px = img.max(-1) > 0
+        assert water_px.mean() > 0.1
+        # water reads blue-green (LUT), not the white default texture
+        sel = img[water_px]
+        assert sel[:, 2].mean() > sel[:, 0].mean() * 1.05, \
+            f"water not blue: {sel.mean(0)}"
