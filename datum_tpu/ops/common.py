@@ -62,7 +62,11 @@ class FrameConfig:
     shadow_mode: str = "esm"         # 'esm' (1-tap) or 'pcf' (12-tap poisson)
     enable_material_maps: bool = True  # sample surface/normal textures
     use_pallas: bool = False         # Mosaic raster kernel (TPU only)
-    raster_kernel: str = "mxu"       # 'mxu' (matmul chunks) or 'v2' (scalar loop)
+    # 'v2' scalar-loop kernel is the default: the 'mxu' matmul-chunk
+    # formulation measured 41.4 ms vs v2's 33.0 ms on the bench scene and
+    # loses edge-function precision to the MXU's bf16 mantissa (0.77 vis
+    # agreement on hardware) — kept selectable for sparse-bin scenes.
+    raster_kernel: str = "v2"
     texture_filter: str = "nearest"  # none|nearest_half|nearest|bilinear
     enable_skinning: bool = False    # dual-quat skinned vertex path
     max_palettes: int = 16

@@ -100,6 +100,14 @@ def shade_deferred(gbuffer, depth, sceneset, *, proj, invview,
         bj = jnp.clip((ndv * s).astype(jnp.int32), 0, s - 1)
         envbrdf = lut[bi, bj]
 
+        # local environment probe boxes override the global env
+        # (reference: lighting.comp:187-207 environment loop)
+        envs = ibl.get("envprobes")
+        if envs is not None and envs["position"].shape[0] > 0:
+            from .envprobe import env_probe_lookup
+            env_specular, env_diffuse = env_probe_lookup(
+                worldpos, sdir, ddir, rough, envs, env_specular, env_diffuse)
+
     # SH irradiance probes add to env diffuse (reference:
     # lighting.comp:210-221 probe_irradiance accumulation)
     probes = sceneset.get("probes")

@@ -158,11 +158,29 @@ class RenderContext:
         self.skybox = None
         self.colorlut = None
         self._envbrdf = None
+        self._envprobes = []
         self.luminance = 0.18   # last frame's log-average luminance readback
 
     def set_skybox(self, skybox):
         """Attach an EnvMap/SkyBox as the global environment."""
         self.skybox = skybox
+        self._device = None
+
+    def add_environment(self, position, halfdim, cubemap, rotation=None,
+                        levels=5):
+        """Local environment probe box (reference: src/renderer/envmap +
+        lighting.comp environment loop).  cubemap: (6, S, S, 3+) float;
+        a specular mip chain is prefiltered at registration."""
+        from ..math.quaternion import quat_to_matrix
+        from ..ops.ibl import build_specular_mips
+
+        mips = build_specular_mips(np.asarray(cubemap, np.float32), levels)
+        rot = np.eye(3, dtype=np.float32) if rotation is None \
+            else quat_to_matrix(rotation).astype(np.float32)
+        self._envprobes.append(dict(
+            position=np.asarray(position, np.float32),
+            inv_rot=rot.T, halfdim=np.asarray(halfdim, np.float32),
+            mips=[np.asarray(m) for m in mips]))
         self._device = None
 
     def set_colorlut(self, lut):
@@ -257,6 +275,24 @@ class RenderContext:
                     mips=tuple(self.skybox.mips),
                     envbrdf=jnp.asarray(self.envbrdf_lut()),
                 )
+                if self._envprobes:
+                    eps = self._envprobes
+                    shapes = {tuple(m.shape for m in e["mips"]) for e in eps}
+                    if len(shapes) != 1:
+                        raise ValueError(
+                            "environment probes must share cubemap size")
+                    n_lod = len(eps[0]["mips"])
+                    self._device["ibl"]["envprobes"] = dict(
+                        position=jnp.asarray(
+                            np.stack([e["position"] for e in eps])),
+                        inv_rot=jnp.asarray(
+                            np.stack([e["inv_rot"] for e in eps])),
+                        halfdim=jnp.asarray(
+                            np.stack([e["halfdim"] for e in eps])),
+                        mips=[jnp.asarray(
+                            np.stack([e["mips"][l] for e in eps]))
+                            for l in range(n_lod)],
+                        count=jnp.int32(len(eps)))
             if self.colorlut is not None:
                 self._device["colorlut"] = jnp.asarray(self.colorlut)
         return self._device

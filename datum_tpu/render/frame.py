@@ -179,7 +179,8 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
         from ..ops.lighting_pass import reconstruct_positions
         _, wpos = reconstruct_positions(depth, sceneset["proj"],
                                         sceneset["invview"], w, h)
-        gbuffer = apply_decals(gbuffer, wpos, draws["decals"])
+        gbuffer = apply_decals(gbuffer, wpos, draws["decals"],
+                               textures=device.get("textures"))
 
     # ambient occlusion (reference: hbao.comp), quarter res
     ssao_img = None

@@ -105,9 +105,10 @@ class RenderList:
 
     # --- decals -----------------------------------------------------------
     def push_decal(self, transform, halfdim, color=(1, 1, 1, 1), metalness=0.0,
-                   roughness=1.0, reflectivity=0.5, emissive=0.0):
+                   roughness=1.0, reflectivity=0.5, emissive=0.0,
+                   albedomap=-1, normalmap=-1):
         """Oriented-box decal (reference: renderlist push_decals +
-        decallist)."""
+        decallist).  albedomap/normalmap: texture-pool ids (-1 flat)."""
         from ..math.quaternion import quat_to_matrix
 
         self.decals.append(dict(
@@ -116,7 +117,8 @@ class RenderList:
             halfdim=np.asarray(halfdim, np.float32),
             color=np.asarray(color, np.float32),
             metalness=metalness, roughness=roughness,
-            reflectivity=reflectivity, emissive=emissive))
+            reflectivity=reflectivity, emissive=emissive,
+            albedomap=albedomap, normalmap=normalmap))
 
     def decal_arrays(self, max_decals):
         out = dict(
@@ -128,12 +130,15 @@ class RenderList:
             roughness=np.ones(max_decals, np.float32),
             reflectivity=np.full(max_decals, 0.5, np.float32),
             emissive=np.zeros(max_decals, np.float32),
+            albedomap=np.full(max_decals, -1, np.int32),
+            normalmap=np.full(max_decals, -1, np.int32),
             count=np.int32(min(len(self.decals), max_decals)),
         )
         for i, d in enumerate(self.decals[:max_decals]):
             for k in ("position", "inv_rot", "halfdim", "color"):
                 out[k][i] = d[k]
-            for k in ("metalness", "roughness", "reflectivity", "emissive"):
+            for k in ("metalness", "roughness", "reflectivity", "emissive",
+                      "albedomap", "normalmap"):
                 out[k][i] = d[k]
         return out
 

@@ -299,6 +299,40 @@ class TestDecals:
             f"decal not red: {centre.mean(axis=(0, 1))}"
         assert abs(outside[..., 0].mean() - outside[..., 1].mean()) < 10
 
+    def test_textured_decal_alpha_and_pattern(self):
+        from datum_tpu.ops.common import FrameConfig
+        from datum_tpu.render import Camera, RenderContext, RenderList, RenderParams
+        from datum_tpu.render import primitives
+
+        cfg = FrameConfig(width=256, height=128, max_vertices=1024,
+                          max_triangles=1024, max_instances=4, bin_capacity=64,
+                          big_capacity=8, enable_shadows=False,
+                          max_decals_active=4)
+        ctx = RenderContext(cfg)
+        pv, pi = primitives.plane(8.0)
+        floor = ctx.add_mesh(pv, pi)
+        mat = ctx.add_material(color=(0.8, 0.8, 0.8, 1))
+        # texture: left half opaque red, right half fully transparent
+        tex = np.zeros((64, 64, 4), np.uint8)
+        tex[:, :32] = [255, 16, 16, 255]
+        tid = ctx.add_texture(tex)
+        cam = Camera()
+        cam.set_projection(np.radians(60), 2.0)
+        cam.lookat(np.array([0.0, 6.0, 6.0]), np.array([0.0, 0.0, 0.0]),
+                   np.array([0.0, 1.0, 0.0]))
+        params = RenderParams(width=256, height=128)
+        rl = RenderList()
+        rl.push_mesh(floor, Transform.identity(), mat)
+        rl.push_decal(Transform.translation([0, 0, 0]), [2.0, 1.0, 2.0],
+                      color=(1, 1, 1, 1.0), albedomap=tid)
+        img = ctx.render(cam, rl, params).astype(np.float32)
+        left = img[55:75, 100:124]     # decal -x half (texture red)
+        right = img[55:75, 132:156]    # decal +x half (transparent)
+        assert left[..., 0].mean() > left[..., 1].mean() * 1.5, \
+            f"textured decal not red: {left.mean(axis=(0, 1))}"
+        assert abs(right[..., 0].mean() - right[..., 1].mean()) < 12, \
+            f"transparent texel tinted floor: {right.mean(axis=(0, 1))}"
+
 
 class TestWindBend:
     def test_bend_preserves_length_and_moves_tops(self):
