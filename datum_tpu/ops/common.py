@@ -80,6 +80,7 @@ class FrameConfig:
     max_spot_shadows: int = 0        # spot lights with shadow maps
     spot_shadow_res: int = 256
     max_decals_active: int = 0       # dense decal blend loop capacity
+    max_fog_planes: int = 0          # analytic half-space fog planes
     enable_depth_of_field: bool = False
     enable_color_grading: bool = True
     enable_ssao: bool = False        # quarter-res HBAO (gather-heavy)

@@ -104,3 +104,47 @@ def apply_fog(hdr, depth, fogvol, proj, *, depth_range=FOG_DEPTH_RANGE,
         out1 = out1 + up * (jnp.minimum(k0 + 1, fog_d - 1) == k)[..., None]
     fog = out0 + (out1 - out0) * frac[..., None]
     return hdr * fog[..., 3:4] + fog[..., :3]
+
+
+def apply_fog_planes(hdr, depth, planes, *, proj, invview, exposure=1.0,
+                     full_size=None, y0=0):
+    """Analytic half-space fog planes blended over the lit frame.
+
+    Reference parity: data/fogplane.frag — per pixel, the distance the
+    view ray travels through the fog half-space gives factor =
+    exp2(-(density*dist)^2); the plane color blends in with weight
+    alpha*(1-factor).  planes: dict(plane (K,4), color (K,4), density
+    (K,), startdistance (K,), falloff (K,), count () int32).
+    """
+    from .lighting_pass import reconstruct_positions
+
+    h, w = depth.shape
+    fh, fw = full_size if full_size is not None else (h, w)
+    # background depth=0 reconstructs at infinity under the infinite-far
+    # reverse-Z projection; clamp so the fog math stays finite (the sky
+    # then simply receives full-distance fog, as in the reference)
+    safe_depth = jnp.maximum(depth, 1e-7)
+    _, worldpos = reconstruct_positions(safe_depth, proj, invview, fw, fh,
+                                        y0=y0)
+    campos = invview[:3, 3]
+    v = campos - worldpos
+    vlen = jnp.minimum(jnp.linalg.norm(v, axis=-1), 1e7)
+
+    for i in range(planes["plane"].shape[0]):
+        pl = planes["plane"][i]
+        fdotc = jnp.dot(pl[:3], campos) + pl[3]
+        fdotp = worldpos @ pl[:3] + pl[3]
+        fdotv = v @ pl[:3]
+        k = jnp.where(fdotc <= 0, 1.0, 0.0)
+        c1 = jnp.minimum(k * fdotp, 0.0) + k * fdotc
+        c2 = jnp.where(fdotp <= 0, (1 - k) * fdotp, k * fdotc)
+        t = jnp.minimum(-0.5 * planes["falloff"][i]
+                        * (c1 - c2 * fdotp / jnp.maximum(jnp.abs(fdotv), 1e-6)),
+                        1.0)
+        dist = jnp.clip(t * vlen - planes["startdistance"][i], 0.0, 1e6)
+        factor = jnp.clip(jnp.exp2(-(planes["density"][i] * dist) ** 2),
+                          0.0, 1.0)
+        on = (i < planes["count"]).astype(jnp.float32)
+        wgt = (planes["color"][i, 3] * (1.0 - factor) * on)[..., None]
+        hdr = hdr * (1 - wgt) + exposure * planes["color"][i, :3] * wgt
+    return hdr

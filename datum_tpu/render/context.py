@@ -320,6 +320,9 @@ class RenderContext:
                 self.config.max_translucent_draws, self.default_material)
         if self.config.max_decals_active > 0:
             draws["decals"] = renderlist.decal_arrays(self.config.max_decals_active)
+        if self.config.max_fog_planes > 0:
+            draws["fogplanes"] = renderlist.fogplane_arrays(
+                self.config.max_fog_planes)
         if self.config.max_dynamic_vertices > 0:
             md = self.config.max_dynamic_vertices
             if renderlist.oceans:

@@ -232,6 +232,15 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
         hdr = fog_ops.apply_fog(hdr, depth, fogvol, sceneset["proj"],
                                 depth_range=cfg.fog_depth_range)
 
+    # analytic half-space fog planes (reference: data/fogplane.frag)
+    if cfg.max_fog_planes > 0:
+        from ..ops import fog as fog_ops
+
+        hdr = fog_ops.apply_fog_planes(
+            hdr, depth, draws["fogplanes"], proj=sceneset["proj"],
+            invview=sceneset["invview"],
+            exposure=sceneset["camera"]["exposure"])
+
     # translucent meshes via weighted-blend OIT (reference:
     # renderer.cpp:6596-6684 translucent subpass; v1 shading = tinted
     # N.L-less blend, clustered forward shading on the backlog)

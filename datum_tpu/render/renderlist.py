@@ -24,6 +24,7 @@ class RenderList:
         self.particles = []      # forward OIT billboard systems
         self.oceans = []         # dynamic ocean surfaces
         self.decals = []
+        self.fogplanes = []
         self.probes = []
         self.translucents = []
         self.sprites = []        # overlay sprites (drawn post-composite)
@@ -140,6 +141,33 @@ class RenderList:
             for k in ("metalness", "roughness", "reflectivity", "emissive",
                       "albedomap", "normalmap"):
                 out[k][i] = d[k]
+        return out
+
+    # --- fog planes ---------------------------------------------------------
+    def push_fogplane(self, color, plane=(0.0, 1.0, 0.0, -4.0), density=0.01,
+                      startdistance=10.0, falloff=0.5):
+        """Analytic half-space fog (reference: forwardlist.h:69
+        push_fogplane / data/fogplane.frag)."""
+        self.fogplanes.append(dict(
+            color=np.asarray(color, np.float32),
+            plane=np.asarray(plane, np.float32),
+            density=density, startdistance=startdistance, falloff=falloff))
+
+    def fogplane_arrays(self, max_planes):
+        out = dict(
+            plane=np.tile(np.array([0, 1, 0, -1e9], np.float32), (max_planes, 1)),
+            color=np.zeros((max_planes, 4), np.float32),
+            density=np.zeros(max_planes, np.float32),
+            startdistance=np.zeros(max_planes, np.float32),
+            falloff=np.full(max_planes, 0.5, np.float32),
+            count=np.int32(min(len(self.fogplanes), max_planes)),
+        )
+        for i, p in enumerate(self.fogplanes[:max_planes]):
+            out["plane"][i] = p["plane"]
+            out["color"][i] = p["color"]
+            out["density"][i] = p["density"]
+            out["startdistance"][i] = p["startdistance"]
+            out["falloff"][i] = p["falloff"]
         return out
 
     # --- forward / particles ----------------------------------------------

@@ -69,3 +69,44 @@ def test_fog_in_frame_fades_distance():
     near = img[120:127, 100:156].mean()
     far = img[70:76, 100:156].mean()
     assert far > near + 3, f"distant fog not brighter: near={near:.1f} far={far:.1f}"
+
+
+def test_fogplane_fades_with_distance():
+    import numpy as np
+
+    from datum_tpu.math import Transform
+    from datum_tpu.ops.common import FrameConfig
+    from datum_tpu.render import Camera, RenderContext, RenderList, RenderParams
+    from datum_tpu.render import primitives
+
+    cfg = FrameConfig(width=256, height=128, max_vertices=1024,
+                      max_triangles=1024, max_instances=4, bin_capacity=64,
+                      big_capacity=8, enable_shadows=False, max_fog_planes=2)
+    ctx = RenderContext(cfg)
+    pv, pi = primitives.plane(60.0)
+    floor = ctx.add_mesh(pv, pi)
+    mat = ctx.add_material(color=(0.2, 0.6, 0.2, 1))
+    cam = Camera()
+    cam.set_projection(np.radians(60), 2.0)
+    cam.lookat(np.array([0.0, 4.0, 28.0]), np.array([0.0, 0.0, 0.0]),
+               np.array([0.0, 1.0, 0.0]))
+    params = RenderParams(width=256, height=128)
+    params.ambientintensity = 1.0
+
+    rl = RenderList()
+    rl.push_mesh(floor, Transform.identity(), mat)
+    base = ctx.render(cam, rl, params).astype(np.float32)
+
+    rl = RenderList()
+    rl.push_mesh(floor, Transform.identity(), mat)
+    rl.push_fogplane(color=(0.7, 0.72, 0.8, 1.0), plane=(0, 1, 0, -3.0),
+                     density=0.08, startdistance=2.0, falloff=2.0)
+    img = ctx.render(cam, rl, params).astype(np.float32)
+
+    near = slice(110, 126), slice(112, 144)     # floor close to camera
+    far = slice(66, 74), slice(112, 144)        # floor near horizon
+    d_near = np.abs(img[near] - base[near]).mean()
+    d_far = np.abs(img[far] - base[far]).mean()
+    assert d_far > d_near + 5, f"fogplane near {d_near} far {d_far}"
+    # fog is grey-blue: blue channel rises in the distance
+    assert img[far][..., 2].mean() > base[far][..., 2].mean() + 10
