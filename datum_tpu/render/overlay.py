@@ -76,6 +76,78 @@ def draw_gizmo(image, transform, viewproj, size=1.0):
         draw_lines(image, [[o, tip]], viewproj, color, 1.0)
 
 
+def draw_outline(image, positions, indices, transform, viewproj, campos,
+                 color=(255, 200, 40), alpha=1.0):
+    """Silhouette outline of a mesh (reference: outline.geom — edges
+    between a front-facing and a back-facing triangle, plus boundary
+    edges)."""
+    pos = transform.transform_point(np.asarray(positions, np.float32))
+    tris = np.asarray(indices, np.int32).reshape(-1, 3)
+    a, b, c = pos[tris[:, 0]], pos[tris[:, 1]], pos[tris[:, 2]]
+    n = np.cross(b - a, c - a)
+    front = np.einsum("ij,ij->i", n, np.asarray(campos, np.float32) - a) > 0
+
+    edges = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]])
+    owner_front = np.repeat(front, 3)
+    key = np.sort(edges, axis=1)
+    kid = key[:, 0].astype(np.int64) << 32 | key[:, 1]
+    order = np.argsort(kid, kind="stable")
+    kid_s, of_s, e_s = kid[order], owner_front[order], edges[order]
+    sil = []
+    i = 0
+    while i < len(kid_s):
+        j = i + 1
+        while j < len(kid_s) and kid_s[j] == kid_s[i]:
+            j += 1
+        faces = of_s[i:j]
+        if len(faces) == 1 or (faces.any() and not faces.all()):
+            if faces.any():                      # only visible silhouettes
+                sil.append(e_s[i])
+        i = j
+    if sil:
+        draw_lines(image, pos[np.asarray(sil)], viewproj, color, alpha)
+
+
+def draw_path(image, points, viewproj=None, color=(255, 255, 255), alpha=1.0,
+              closed=False):
+    """Polyline path (reference: path.geom overlay).  points: (N, 2)
+    screen-space when viewproj is None, else (N, 3) world-space."""
+    pts = np.asarray(points, np.float32)
+    if viewproj is not None:
+        h, w = image.shape[:2]
+        x, y, ok = _project(pts, viewproj, w, h)
+        pts = np.stack([x, y], -1)[ok]
+    seq = list(pts) + ([pts[0]] if closed and len(pts) else [])
+    for p0, p1 in zip(seq, seq[1:]):
+        draw_line_2d(image, p0[0], p0[1], p1[0], p1[1], color, alpha)
+
+
+def draw_fill(image, points, color=(255, 255, 255), alpha=1.0):
+    """Even-odd scanline fill of a 2D polygon in screen space
+    (reference: stencilmask/stencilfill overlay pair)."""
+    pts = np.asarray(points, np.float32)
+    h, w = image.shape[:2]
+    y_min = max(int(np.floor(pts[:, 1].min())), 0)
+    y_max = min(int(np.ceil(pts[:, 1].max())), h - 1)
+    c = np.asarray(color, np.float32)
+    x0s, y0s = pts[:, 0], pts[:, 1]
+    x1s, y1s = np.roll(x0s, -1), np.roll(y0s, -1)
+    for y in range(y_min, y_max + 1):
+        yc = y + 0.5
+        hitmask = (y0s <= yc) != (y1s <= yc)
+        if not hitmask.any():
+            continue
+        t = (yc - y0s[hitmask]) / (y1s[hitmask] - y0s[hitmask])
+        xs = np.sort(x0s[hitmask] + t * (x1s[hitmask] - x0s[hitmask]))
+        for k in range(0, len(xs) - 1, 2):
+            lo = max(int(np.ceil(xs[k] - 0.5)), 0)
+            hi = min(int(np.floor(xs[k + 1] - 0.5)), w - 1)
+            if hi >= lo:
+                image[y, lo:hi + 1] = np.clip(
+                    image[y, lo:hi + 1] * (1 - alpha) + c * alpha,
+                    0, 255).astype(np.uint8)
+
+
 def draw_bound(image, bound, viewproj, color=(255, 220, 60), alpha=0.8):
     """AABB outline (the line_cube overlay)."""
     mn, mx = bound.min, bound.max
