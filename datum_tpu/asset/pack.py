@@ -467,7 +467,7 @@ class PackWriter:
         payload += np.asarray(offsetx, np.int16).tobytes() + np.asarray(offsety, np.int16).tobytes()
         payload += np.asarray(advance, np.uint8).tobytes()
         self._chunk("ASET", struct.pack("<I", asset_id))
-        dataoffset = self.tell() + 8 + 20 + 4
+        dataoffset = self.tell() + 8 + 24 + 4   # FONT header = 4xu32 + u64
         self._chunk("FONT", struct.pack("<IIIIQ", ascent, descent, leading, n, dataoffset))
         self._chunk("DATA", payload)
         self._chunk("AEND", b"")

@@ -72,6 +72,9 @@ class Font:
                    np.full((n, n), gw, np.uint8), ascent=7, descent=1)
 
     def glyph_index(self, ch):
+        cm = getattr(self, "charmap", None)
+        if cm is not None:
+            return cm.get(ch, 0)
         i = _BUILTIN_CHARS.find(ch.upper())
         return i + 1 if i >= 0 else 0
 
@@ -145,10 +148,17 @@ def blit_sprite(image, sprite_img, x, y, tint=(1, 1, 1, 1)):
 
 
 def draw_text(image, font: Font, text, x, y, tint=(1, 1, 1, 1), scale=1):
-    """Blit text using the font atlas; returns advance width."""
+    """Blit text using the font atlas; returns advance width.
+
+    y is the glyph-top for bitmap fonts (offsety 0) and the baseline for
+    baked TTF fonts (negative offsety).  Advances use the per-pair table
+    (reference: font.h advance[pair]) so kerning applies.
+    """
+    s = str(text)
+    idx = [font.glyph_index(ch) if hasattr(font, "glyph_index") else ord(ch)
+           for ch in s]
     cx = x
-    for ch in str(text):
-        gi = font.glyph_index(ch) if hasattr(font, "glyph_index") else ord(ch)
+    for k, gi in enumerate(idx):
         gx, gy = int(font.x[gi]), int(font.y[gi])
         gw, gh = int(font.width[gi]), int(font.height[gi])
         glyph = font.atlas[gy:gy + gh, gx:gx + gw]
@@ -156,5 +166,7 @@ def draw_text(image, font: Font, text, x, y, tint=(1, 1, 1, 1), scale=1):
             glyph = np.repeat(np.repeat(glyph, scale, 0), scale, 1)
         blit_sprite(image, glyph, cx + int(font.offsetx[gi]) * scale,
                     y + int(font.offsety[gi]) * scale, tint)
-        cx += int(font.advance[gi, 0] if font.advance.ndim > 1 else font.advance[gi]) * scale
+        nxt = idx[k + 1] if k + 1 < len(idx) else 0
+        cx += int(font.advance[gi, nxt] if font.advance.ndim > 1
+                  else font.advance[gi]) * scale
     return cx - x

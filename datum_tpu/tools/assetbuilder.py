@@ -145,3 +145,23 @@ if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "core.pack"
     build_core_pack(out)
     print(f"built {out}")
+
+
+def pack_ttf_font(writer, font_id, atlas_id, ttf_path, size=24, chars=None,
+                  compress=False):
+    """Bake a TrueType font and write it as FONT + IMAG chunks
+    (reference: assetbuilder.cpp font path via Qt; here tools/ttf.py)."""
+    from ..asset.pack import IMAGE_RGBA
+    from ..math import color as color_codec
+    from .ttf import bake_font
+
+    kw = dict(chars=chars) if chars else {}
+    font = bake_font(ttf_path, size=size, **kw)
+    atlas_rgba = color_codec.pack_rgba(font.atlas.astype(np.float32) / 255.0)
+    writer.write_image(atlas_id, font.atlas.shape[1], font.atlas.shape[0],
+                       1, 1, IMAGE_RGBA, atlas_rgba[None].tobytes(),
+                       compress=compress)
+    writer.write_font(font_id, atlas_id, font.ascent, font.descent,
+                      font.leading, font.x, font.y, font.width, font.height,
+                      font.offsetx, font.offsety, font.advance)
+    return font
