@@ -151,3 +151,66 @@ class AssetManager:
 
     def guard(self):
         return AssetManager._Guard(self)
+
+
+class PackWatcher:
+    """Hot-reload support: polls pack file mtimes and reloads changed
+    packs into the manager (the engine's live-edit loop; the reference
+    reloads assets on pack rebuild during development).
+
+    Usage:
+        watcher = PackWatcher(manager)
+        ...each frame: for asset_id in watcher.poll(): invalidate(asset_id)
+    """
+
+    def __init__(self, manager: AssetManager):
+        import os
+
+        self._mgr = manager
+        self._mtimes = {}
+        self._bases = {}
+        for base, reader in self._iter_packs():
+            self._bases[reader.path] = base
+            try:
+                self._mtimes[reader.path] = os.stat(reader.path).st_mtime_ns
+            except OSError:
+                pass
+
+    def _iter_packs(self):
+        mgr = self._mgr
+        for reader in mgr._packs:
+            base = next((aid - a.local_id for aid, a in mgr._assets.items()
+                         if a.pack is reader), 0)
+            yield base, reader
+
+    def poll(self):
+        """Returns ids of assets whose pack changed on disk (and reloads
+        their catalog + evicts stale resident payloads)."""
+        import os
+
+        from .pack import PackReader
+
+        changed = []
+        mgr = self._mgr
+        for path, base in list(self._bases.items()):
+            try:
+                m = os.stat(path).st_mtime_ns
+            except OSError:
+                continue
+            if m == self._mtimes.get(path):
+                continue
+            self._mtimes[path] = m
+            reader = PackReader(path)
+            with mgr._lock:
+                for i, (pi, r) in enumerate(
+                        [(p.path, p) for p in mgr._packs]):
+                    if pi == path:
+                        mgr._packs[i] = reader
+                for local_id, info in reader.assets.items():
+                    aid = base + local_id
+                    mgr._assets[aid] = Asset(aid, reader, local_id, info)
+                    if aid in mgr._resident:
+                        mgr._used -= mgr._sizes.pop(aid, 0)
+                        del mgr._resident[aid]
+                    changed.append(aid)
+        return changed

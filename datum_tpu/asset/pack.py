@@ -86,9 +86,11 @@ class PackReader:
     def __init__(self, path_or_bytes):
         if isinstance(path_or_bytes, (bytes, bytearray)):
             self._data = bytes(path_or_bytes)
+            self.path = None
         else:
             with open(path_or_bytes, "rb") as f:
                 self._data = f.read()
+            self.path = str(path_or_bytes)
         if self._data[:8] != SIGNATURE:
             raise ValueError("invalid pack signature")
         self.assets: dict[int, AssetInfo] = {}

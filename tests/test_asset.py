@@ -238,3 +238,33 @@ class TestAssetManager:
         mgr.load_sync(2)  # evicts 0
         assert not mgr.ready(0)
         assert mgr.ready(2)
+
+
+def test_pack_watcher_hot_reload(tmp_path):
+    import time
+
+    from datum_tpu.asset.manager import AssetManager, PackWatcher
+    from datum_tpu.asset.pack import PackWriter
+
+    p = tmp_path / "live.pack"
+    w = PackWriter()
+    w.write_material(7, color=(1, 0, 0, 1))
+    w.save(str(p))
+
+    mgr = AssetManager()
+    mgr.load(str(p))
+    first = mgr.load_sync(7)
+    assert abs(first["color"][0] - 1.0) < 1e-6
+
+    watcher = PackWatcher(mgr)
+    assert watcher.poll() == []
+
+    time.sleep(0.01)
+    w2 = PackWriter()
+    w2.write_material(7, color=(0, 1, 0, 1))
+    w2.save(str(p))
+
+    changed = watcher.poll()
+    assert 7 in changed
+    second = mgr.load_sync(7)
+    assert abs(second["color"][1] - 1.0) < 1e-6, second["color"]
