@@ -54,8 +54,11 @@ def render_shadow_cascades(world_pos, tris, shadowview, *, res=1024,
     tris_all = jnp.concatenate(
         [tris + s * V for s in range(n_slices)], axis=0)      # (S*T, 3)
 
+    # cull casters facing away from the light: with ESM the nearest
+    # light-facing surface is the occluder, back faces only add raster
+    # load (standard shadow-map front-face rendering)
     setup = raster_ops.triangle_setup(clip_all, tris_all, res, vh,
-                                      tiles_x, tiles_y)
+                                      tiles_x, tiles_y, cull=-1)
     # per-band scissor: casters crossing a slice frustum's y-planes are
     # not clipped by the homogeneous raster, so bound coverage to the
     # triangle's own band (applied per pixel inside the raster)
@@ -66,9 +69,9 @@ def render_shadow_cascades(world_pos, tris, shadowview, *, res=1024,
         setup, tris_all.shape[0], tiles_x, tiles_y, bin_capacity,
         big_capacity)
     if use_pallas:
-        from .raster_pallas import raster_pallas
-        depth, _, _, _ = raster_pallas(setup, bins, big, counts,
-                                       tiles_x, tiles_y, res, vh)
+        from .raster_pallas import raster_depth_pallas
+        depth = raster_depth_pallas(setup, bins, big, counts,
+                                    tiles_x, tiles_y, res, vh)
     else:
         depth, _ = raster_ops.raster(setup, bins, big, tiles_x, tiles_y,
                                      res, vh)
