@@ -83,7 +83,9 @@ def shade_deferred(gbuffer, depth, sceneset, *, proj, invview,
     # lighting.comp:174-226 — env diffuse from a deep mip along the
     # diffuse dominant direction, specular from the roughness mip chain)
     if ibl is not None and env_diffuse is None:
-        from .sampling import sample_cubemap, sample_cubemap_lod
+        from .sampling import (
+            sample_cubemap, sample_cubemap_lod, sample_cubemap_lod_flat,
+        )
 
         mips = ibl["mips"]
         rough = material["roughness"]
@@ -91,7 +93,11 @@ def shade_deferred(gbuffer, depth, sceneset, *, proj, invview,
         sdir = brdf.specular_dominant_direction(normal, r, rough)
         ddir = brdf.diffuse_dominant_direction(normal, eyevec, rough)
         lod = rough * (len(mips) - 1)
-        env_specular = sample_cubemap_lod(mips, sdir, lod)[..., :3]
+        if "flat" in ibl:   # 8 gathers/pixel vs 4 per mip level
+            env_specular = sample_cubemap_lod_flat(ibl["flat"], sdir,
+                                                   lod)[..., :3]
+        else:
+            env_specular = sample_cubemap_lod(mips, sdir, lod)[..., :3]
         env_diffuse = sample_cubemap(mips[-1], ddir)[..., :3]
         lut = ibl["envbrdf"]
         s = lut.shape[0]

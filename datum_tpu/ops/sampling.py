@@ -164,3 +164,68 @@ def sample_cubemap_lod(cube_mips, d, lod):
         out0 = jnp.where((l0 == i)[..., None], s_i, out0)
         out1 = jnp.where((jnp.minimum(l0 + 1, n - 1) == i)[..., None], s_i, out1)
     return out0 + (out1 - out0) * f
+
+
+def flatten_cube_mips(cube_mips):
+    """Concatenate a power-of-two mip chain into one flat texel table.
+
+    Returns (table (N, C), bases (n,) int32, sizes (n,) int32).  Feeds
+    sample_cubemap_lod_flat: per-pixel trilinear then costs 8 gathers
+    instead of 4 gathers per mip level.
+    """
+    flats, bases, sizes = [], [], []
+    off = 0
+    for m in cube_mips:
+        s = int(m.shape[1])
+        flats.append(jnp.asarray(m).reshape(-1, m.shape[-1]).astype(jnp.float32))
+        bases.append(off)
+        sizes.append(s)
+        off += 6 * s * s
+    return (jnp.concatenate(flats, axis=0), jnp.asarray(bases, jnp.int32),
+            jnp.asarray(sizes, jnp.int32))
+
+
+def _flat_bilinear(table, base, s, face, uv):
+    sf = s.astype(jnp.float32)
+    x = uv[..., 0] * sf - 0.5
+    y = uv[..., 1] * sf - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0c = jnp.clip(x0, 0, s - 1)
+    x1c = jnp.clip(x0 + 1, 0, s - 1)
+    y0c = jnp.clip(y0, 0, s - 1)
+    y1c = jnp.clip(y0 + 1, 0, s - 1)
+    row = base + (face * s + y0c) * s
+    row1 = base + (face * s + y1c) * s
+    t00 = table[row + x0c]
+    t01 = table[row + x1c]
+    t10 = table[row1 + x0c]
+    t11 = table[row1 + x1c]
+    top = t00 + (t01 - t00) * fx
+    bot = t10 + (t11 - t10) * fx
+    return top + (bot - top) * fy
+
+
+def sample_cubemap_lod_flat(flat, d, lod):
+    """Trilinear cubemap sample from a flattened mip chain.
+
+    flat: (table, bases, sizes) from flatten_cube_mips; d (..., 3);
+    lod (...,) continuous.  8 gathers per output texel regardless of
+    chain length (vs 4 * n_mips for the dense-select path).
+    """
+    table, bases, sizes = flat
+    n = bases.shape[0]
+    lod = jnp.clip(lod, 0.0, n - 1)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, n - 1)
+    f = (lod - l0)[..., None]
+    face, uv = cubemap_face_uv(d)
+    s0 = sample_cubemap_lod_flat_level(table, bases, sizes, face, uv, l0)
+    s1 = sample_cubemap_lod_flat_level(table, bases, sizes, face, uv, l1)
+    return s0 + (s1 - s0) * f
+
+
+def sample_cubemap_lod_flat_level(table, bases, sizes, face, uv, level):
+    return _flat_bilinear(table, bases[level], sizes[level], face, uv)

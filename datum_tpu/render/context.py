@@ -271,8 +271,10 @@ class RenderContext:
                 textures=jnp.asarray(self.textures),
             )
             if self.skybox is not None:
+                from ..ops.sampling import flatten_cube_mips
                 self._device["ibl"] = dict(
                     mips=tuple(self.skybox.mips),
+                    flat=flatten_cube_mips(self.skybox.mips),
                     envbrdf=jnp.asarray(self.envbrdf_lut()),
                 )
                 if self._envprobes:

@@ -177,3 +177,22 @@ class TestProbes:
         assert near.mean() > 3, f"probe had no effect ({near.mean():.2f})"
         assert near[..., 0].mean() > near[..., 2].mean()   # warm
         assert abs(far.mean()) < 2
+
+
+def test_flat_lod_matches_dense_lod():
+    import jax.numpy as jnp
+    from datum_tpu.ops.sampling import (
+        flatten_cube_mips, sample_cubemap_lod, sample_cubemap_lod_flat,
+    )
+
+    rng = np.random.RandomState(3)
+    mips = [jnp.asarray(rng.rand(6, s, s, 3).astype(np.float32))
+            for s in (16, 8, 4, 2)]
+    d = rng.randn(257, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    lod = jnp.asarray(rng.rand(257).astype(np.float32) * 3)
+    dense = sample_cubemap_lod(mips, d, lod)
+    flat = sample_cubemap_lod_flat(flatten_cube_mips(mips), d, lod)
+    np.testing.assert_allclose(np.asarray(flat), np.asarray(dense),
+                               atol=1e-5)
