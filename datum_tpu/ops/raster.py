@@ -53,7 +53,7 @@ def adjugate3(m):
 
 
 def triangle_setup(clip, tris, width, height, tiles_x, tiles_y, tri_valid=None,
-                   cull=0):
+                   cull=0, max_span=BIN_MAX_SPAN):
     """Per-triangle raster setup.
 
     clip: (V, 4) clip positions; tris: (T, 3) int32 vertex ids
@@ -105,7 +105,7 @@ def triangle_setup(clip, tris, width, height, tiles_x, tiles_y, tri_valid=None,
     valid = valid & (w_ok & onscreen | ~w_ok)
 
     span = (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
-    big = valid & (~w_ok | (span > BIN_MAX_SPAN))
+    big = valid & (~w_ok | (span > max_span))
     binned = valid & ~big
 
     return dict(
@@ -115,10 +115,11 @@ def triangle_setup(clip, tris, width, height, tiles_x, tiles_y, tri_valid=None,
     )
 
 
-def bin_triangles(setup, n_tris, tiles_x, tiles_y, bin_capacity, big_capacity):
+def bin_triangles(setup, n_tris, tiles_x, tiles_y, bin_capacity, big_capacity,
+                  max_span=BIN_MAX_SPAN):
     """Build per-tile triangle lists via pair-expansion + sort.
 
-    Each binned triangle emits up to BIN_MAX_SPAN (tile, tri) pairs over
+    Each binned triangle emits up to max_span (tile, tri) pairs over
     its tile bbox; pairs sort by tile and each tile gathers its segment
     (capacity bin_capacity).  Unbounded triangles go to a shared 'big'
     list every tile also walks.  Replaces the scatter/atomic pattern a
@@ -131,7 +132,7 @@ def bin_triangles(setup, n_tris, tiles_x, tiles_y, bin_capacity, big_capacity):
     span = span_w * (ty1 - ty0 + 1)
 
     T = n_tris
-    k = jnp.arange(BIN_MAX_SPAN, dtype=jnp.int32)
+    k = jnp.arange(max_span, dtype=jnp.int32)
     kx = k[None, :] % span_w[:, None]
     ky = k[None, :] // span_w[:, None]
     tile = (ty0[:, None] + ky) * tiles_x + (tx0[:, None] + kx)       # (T, S)

@@ -319,37 +319,46 @@ def raster_shade_pallas(setup, bins, big_ids, counts, tris, uv, normal,
     )
 
 
-def _depth_kernel(tile_ids_ref, counts_ref, rows_ref, depth_ref,
-                  *, tiles_x, width, height, n_entries):
+DEPTH_TILES_PER_STEP = 4    # amortize per-grid-step latency: shadow
+                            # bins are short, so step overhead dominates
+
+
+def _depth_kernel(counts_ref, rows_ref, depth_ref,
+                  *, tiles_x, width, height, n_entries, tiles_per_step):
     """Depth-only variant of _raster_kernel (shadow cascades): no
-    barycentrics, no id plane, no per-triangle reciprocal."""
+    barycentrics, no id plane, no per-triangle reciprocal; walks
+    tiles_per_step consecutive tiles per grid step."""
     i = pl.program_id(0)
-    tile = tile_ids_ref[i]
-    ty = tile // tiles_x
-    tx = tile % tiles_x
 
     yy = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
     xx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
-    yn = (ty.astype(jnp.float32) * TILE_H + yy + 0.5) * (2.0 / height) - 1.0
-    xn = (tx.astype(jnp.float32) * TILE_W + xx + 0.5) * (2.0 / width) - 1.0
-
-    def body(k, depth):
-        e0 = rows_ref[k, 0] * xn + rows_ref[k, 1] * yn + rows_ref[k, 2]
-        e1 = rows_ref[k, 3] * xn + rows_ref[k, 4] * yn + rows_ref[k, 5]
-        e2 = rows_ref[k, 6] * xn + rows_ref[k, 7] * yn + rows_ref[k, 8]
-        s = e0 + e1 + e2
-        inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (s > 0) \
-            & (rows_ref[k, 12] > 0) \
-            & (yn >= rows_ref[k, 14]) & (yn < rows_ref[k, 15])
-        d = rows_ref[k, 9] * xn + rows_ref[k, 10] * yn + rows_ref[k, 11]
-        return jnp.where(inside & (d > depth) & (d <= 1.0), d, depth)
-
-    init = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     big_count = counts_ref[0]
-    count = counts_ref[2 + i]
-    depth = jax.lax.fori_loop(0, big_count, body, init)
-    depth = jax.lax.fori_loop(counts_ref[1], counts_ref[1] + count, body, depth)
-    depth_ref[...] = depth
+
+    for r in range(tiles_per_step):
+        tile = i * tiles_per_step + r
+        ty = tile // tiles_x
+        tx = tile % tiles_x
+        yn = (ty.astype(jnp.float32) * TILE_H + yy + 0.5) * (2.0 / height) - 1.0
+        xn = (tx.astype(jnp.float32) * TILE_W + xx + 0.5) * (2.0 / width) - 1.0
+        rows = rows_ref.at[r]
+
+        def body(k, depth):
+            e0 = rows[k, 0] * xn + rows[k, 1] * yn + rows[k, 2]
+            e1 = rows[k, 3] * xn + rows[k, 4] * yn + rows[k, 5]
+            e2 = rows[k, 6] * xn + rows[k, 7] * yn + rows[k, 8]
+            s = e0 + e1 + e2
+            inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (s > 0) \
+                & (rows[k, 12] > 0) \
+                & (yn >= rows[k, 14]) & (yn < rows[k, 15])
+            d = rows[k, 9] * xn + rows[k, 10] * yn + rows[k, 11]
+            return jnp.where(inside & (d > depth) & (d <= 1.0), d, depth)
+
+        init = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        count = counts_ref[2 + tile]
+        depth = jax.lax.fori_loop(0, big_count, body, init)
+        depth = jax.lax.fori_loop(counts_ref[1], counts_ref[1] + count,
+                                  body, depth)
+        depth_ref[r, :, :] = depth
 
 
 def raster_depth_pallas(setup, bins, big_ids, counts, tiles_x, tiles_y,
@@ -358,28 +367,30 @@ def raster_depth_pallas(setup, bins, big_ids, counts, tiles_x, tiles_y,
     rows = pack_tile_setup(setup, bins, big_ids)
     n_entries = rows.shape[1]
     n_tiles = tiles_x * tiles_y
-    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    R = DEPTH_TILES_PER_STEP
+    while n_tiles % R:
+        R //= 2
     B = big_ids.shape[0]
     big_count = jnp.sum(big_ids >= 0).astype(jnp.int32)
     trip = jnp.concatenate([big_count[None], jnp.int32(B)[None],
                             counts.astype(jnp.int32)])
 
-    def kernel_wrap(tile_ids_ref, counts_ref, rows_ref, depth_ref):
-        _depth_kernel(tile_ids_ref, counts_ref, rows_ref.at[0],
-                      depth_ref.at[0], tiles_x=tiles_x, width=width,
-                      height=height, n_entries=n_entries)
+    def kernel_wrap(counts_ref, rows_ref, depth_ref):
+        _depth_kernel(counts_ref, rows_ref, depth_ref,
+                      tiles_x=tiles_x, width=width, height=height,
+                      n_entries=n_entries, tiles_per_step=R)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_tiles,),
-        in_specs=[pl.BlockSpec((1, n_entries, SETUP_WIDTH),
+        num_scalar_prefetch=1,
+        grid=(n_tiles // R,),
+        in_specs=[pl.BlockSpec((R, n_entries, SETUP_WIDTH),
                                lambda i, *_: (i, 0, 0))],
-        out_specs=[pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0))],
+        out_specs=[pl.BlockSpec((R, TILE_H, TILE_W), lambda i, *_: (i, 0, 0))],
     )
     out_shape = [jax.ShapeDtypeStruct((n_tiles, TILE_H, TILE_W), jnp.float32)]
     (planes,) = pl.pallas_call(kernel_wrap, grid_spec=grid_spec,
                                out_shape=out_shape, interpret=interpret)(
-        tile_ids, trip, rows)
+        trip, rows)
     from .raster import _untile
     return _untile(planes, tiles_x, tiles_y)
 

@@ -57,8 +57,11 @@ def render_shadow_cascades(world_pos, tris, shadowview, *, res=1024,
     # cull casters facing away from the light: with ESM the nearest
     # light-facing surface is the occluder, back faces only add raster
     # load (standard shadow-map front-face rendering)
+    # shadow casters are small at cascade res: a tight pair-span keeps
+    # the binning sort array (max_span * 4T entries) 4x smaller than the
+    # main raster's; wide casters spill to the shared big list
     setup = raster_ops.triangle_setup(clip_all, tris_all, res, vh,
-                                      tiles_x, tiles_y, cull=-1)
+                                      tiles_x, tiles_y, cull=-1, max_span=4)
     # per-band scissor: casters crossing a slice frustum's y-planes are
     # not clipped by the homogeneous raster, so bound coverage to the
     # triangle's own band (applied per pixel inside the raster)
@@ -67,7 +70,7 @@ def render_shadow_cascades(world_pos, tris, shadowview, *, res=1024,
     setup["ylim"] = jnp.stack([band_lo, band_lo + 2.0 / n_slices], -1)
     bins, counts, big = raster_ops.bin_triangles(
         setup, tris_all.shape[0], tiles_x, tiles_y, bin_capacity,
-        big_capacity)
+        big_capacity, max_span=4)
     if use_pallas:
         from .raster_pallas import raster_depth_pallas
         depth = raster_depth_pallas(setup, bins, big, counts,

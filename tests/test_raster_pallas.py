@@ -152,3 +152,20 @@ def test_mxu_kernel_matches_v2(rng):
                                np.asarray(b["normal"])[sel], atol=2e-3)
     np.testing.assert_allclose(np.asarray(a["color"])[sel],
                                np.asarray(b["color"])[sel], atol=1e-4)
+
+
+def test_depth_only_kernel_matches_reference(rng):
+    from datum_tpu.ops.raster_pallas import raster_depth_pallas
+
+    pts = rng.randn(48, 3).astype(np.float32) * 0.8
+    pts[:, 2] -= 3.0
+    proj = np.asarray(perspective_proj(np.radians(60), 2.0, 0.1))
+    hp = np.concatenate([pts, np.ones((48, 1), np.float32)], -1)
+    clip = jnp.asarray(hp @ proj.T)
+    tris = jnp.asarray(rng.randint(0, 48, (30, 3)), jnp.int32)
+    setup = R.triangle_setup(clip, tris, W, H, TX, TY, max_span=4)
+    bins, counts, big = R.bin_triangles(setup, 30, TX, TY, 32, 8, max_span=4)
+    d_ref, _ = R.raster(setup, bins, big, TX, TY, W, H)
+    d_p = raster_depth_pallas(setup, bins, big, counts, TX, TY, W, H,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(d_ref), np.asarray(d_p), atol=1e-6)
