@@ -52,6 +52,8 @@ class FrameConfig:
     height: int = 720
     bin_capacity: int = 256          # triangles per raster tile
     big_capacity: int = 64           # screen-crossing triangles (w<=0 spans)
+    bin_max_span: int = 16           # pair-expansion width: sort array is
+                                     # max_span*T entries; wider tris -> big list
     max_vertices: int = 1 << 16
     max_triangles: int = 1 << 16
     max_instances: int = 256

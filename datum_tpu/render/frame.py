@@ -128,9 +128,11 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
     # raster (visibility buffer); front faces carry det<0 under the
     # Y-flipped projection + pack winding convention
     setup = raster_ops.triangle_setup(clip, ex["tris"], w, h, tx, ty,
-                                      cull=-1 if cfg.backface_cull else 0)
+                                      cull=-1 if cfg.backface_cull else 0,
+                                      max_span=cfg.bin_max_span)
     bins, counts, big_ids = raster_ops.bin_triangles(
-        setup, cfg.max_triangles, tx, ty, cfg.bin_capacity, cfg.big_capacity)
+        setup, cfg.max_triangles, tx, ty, cfg.bin_capacity, cfg.big_capacity,
+        max_span=cfg.bin_max_span)
     if cfg.use_pallas and not cfg.enable_material_maps:
         # fused raster + attribute/material interpolation: no per-pixel
         # attribute gathers at all (gather throughput is the TPU wall)

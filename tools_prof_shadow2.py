@@ -56,7 +56,7 @@ clip_all, tris_all = jax.device_put((clip_all, tris_all))
 timeit(prep, draws, ss, name="expand+transform+band remap")
 
 def setup_fn(clip_all, tris_all):
-    s = raster_ops.triangle_setup(clip_all, tris_all, res, vh, tiles_x, tiles_y, cull=-1)
+    s = raster_ops.triangle_setup(clip_all, tris_all, res, vh, tiles_x, tiles_y, cull=-1, max_span=4)
     band = jnp.arange(tris_all.shape[0], dtype=jnp.int32) // (tris_all.shape[0] // n_slices)
     lo = -1.0 + band.astype(jnp.float32) * (2.0 / n_slices)
     s["ylim"] = jnp.stack([lo, lo + 2.0 / n_slices], -1)
@@ -67,7 +67,7 @@ timeit(setup_fn, clip_all, tris_all, name="shadow triangle_setup")
 
 def bin_fn(setup):
     return raster_ops.bin_triangles(setup, tris_all.shape[0], tiles_x, tiles_y,
-                                    cfg.shadow_bin_capacity, cfg.big_capacity)
+                                    cfg.shadow_bin_capacity, cfg.big_capacity, max_span=4)
 bins, counts, big = jax.jit(bin_fn)(setup)
 bins, counts, big = jax.device_put((bins, counts, big))
 timeit(bin_fn, setup, name="shadow bin_triangles (sort)")
