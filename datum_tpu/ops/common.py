@@ -62,6 +62,7 @@ class FrameConfig:
     shadow_res: int = 1024
     shadow_bin_capacity: int = 128
     shadow_mode: str = "esm"         # 'esm' (1-tap) or 'pcf' (12-tap poisson)
+    shadow_factor_scale: int = 2     # ESM factor res divisor (2=half, 4=quarter)
     enable_material_maps: bool = True  # sample surface/normal textures
     use_pallas: bool = False         # Mosaic raster kernel (TPU only)
     # 'v2' scalar-loop kernel is the default: the 'mxu' matmul-chunk

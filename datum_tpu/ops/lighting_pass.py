@@ -53,7 +53,8 @@ def _inv_proj(proj):
 def shade_deferred(gbuffer, depth, sceneset, *, proj, invview,
                    ssao=None, fogvol=None, shadowfactor=None, shadowmaps=None,
                    ibl=None, env_specular=None, env_diffuse=None, envbrdf=None,
-                   cluster=None, spotmaps=None, full_size=None, y0=0):
+                   cluster=None, spotmaps=None, full_size=None, y0=0,
+                   shadow_factor_scale=2):
     """Main deferred shade.  Returns HDR color (H, W, 3) premultiplied by
     camera exposure (reference: lighting.comp:274-283 applies exposure at
     the end of the lighting pass).  full_size/y0 support row-band shards."""
@@ -149,20 +150,22 @@ def shade_deferred(gbuffer, depth, sceneset, *, proj, invview,
     if shadowfactor is not None:
         sf = shadowfactor
     elif shadowmaps is not None and isinstance(shadowmaps, tuple):
-        # half-res single-gather ESM lookup, densely upsampled (the ESM
-        # is pre-blurred so quality holds); avg-pool instead of strided
-        # slicing (lane-strided reads are slow on TPU)
+        # reduced-res single-gather ESM lookup, densely upsampled (the
+        # ESM is pre-blurred so the factor field is smooth); avg-pool
+        # instead of strided slicing (lane-strided reads are slow on TPU)
         from .shadow import shadow_factor_esm_fast
 
-        def pool2(x):
+        p = shadow_factor_scale
+
+        def pool(x):
             sh = x.shape
-            return x.reshape(sh[0] // 2, 2, sh[1] // 2, 2, *sh[2:]).mean((1, 3))
+            return x.reshape(sh[0] // p, p, sh[1] // p, p, *sh[2:]).mean((1, 3))
 
         esm, zmx, zsc = shadowmaps
-        sf_h = shadow_factor_esm_fast(pool2(worldpos), esm, zmx, zsc,
+        sf_h = shadow_factor_esm_fast(pool(worldpos), esm, zmx, zsc,
                                       ml["splits"], ml["shadowview"],
-                                      pool2(-viewpos[..., 2]),
-                                      normal=pool2(normal))
+                                      pool(-viewpos[..., 2]),
+                                      normal=pool(normal))
         sf = jax.image.resize(sf_h, (h, w), method="linear")
     elif shadowmaps is not None:
         from .shadow import shadow_factor as _shadow_factor

@@ -207,7 +207,7 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
         gbuffer, depth, sceneset,
         proj=sceneset["proj"], invview=sceneset["invview"],
         shadowmaps=shadowmaps, ibl=ibl, cluster=cluster, ssao=ssao_img,
-        spotmaps=spotmaps)
+        spotmaps=spotmaps, shadow_factor_scale=cfg.shadow_factor_scale)
 
     # skybox background (reference: forward pass skybox.vert/frag fills
     # uncovered pixels along the view ray)

@@ -1,0 +1,38 @@
+"""Flat water surface (reference: ForwardList::push_water,
+data/water.{vert,frag}).
+
+The reference shades water as a forward translucent plane: 3-octave
+scrolling bump normal, (depth, facing) albedo LUT, box-projected env
+specular, clustered lights, and a transmission term that fades the
+surface out over shallow water.  The TPU build routes water through the
+ocean path — a dynamic grid with per-vertex LUT coords and flow, shaded
+by the deferred pipeline (env probes supply the box-projected
+reflection; see ops/envprobe.py).  Transmission differs: the deferred
+surface is opaque, so shallow-water see-through is approximated by the
+LUT's shallow columns rather than per-pixel blending with the sea floor
+(a depth-aware refraction pass is on the backlog).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .ocean import Ocean, OceanParams, render_ocean_surface
+
+
+class Water(Ocean):
+    """Calm water plane: the ocean grid with a flat spectrum (bump comes
+    from the residual small-wave amplitude) plus flow scroll."""
+
+    def __init__(self, ctx, grid=48, patch_size=64.0, flow=(0.02, 0.01),
+                 ripple=4e-6, material=None, waterdepth=6.0):
+        params = OceanParams(amplitude=ripple, choppiness=0.4, flow=flow,
+                             waterdepth=waterdepth,
+                             foamwavescale=0.0, foamshorescale=0.0)
+        super().__init__(ctx, grid=grid, patch_size=patch_size,
+                         params=params, material=material)
+
+
+def push_water(renderlist, water: Water, transform, material):
+    """Queue a water surface (reference: forwardlist.h:65-67)."""
+    render_ocean_surface(water, renderlist, transform, material)

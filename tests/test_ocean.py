@@ -128,3 +128,36 @@ class TestOceanRender:
         sel = img[water_px]
         assert sel[:, 2].mean() > sel[:, 0].mean() * 1.05, \
             f"water not blue: {sel.mean(0)}"
+
+
+class TestWater:
+    def test_water_surface_renders_calm(self):
+        from datum_tpu.ops.common import FrameConfig
+        from datum_tpu.render import Camera, RenderContext, RenderList, RenderParams
+        from datum_tpu.render.water import Water, push_water
+        from datum_tpu.math import Transform
+
+        cfg = FrameConfig(width=256, height=128, max_vertices=1 << 14,
+                          max_triangles=1 << 15, max_instances=4,
+                          bin_capacity=512, big_capacity=32,
+                          enable_shadows=False, texture_filter="bilinear",
+                          max_dynamic_vertices=1 << 14)
+        ctx = RenderContext(cfg)
+        water = Water(ctx, grid=32, patch_size=64.0)
+        mat = ctx.add_water_material()
+        cam = Camera()
+        cam.set_projection(np.radians(60), 2.0)
+        cam.lookat(np.array([32.0, 8.0, 76.0]), np.array([32.0, 0.0, 32.0]),
+                   np.array([0.0, 1.0, 0.0]))
+        params = RenderParams(width=256, height=128)
+        params.sunintensity = np.array([3.0, 3.0, 2.9], np.float32)
+        water.update(0.5)
+        rl = RenderList()
+        push_water(rl, water, Transform.identity(), mat)
+        img = ctx.render(cam, rl, params).astype(np.float32)
+        covered = img.max(-1) > 0
+        assert covered.mean() > 0.1
+        sel = img[covered]
+        # calm water: surface is flat enough that variance stays low and
+        # color reads blue-green from the LUT
+        assert sel[:, 2].mean() > sel[:, 0].mean()
