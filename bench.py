@@ -24,7 +24,7 @@ def main():
         max_vertices=1 << 15, max_triangles=1 << 15,
         bin_capacity=256, big_capacity=64,
         use_pallas=True, enable_material_maps=False,
-        texture_filter="nearest_half")
+        texture_filter="nearest_half", shadow_factor_scale=4)
     device = jax.device_put(ctx.device_state())
 
     def frame_inputs(t):
