@@ -33,5 +33,5 @@ def bloom(hdr, strength=1.0):
     t = t * t * (3.0 - 2.0 * t)   # smoothstep(0,1, luma-cutoff)
     seeded = tonemap(quarter * t[..., None])
     blurred = gaussian_blur(seeded, SIGMA * 0.5)
-    return jax.image.resize(blurred, (hdr.shape[0], hdr.shape[1], 3),
-                            method="linear") * strength
+    from .blur import resize_up_dense
+    return resize_up_dense(blurred, hdr.shape[0], hdr.shape[1]) * strength

@@ -105,3 +105,48 @@ def upsample2_bilinear(img, out_h, out_w):
     xs = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) / out_w
     uv = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)
     return sample_image_bilinear(img, uv)
+
+
+def upsample2_dense(img):
+    """Gather-free bilinear 2x upsample (half-pixel centers).
+
+    up[2i] = 0.75*x[i] + 0.25*x[i-1]; up[2i+1] = 0.75*x[i] + 0.25*x[i+1]
+    via roll + interleave — dense vector ops only, no per-pixel gathers
+    (jax.image.resize lowers to gathers for odd ratios on TPU).
+    """
+    def axis_up(x, axis):
+        prev = jnp.roll(x, 1, axis=axis)
+        nxt = jnp.roll(x, -1, axis=axis)
+        # clamp edges (roll wraps)
+        idx_lo = [slice(None)] * x.ndim
+        idx_lo[axis] = slice(0, 1)
+        idx_hi = [slice(None)] * x.ndim
+        idx_hi[axis] = slice(-1, None)
+        prev = jnp.concatenate([x[tuple(idx_lo)],
+                                jnp.take(prev, jnp.arange(1, x.shape[axis]),
+                                         axis=axis)], axis=axis)
+        nxt = jnp.concatenate([jnp.take(nxt, jnp.arange(0, x.shape[axis] - 1),
+                                        axis=axis),
+                               x[tuple(idx_hi)]], axis=axis)
+        a = 0.75 * x + 0.25 * prev
+        b = 0.75 * x + 0.25 * nxt
+        stacked = jnp.stack([a, b], axis=axis + 1)
+        shape = list(x.shape)
+        shape[axis] *= 2
+        return stacked.reshape(shape)
+
+    return axis_up(axis_up(img, 0), 1)
+
+
+def resize_up_dense(img, out_h, out_w):
+    """Upsample to (out_h, out_w) with gather-free x2 passes while the
+    ratio is a power of two; falls back to jax.image.resize for any
+    remainder."""
+    import jax
+
+    while img.shape[0] * 2 <= out_h and img.shape[1] * 2 <= out_w:
+        img = upsample2_dense(img)
+    if img.shape[0] != out_h or img.shape[1] != out_w:
+        img = jax.image.resize(img, (out_h, out_w) + img.shape[2:],
+                               method="linear")
+    return img

@@ -166,7 +166,8 @@ def shade_deferred(gbuffer, depth, sceneset, *, proj, invview,
                                       ml["splits"], ml["shadowview"],
                                       pool(-viewpos[..., 2]),
                                       normal=pool(normal))
-        sf = jax.image.resize(sf_h, (h, w), method="linear")
+        from .blur import resize_up_dense
+        sf = resize_up_dense(sf_h, h, w)
     elif shadowmaps is not None:
         from .shadow import shadow_factor as _shadow_factor
         sf = _shadow_factor(worldpos, shadowmaps, ml["splits"], ml["shadowview"],

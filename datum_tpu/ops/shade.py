@@ -121,7 +121,8 @@ def gbuffer_from_planes(planes, textures, texture_filter="nearest"):
         import jax
         a_h = nearest_tap(uv[::2, ::2], planes["albedo_id"][::2, ::2])
         h, w = uv.shape[:2]
-        albedo = jax.image.resize(a_h, (h, w, a_h.shape[-1]), method="linear")
+        from .blur import resize_up_dense
+        albedo = resize_up_dense(a_h, h, w)
     elif texture_filter == "nearest":
         albedo = nearest_tap(uv, planes["albedo_id"])
     else:

@@ -192,7 +192,8 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
         pr = make_hbao_params()
         ao = hbao(depth[::4, ::4], gbuffer["normal"][::4, ::4, :3],
                   sceneset["proj"], sceneset["view"], params=pr)
-        ssao_img = jax.image.resize(ao[..., 0], (h, w), method="linear")
+        from ..ops.blur import resize_up_dense
+        ssao_img = resize_up_dense(ao[..., 0], h, w)
 
     spotmaps = None
     if cfg.max_spot_shadows > 0:
@@ -305,7 +306,8 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
         ssr_h = ssr_op(hdr[::2, ::2], depth[::2, ::2], gb_h,
                        sceneset["proj"], sceneset["view"],
                        envbrdf_lut=ibl["envbrdf"] if ibl else None)
-        ssr_img = jax.image.resize(ssr_h, (h, w, 4), method="linear")
+        from ..ops.blur import resize_up_dense
+        ssr_img = resize_up_dense(ssr_h, h, w)
 
     # bloom (reference: bloom.luma + separable blurs)
     bloom_img = None
@@ -317,8 +319,8 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
     dof_blur = dof_amount = None
     if cfg.enable_depth_of_field:
         from ..ops.blur import downsample2, gaussian_blur
-        blurred = jax.image.resize(gaussian_blur(downsample2(hdr), 3.0, 6),
-                                   (h, w, 3), method="linear")
+        from ..ops.blur import resize_up_dense
+        blurred = resize_up_dense(gaussian_blur(downsample2(hdr), 3.0, 6), h, w)
         dist = sceneset["proj"][2, 3] / (depth + sceneset["proj"][2, 2])
         amount = jnp.clip(jnp.abs(dist - sceneset["camera"]["focaldistance"])
                           / jnp.maximum(sceneset["camera"]["focalwidth"], 1e-3),
