@@ -212,54 +212,60 @@ def pack_tile_setup_attrs(setup, bins, big_ids, tris, uv, normal, tri_material,
     return rows
 
 
-def _raster_shade_kernel(tile_ids_ref, counts_ref, rows_ref, out_refs,
-                         *, tiles_x, width, height, n_entries):
+def _raster_shade_kernel(tile_ids_ref, counts_ref, rows_all, out_refs,
+                         *, tiles_x, width, height, n_entries,
+                         tiles_per_step=1):
     i = pl.program_id(0)
-    tile = tile_ids_ref[i]
-    ty = tile // tiles_x
-    tx = tile % tiles_x
-
     yy = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
     xx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
-    yn = (ty.astype(jnp.float32) * TILE_H + yy + 0.5) * (2.0 / height) - 1.0
-    xn = (tx.astype(jnp.float32) * TILE_W + xx + 0.5) * (2.0 / width) - 1.0
+    big_count = counts_ref[0]
 
     N_PLANES = 15   # depth, vis, u, v, nx, ny, nz, r, g, b, em, met, rgh, rfl, alb
 
-    def body(k, carry):
-        depth = carry[0]
-        e0 = rows_ref[k, 0] * xn + rows_ref[k, 1] * yn + rows_ref[k, 2]
-        e1 = rows_ref[k, 3] * xn + rows_ref[k, 4] * yn + rows_ref[k, 5]
-        e2 = rows_ref[k, 6] * xn + rows_ref[k, 7] * yn + rows_ref[k, 8]
-        s = e0 + e1 + e2
-        inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (s > 0) & (rows_ref[k, 12] > 0)
-        d = rows_ref[k, 9] * xn + rows_ref[k, 10] * yn + rows_ref[k, 11]
-        passed = inside & (d > depth) & (d <= 1.0)
-        inv = 1.0 / jnp.where(s == 0, 1.0, s)
-        l0 = e0 * inv
-        l1 = e1 * inv
-        l2 = 1.0 - l0 - l1
+    for rstep in range(tiles_per_step):
+        slot = i * tiles_per_step + rstep
+        tile = tile_ids_ref[slot]
+        ty = tile // tiles_x
+        tx = tile % tiles_x
+        yn = (ty.astype(jnp.float32) * TILE_H + yy + 0.5) * (2.0 / height) - 1.0
+        xn = (tx.astype(jnp.float32) * TILE_W + xx + 0.5) * (2.0 / width) - 1.0
+        rows_ref = rows_all.at[rstep]
 
-        u = rows_ref[k, 16] * l0 + rows_ref[k, 18] * l1 + rows_ref[k, 20] * l2
-        v = rows_ref[k, 17] * l0 + rows_ref[k, 19] * l1 + rows_ref[k, 21] * l2
-        nx = rows_ref[k, 22] * l0 + rows_ref[k, 25] * l1 + rows_ref[k, 28] * l2
-        ny = rows_ref[k, 23] * l0 + rows_ref[k, 26] * l1 + rows_ref[k, 29] * l2
-        nz = rows_ref[k, 24] * l0 + rows_ref[k, 27] * l1 + rows_ref[k, 30] * l2
+        def body(k, carry):
+            depth = carry[0]
+            e0 = rows_ref[k, 0] * xn + rows_ref[k, 1] * yn + rows_ref[k, 2]
+            e1 = rows_ref[k, 3] * xn + rows_ref[k, 4] * yn + rows_ref[k, 5]
+            e2 = rows_ref[k, 6] * xn + rows_ref[k, 7] * yn + rows_ref[k, 8]
+            s = e0 + e1 + e2
+            inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (s > 0) & (rows_ref[k, 12] > 0)
+            d = rows_ref[k, 9] * xn + rows_ref[k, 10] * yn + rows_ref[k, 11]
+            passed = inside & (d > depth) & (d <= 1.0)
+            inv = 1.0 / jnp.where(s == 0, 1.0, s)
+            l0 = e0 * inv
+            l1 = e1 * inv
+            l2 = 1.0 - l0 - l1
 
-        vals = [d, rows_ref[k, 13], u, v, nx, ny, nz,
-                rows_ref[k, 34], rows_ref[k, 35], rows_ref[k, 36],
-                rows_ref[k, 37], rows_ref[k, 38], rows_ref[k, 39],
-                rows_ref[k, 40], rows_ref[k, 41]]
-        return tuple(jnp.where(passed, vals[j], carry[j]) for j in range(N_PLANES))
+            u = rows_ref[k, 16] * l0 + rows_ref[k, 18] * l1 + rows_ref[k, 20] * l2
+            v = rows_ref[k, 17] * l0 + rows_ref[k, 19] * l1 + rows_ref[k, 21] * l2
+            nx = rows_ref[k, 22] * l0 + rows_ref[k, 25] * l1 + rows_ref[k, 28] * l2
+            ny = rows_ref[k, 23] * l0 + rows_ref[k, 26] * l1 + rows_ref[k, 29] * l2
+            nz = rows_ref[k, 24] * l0 + rows_ref[k, 27] * l1 + rows_ref[k, 30] * l2
 
-    zeros = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    init = (zeros, zeros - 1.0) + tuple(zeros for _ in range(13))
-    big_count = counts_ref[0]
-    count = counts_ref[2 + i]
-    carry = jax.lax.fori_loop(0, big_count, body, init)
-    out = jax.lax.fori_loop(counts_ref[1], counts_ref[1] + count, body, carry)
-    for j in range(N_PLANES):
-        out_refs[j][...] = out[j]
+            vals = [d, rows_ref[k, 13], u, v, nx, ny, nz,
+                    rows_ref[k, 34], rows_ref[k, 35], rows_ref[k, 36],
+                    rows_ref[k, 37], rows_ref[k, 38], rows_ref[k, 39],
+                    rows_ref[k, 40], rows_ref[k, 41]]
+            return tuple(jnp.where(passed, vals[j], carry[j])
+                         for j in range(N_PLANES))
+
+        zeros = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        init = (zeros, zeros - 1.0) + tuple(zeros for _ in range(13))
+        count = counts_ref[2 + slot]
+        carry = jax.lax.fori_loop(0, big_count, body, init)
+        out = jax.lax.fori_loop(counts_ref[1], counts_ref[1] + count, body,
+                                carry)
+        for j in range(N_PLANES):
+            out_refs[j][rstep, :, :] = out[j]
 
 
 def raster_shade_pallas(setup, bins, big_ids, counts, tris, uv, normal,
@@ -286,18 +292,20 @@ def raster_shade_pallas(setup, bins, big_ids, counts, tris, uv, normal,
                             counts.astype(jnp.int32)])
 
     N_PLANES = 15
+    # multi-tile grid steps amortize per-step dispatch/DMA latency
+    R = next((r for r in (6, 5, 4, 3, 2) if n_tiles % r == 0), 1)
 
     def kernel_wrap(tile_ids_ref, counts_ref, rows_ref, *outs):
-        _raster_shade_kernel(tile_ids_ref, counts_ref, rows_ref.at[0],
-                             [o.at[0] for o in outs],
+        _raster_shade_kernel(tile_ids_ref, counts_ref, rows_ref,
+                             list(outs),
                              tiles_x=tiles_x, width=width, height=height,
-                             n_entries=n_entries)
+                             n_entries=n_entries, tiles_per_step=R)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_tiles,),
-        in_specs=[pl.BlockSpec((1, n_entries, SETUP_WIDTH), lambda i, *_: (i, 0, 0))],
-        out_specs=[pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0))
+        grid=(n_tiles // R,),
+        in_specs=[pl.BlockSpec((R, n_entries, SETUP_WIDTH), lambda i, *_: (i, 0, 0))],
+        out_specs=[pl.BlockSpec((R, TILE_H, TILE_W), lambda i, *_: (i, 0, 0))
                    for _ in range(N_PLANES)],
     )
     out_shape = [jax.ShapeDtypeStruct((n_tiles, TILE_H, TILE_W), jnp.float32)
@@ -319,7 +327,7 @@ def raster_shade_pallas(setup, bins, big_ids, counts, tris, uv, normal,
     )
 
 
-DEPTH_TILES_PER_STEP = 4    # amortize per-grid-step latency: shadow
+DEPTH_TILES_PER_STEP = 8    # amortize per-grid-step latency: shadow
                             # bins are short, so step overhead dominates
 
 
