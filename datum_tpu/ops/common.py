@@ -72,6 +72,7 @@ class FrameConfig:
     raster_kernel: str = "v2"
     texture_filter: str = "nearest"  # none|nearest_half|nearest|bilinear
     enable_skinning: bool = False    # dual-quat skinned vertex path
+    enable_foliage: bool = False     # per-draw wind bend vertex modifier
     max_palettes: int = 16
     max_bones: int = 128
     max_particle_quads: int = 0      # forward OIT billboard capacity

@@ -100,6 +100,34 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
     normals = geom["normals"][ex["src_v"]]
     tangents = geom["tangents"][ex["src_v"]]
 
+    # foliage wind bend in local space (reference: foilage.geometry.vert
+    # transform_detailbend + transform_bend with the wind rotated into
+    # the model frame)
+    if cfg.enable_foliage:
+        R = draws["world"][:, :, :3]                     # (D, 3, 3)
+        lw = jnp.einsum("dji,dj->di", R, draws["wind"][:, :3])
+        wv = lw[ex["vtx_draw"]]                          # (V, 3)
+        tv = draws["wind"][ex["vtx_draw"], 3]
+        bs = draws["bendscale"][ex["vtx_draw"]]
+        ds = draws["detailbendscale"][ex["vtx_draw"]]
+        anch = draws["world"][ex["vtx_draw"], :, 3]
+
+        phase = positions @ jnp.ones((3,), jnp.float32) * anch.sum(-1)
+        wvs = jnp.stack([(tv + phase) * 1.975, (tv + phase) * 0.793], -1)
+        waves = jnp.mod(wvs, 1.0) * 2.0 - 1.0
+        waves = jnp.abs(jnp.mod(waves + 0.5, 1.0) * 2.0 - 1.0)
+        waves = waves * waves * (3.0 - 2.0 * waves)
+        positions = positions + wv * (waves.sum(-1)
+                                      * jnp.sum(positions * ds, -1))[:, None]
+
+        bf = jnp.sum(positions * bs, -1) + 1.0
+        bf = bf * bf
+        bf = bf * bf - bf
+        bent = positions + wv * bf[:, None]
+        ln = jnp.linalg.norm(positions, axis=-1, keepdims=True)
+        bn = jnp.maximum(jnp.linalg.norm(bent, axis=-1, keepdims=True), 1e-20)
+        positions = bent * (ln / bn)
+
     if cfg.enable_skinning:
         from ..ops.geometry import skin_vertices
         pal_of_v = draws["palette_id"][ex["vtx_draw"]]

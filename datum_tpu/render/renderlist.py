@@ -39,6 +39,25 @@ class RenderList:
 
     push_geometry = push_mesh
 
+    def push_foliage(self, mesh, transforms, material, wind=(0, 0, 0, 0),
+                     bendscale=(0, 0.025, 0), detailbendscale=(0, 0.025, 0),
+                     caster=True):
+        """Instanced foliage with wind bend (reference: geometrylist.h:56
+        push_foilage — wind.xyz = direction*strength, wind.w = time).
+        Requires FrameConfig.enable_foliage."""
+        if not isinstance(transforms, (list, tuple)):
+            transforms = [transforms]
+        for t in transforms:
+            m = _to_affine(t)
+            self.draws.append(dict(
+                mesh=mesh.mesh_id, transform=m, material=material,
+                wind=np.asarray(wind, np.float32),
+                bendscale=np.asarray(bendscale, np.float32),
+                detailbendscale=np.asarray(detailbendscale, np.float32)))
+            if caster:
+                self.casters.append(dict(mesh=mesh.mesh_id, transform=m,
+                                         material=material))
+
     def push_actor(self, mesh, transform, material, palette, caster=True):
         """Skinned draw: palette is the Animator's (B, 8) dual-quat bone
         palette (reference: renderlist push_mesh with Pose/actor
@@ -238,7 +257,12 @@ class RenderList:
         world[:, :, :3] = np.eye(3)
         material = np.full(max_draws, default_material, np.int32)
         n = min(len(self.draws), max_draws)
-        out = dict(mesh=mesh, world=world, material=material, count=np.int32(n))
+        wind = np.zeros((max_draws, 4), np.float32)
+        bendscale = np.zeros((max_draws, 3), np.float32)
+        detailbendscale = np.zeros((max_draws, 3), np.float32)
+        out = dict(mesh=mesh, world=world, material=material, count=np.int32(n),
+                   wind=wind, bendscale=bendscale,
+                   detailbendscale=detailbendscale)
         if max_palettes:
             palettes = np.zeros((max_palettes, max_bones, 8), np.float32)
             palettes[:, :, 0] = 1.0      # identity dual-quats
@@ -248,6 +272,10 @@ class RenderList:
             mesh[i] = d["mesh"]
             world[i] = d["transform"]
             material[i] = d["material"]
+            if "wind" in d:
+                wind[i] = d["wind"]
+                bendscale[i] = d["bendscale"]
+                detailbendscale[i] = d["detailbendscale"]
             if max_palettes and d.get("palette") is not None and next_pal < max_palettes:
                 p = d["palette"]
                 palettes[next_pal, :len(p)] = p[:max_bones]

@@ -206,3 +206,50 @@ class TestSpotShadows:
         ratio = (band_s + 1) / (band_l + 1)
         assert (ratio < 0.5).sum() > 20, \
             f"no spot shadow: min ratio {ratio.min():.2f}"
+
+
+def test_foliage_wind_bends_in_frame():
+    import numpy as np
+
+    from datum_tpu.math import Transform
+    from datum_tpu.ops.common import FrameConfig
+    from datum_tpu.render import Camera, RenderContext, RenderList, RenderParams
+    from datum_tpu.render import primitives
+
+    cfg = FrameConfig(width=256, height=128, max_vertices=2048,
+                      max_triangles=2048, max_instances=8, bin_capacity=64,
+                      big_capacity=8, enable_shadows=False,
+                      enable_foliage=True)
+    ctx = RenderContext(cfg)
+    # a tall thin quad as a grass blade
+    qv, qi = primitives.unit_quad()
+    pos = np.asarray(qv["position"], np.float32).copy()
+    pos[:, 1] = pos[:, 1] * 2 + 2.0     # y in [0, 4]
+    blade = ctx.add_mesh(dict(position=pos, texcoord=qv["texcoord"],
+                              normal=qv["normal"], tangent=qv["tangent"]), qi)
+    mat = ctx.add_material(color=(0.2, 0.9, 0.2, 1))
+    cam = Camera()
+    cam.set_projection(np.radians(60), 2.0)
+    cam.lookat(np.array([0.0, 2.0, 8.0]), np.array([0.0, 2.0, 0.0]),
+               np.array([0.0, 1.0, 0.0]))
+    params = RenderParams(width=256, height=128)
+    params.ambientintensity = 1.0
+
+    imgs = []
+    for windx in (0.0, 0.8):
+        rl = RenderList()
+        rl.push_foliage(blade, Transform.identity(), mat,
+                        wind=(windx, 0, 0, 0.3), bendscale=(0, 0.08, 0))
+        imgs.append(ctx.render(cam, rl, params).astype(np.float32))
+    # wind bends the blade: top pixels shift right
+    base_cols = np.nonzero(imgs[0][10:40].max(axis=(0, 2)) > 0)[0]
+    bent_cols = np.nonzero(imgs[1][10:40].max(axis=(0, 2)) > 0)[0]
+    assert len(base_cols) and len(bent_cols)
+    assert bent_cols.mean() > base_cols.mean() + 3, \
+        f"no bend: {base_cols.mean()} vs {bent_cols.mean()}"
+    # roots stay put: compare the lowest covered rows
+    rows0 = np.nonzero(imgs[0].max(axis=(1, 2)) > 0)[0]
+    lo = slice(rows0.max() - 6, rows0.max() + 1)
+    rb = np.nonzero(imgs[0][lo].max(axis=(0, 2)) > 0)[0]
+    bb = np.nonzero(imgs[1][lo].max(axis=(0, 2)) > 0)[0]
+    assert len(bb) and abs(rb.mean() - bb.mean()) < 8
