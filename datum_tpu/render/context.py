@@ -336,9 +336,27 @@ class RenderContext:
                     normals=np.zeros((md, 3), np.float32),
                     texcoords=np.zeros((md, 2), np.float32),
                     offset=np.int32(0), count=np.int32(0))
-        out = frame_mod.render_frame(self.config, self.device_state(), draws, sceneset)
+        cfg = self.config
+        scale = float(getattr(params, "scale", 1.0) or 1.0)
+        if scale != 1.0:
+            # render the fbo at scaled resolution, then blit up to the
+            # viewport (reference: RenderParams::scale,
+            # renderer.cpp:6797-6804) — a resolution/perf dial that needs
+            # no pipeline rebuild beyond one extra jit specialization
+            import dataclasses as _dc
+            sw = max(int(round(cfg.width * scale)) & ~1, 2)
+            sh = max(int(round(cfg.height * scale)) & ~1, 2)
+            cfg = _dc.replace(cfg, width=sw, height=sh)
+        out = frame_mod.render_frame(cfg, self.device_state(), draws, sceneset)
         self.luminance = float(out["luminance"])
-        return np.asarray(out["image"])
+        img = np.asarray(out["image"])
+        if scale != 1.0:
+            yi = (np.arange(self.config.height) * img.shape[0]
+                  // self.config.height).clip(0, img.shape[0] - 1)
+            xi = (np.arange(self.config.width) * img.shape[1]
+                  // self.config.width).clip(0, img.shape[1] - 1)
+            img = img[yi][:, xi]
+        return img
 
 
 def _resample_nearest(img, size):

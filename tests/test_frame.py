@@ -253,3 +253,32 @@ def test_foliage_wind_bends_in_frame():
     rb = np.nonzero(imgs[0][lo].max(axis=(0, 2)) > 0)[0]
     bb = np.nonzero(imgs[1][lo].max(axis=(0, 2)) > 0)[0]
     assert len(bb) and abs(rb.mean() - bb.mean()) < 8
+
+
+def test_render_scale_blits_to_viewport():
+    import numpy as np
+
+    from datum_tpu.math import Transform
+    from datum_tpu.ops.common import FrameConfig
+    from datum_tpu.render import Camera, RenderContext, RenderList, RenderParams
+    from datum_tpu.render import primitives
+
+    cfg = FrameConfig(width=256, height=128, max_vertices=512,
+                      max_triangles=512, max_instances=4, bin_capacity=64,
+                      big_capacity=8, enable_shadows=False)
+    ctx = RenderContext(cfg)
+    qv, qi = primitives.unit_quad()
+    quad = ctx.add_mesh(qv, qi)
+    mat = ctx.add_material(color=(1, 0.2, 0.2, 1))
+    cam = Camera()
+    cam.set_projection(np.radians(60), 2.0)
+    cam.lookat(np.array([0.0, 0.0, 4.0]), np.zeros(3), np.array([0.0, 1.0, 0.0]))
+    params = RenderParams(width=256, height=128)
+    params.ambientintensity = 1.0
+    params.scale = 0.5
+    rl = RenderList()
+    rl.push_mesh(quad, Transform.identity(), mat)
+    img = ctx.render(cam, rl, params)
+    assert img.shape == (128, 256, 3)       # blitted back to the viewport
+    centre = img[50:78, 112:144].astype(np.float32)
+    assert centre[..., 0].mean() > 40       # quad still visible
