@@ -63,6 +63,16 @@ KERNEL_REGISTRY = {
     CoreAsset.particle_frag: "datum_tpu.ops.blend.raster_blend",
     CoreAsset.composite_frag: "datum_tpu.ops.composite.composite",
     CoreAsset.sprite_frag: "datum_tpu.render.sprite.blit_sprite",
+    CoreAsset.fogplane_frag: "datum_tpu.ops.fog.apply_fog_planes",
+    CoreAsset.ocean_frag: "datum_tpu.ops.ocean.ocean_lut_uv",
+    CoreAsset.water_frag: "datum_tpu.render.water.Water",
+    CoreAsset.foilage_geometry_vert: "datum_tpu.render.frame._frame#foliage",
+    CoreAsset.gizmo_frag: "datum_tpu.render.overlay.draw_gizmo",
+    CoreAsset.wireframe_frag: "datum_tpu.render.overlay.draw_wireframe",
+    CoreAsset.stencilmask_frag: "datum_tpu.render.overlay.draw_fill",
+    CoreAsset.stencilfill_frag: "datum_tpu.render.overlay.draw_fill",
+    CoreAsset.outline_frag: "datum_tpu.render.overlay.draw_outline",
+    CoreAsset.line_frag: "datum_tpu.render.overlay.draw_lines",
 }
 
 
