@@ -96,7 +96,39 @@ def render_frame_sharded(cfg: FrameConfig, mesh, device, draws, sceneset):
             loglum = jax.lax.psum(loglum, "tiles")
             lum = jnp.exp(loglum / (cfg.height * cfg.width))
 
-            rgb = composite_ops.composite(hdr, 1.0)
+            # bloom on shards: the blur kernel reaches across band edges,
+            # so shards exchange halo rows over ICI with ppermute before
+            # blurring (reference chain: bloom.luma + h/vblur at reduced
+            # res — here quarter res, halo = blur reach in quarter rows)
+            bloom_img = None
+            if cfg.enable_bloom:
+                from ..ops.blur import downsample2, gaussian_blur, resize_up_dense
+                from ..ops.bloom import CUTOFF, SIGMA
+                from ..ops.composite import tonemap
+
+                quarter = downsample2(downsample2(hdr))
+                luma = quarter @ jnp.array([0.299, 0.587, 0.114], jnp.float32)
+                t = jnp.clip(luma - CUTOFF, 0.0, 1.0)
+                t = t * t * (3.0 - 2.0 * t)
+                seeded = tonemap(quarter * t[..., None])
+
+                halo = min(16, seeded.shape[0])
+                fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+                bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+                from_above = jax.lax.ppermute(seeded[-halo:], "tiles", fwd)
+                from_below = jax.lax.ppermute(seeded[:halo], "tiles", bwd)
+                # zero the wrap-around halos at the frame edges
+                first = (dev == 0).astype(jnp.float32)
+                last = (dev == n_dev - 1).astype(jnp.float32)
+                ext = jnp.concatenate([from_above * (1 - first),
+                                       seeded,
+                                       from_below * (1 - last)], axis=0)
+                blurred = gaussian_blur(ext, SIGMA * 0.5)[halo:-halo]
+                bloom_img = resize_up_dense(blurred, hdr.shape[0], hdr.shape[1])
+                bloom_img = bloom_img * sceneset["camera"]["bloomstrength"]
+
+            rgb = composite_ops.composite(hdr, 1.0, bloom=bloom_img,
+                                          bloom_strength=1.0)
             image = composite_ops.to_u8_image(rgb)
             return image, lum[None]
 

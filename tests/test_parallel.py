@@ -54,3 +54,40 @@ def test_sharded_on_two_devices():
     out = render_frame_sharded(ctx.config, mesh, ctx.device_state(), draws, sceneset)
     img = np.asarray(out["image"])
     assert (img.max(-1) > 0).mean() > 0.05
+
+
+def test_sharded_bloom_halo_exchange():
+    """Bloom on shards: halo rows ride ppermute; result matches the
+    single-device blur away from deep seam reach."""
+    import dataclasses
+
+    from datum_tpu.math import Transform
+    from datum_tpu.render import primitives
+
+    ctx, camera, params, make_rl = _tiny_scene(8)
+    cfg = dataclasses.replace(ctx.config, enable_bloom=True, bin_capacity=128)
+    qv, qi = primitives.unit_quad()
+    beacon = ctx.add_mesh(qv, qi)
+    glow = ctx.add_material(color=(1.0, 0.8, 0.4, 1), emissive=0.8)
+    rl = make_rl(0.0)
+    rl.push_mesh(beacon, Transform.translation([0, 2.0, 2.0]), glow)
+    sceneset = make_sceneset(camera, params, point_lights=rl.point_lights)
+    draws = rl.draw_arrays(cfg.max_instances, ctx.default_material)
+    device = ctx.device_state()
+
+    single = frame_mod.render_frame(cfg, device, draws, sceneset)
+    mesh = make_device_mesh(8)
+    sharded = render_frame_sharded(cfg, mesh, device, draws, sceneset)
+    img_a = np.asarray(single["image"]).astype(int)
+    img_b = np.asarray(sharded["image"]).astype(int)
+
+    # bloom must actually fire (otherwise this test is vacuous)
+    cfg_off = dataclasses.replace(cfg, enable_bloom=False)
+    base = np.asarray(frame_mod.render_frame(cfg_off, device, draws,
+                                             sceneset)["image"]).astype(int)
+    assert np.abs(img_a - base).max() > 8, "no bloom in the test scene"
+
+    mismatch = np.abs(img_a - img_b).max(-1)
+    assert mismatch.mean() < 1.0, f"mean diff {mismatch.mean()}"
+    assert (mismatch > 12).mean() < 5e-3, \
+        f"{(mismatch > 12).sum()} strong seam pixels"
