@@ -116,7 +116,7 @@ def triangle_setup(clip, tris, width, height, tiles_x, tiles_y, tri_valid=None,
 
 
 def bin_triangles(setup, n_tris, tiles_x, tiles_y, bin_capacity, big_capacity,
-                  max_span=BIN_MAX_SPAN):
+                  max_span=BIN_MAX_SPAN, return_overflow=False):
     """Build per-tile triangle lists via pair-expansion + sort.
 
     Each binned triangle emits up to max_span (tile, tri) pairs over
@@ -150,7 +150,8 @@ def bin_triangles(setup, n_tris, tiles_x, tiles_y, bin_capacity, big_capacity,
     sorted_tri = skey & ((1 << 21) - 1)
 
     starts = jnp.searchsorted(sorted_tile, jnp.arange(n_tiles + 1, dtype=jnp.int32))
-    counts = jnp.minimum(starts[1:] - starts[:-1], bin_capacity)
+    raw_counts = starts[1:] - starts[:-1]
+    counts = jnp.minimum(raw_counts, bin_capacity)
 
     idx = starts[:-1, None] + jnp.arange(bin_capacity, dtype=jnp.int32)[None, :]
     idx = jnp.minimum(idx, sorted_tile.shape[0] - 1)
@@ -159,6 +160,12 @@ def bin_triangles(setup, n_tris, tiles_x, tiles_y, bin_capacity, big_capacity,
         sorted_tri[idx], -1)
 
     big_ids = jnp.nonzero(setup["big"], size=big_capacity, fill_value=-1)[0].astype(jnp.int32)
+    if return_overflow:
+        # dropped (tile, tri) pairs: bins saturate in draw order, so a
+        # nonzero overflow means later draws lost coverage in hot tiles
+        overflow = (jnp.sum(jnp.maximum(raw_counts - bin_capacity, 0))
+                    + jnp.maximum(jnp.sum(setup["big"]) - big_capacity, 0))
+        return bins, counts.astype(jnp.int32), big_ids, overflow.astype(jnp.int32)
     return bins, counts.astype(jnp.int32), big_ids
 
 

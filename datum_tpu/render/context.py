@@ -349,6 +349,14 @@ class RenderContext:
             cfg = _dc.replace(cfg, width=sw, height=sh)
         out = frame_mod.render_frame(cfg, self.device_state(), draws, sceneset)
         self.luminance = float(out["luminance"])
+        if "bin_overflow" in out:
+            ov = int(out["bin_overflow"])
+            self.bin_overflow = ov
+            if ov:
+                from ..debug.debug import log_once, resource_use
+                resource_use("raster.bin_overflow", ov, cfg.bin_capacity)
+                log_once(f"raster: {ov} (tile, tri) pairs dropped — raise "
+                         "FrameConfig.bin_capacity or bin_max_span")
         img = np.asarray(out["image"])
         if scale != 1.0:
             yi = (np.arange(self.config.height) * img.shape[0]

@@ -158,9 +158,9 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
     setup = raster_ops.triangle_setup(clip, ex["tris"], w, h, tx, ty,
                                       cull=-1 if cfg.backface_cull else 0,
                                       max_span=cfg.bin_max_span)
-    bins, counts, big_ids = raster_ops.bin_triangles(
+    bins, counts, big_ids, bin_overflow = raster_ops.bin_triangles(
         setup, cfg.max_triangles, tx, ty, cfg.bin_capacity, cfg.big_capacity,
-        max_span=cfg.bin_max_span)
+        max_span=cfg.bin_max_span, return_overflow=True)
     if cfg.use_pallas and not cfg.enable_material_maps:
         # fused raster + attribute/material interpolation: no per-pixel
         # attribute gathers at all (gather throughput is the TPU wall)
@@ -363,7 +363,8 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
                                   lut=lut)
     image = composite_ops.to_u8_image(rgb[:cfg.height, :cfg.width])
 
-    return dict(image=image, luminance=lum, depth=depth, vis=vis)
+    return dict(image=image, luminance=lum, depth=depth, vis=vis,
+                bin_overflow=bin_overflow)
 
 
 def render_frame(cfg: FrameConfig, device, draws, sceneset):

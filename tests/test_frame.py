@@ -282,3 +282,34 @@ def test_render_scale_blits_to_viewport():
     assert img.shape == (128, 256, 3)       # blitted back to the viewport
     centre = img[50:78, 112:144].astype(np.float32)
     assert centre[..., 0].mean() > 40       # quad still visible
+
+
+def test_bin_overflow_reported():
+    import numpy as np
+
+    from datum_tpu.math import Transform
+    from datum_tpu.ops.common import FrameConfig
+    from datum_tpu.render import Camera, RenderContext, RenderList, RenderParams
+    from datum_tpu.render import primitives
+
+    def run(bin_capacity):
+        cfg = FrameConfig(width=256, height=128, max_vertices=4096,
+                          max_triangles=4096, max_instances=8,
+                          bin_capacity=bin_capacity, big_capacity=8,
+                          enable_shadows=False)
+        ctx = RenderContext(cfg)
+        sv, si = primitives.unit_sphere(24, 12)
+        ball = ctx.add_mesh(sv, si)
+        mat = ctx.add_material(color=(1, 1, 1, 1))
+        cam = Camera()
+        cam.set_projection(np.radians(60), 2.0)
+        cam.lookat(np.array([0.0, 0.0, 3.0]), np.zeros(3),
+                   np.array([0.0, 1.0, 0.0]))
+        params = RenderParams(width=256, height=128)
+        rl = RenderList()
+        rl.push_mesh(ball, Transform.identity(), mat)
+        ctx.render(cam, rl, params)
+        return ctx.bin_overflow
+
+    assert run(16) > 0          # dense sphere overflows small bins
+    assert run(512) == 0
