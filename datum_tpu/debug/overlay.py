@@ -51,4 +51,30 @@ def render_debug_overlay(image: np.ndarray, fps=None, log=None):
         draw_text(image, font, f"{name[:14]}", 8, y, tint=(0.8, 0.8, 1, 0.9))
         draw_text(image, font, f"{used}/{cap}", 100, y, tint=(0.8, 0.8, 1, 0.9))
         y += 9
+
+    # live-tunable value menu (reference: DEBUG_MENU_VALUE rows with the
+    # selected entry highlighted; adjust via debug_menu_adjust)
+    sel = getattr(log, "menu_selection", 0)
+    for i, (name, value) in enumerate(list(log.menu_values.items())[:10]):
+        tint = (1, 0.8, 0.2, 1) if i == sel else (0.7, 0.7, 0.7, 0.9)
+        draw_text(image, font, f"{name[:16]}", 8, y, tint=tint)
+        draw_text(image, font, f"{value:.4g}", 120, y, tint=tint)
+        y += 9
     return image
+
+
+def debug_menu_adjust(direction=0, delta=0.0, log=None):
+    """Navigate/edit the live value menu (reference: debug.cpp menu input
+    handling — up/down select, left/right scale the value)."""
+    log = log or g_debuglog
+    names = list(log.menu_values.keys())
+    if not names:
+        return None
+    sel = getattr(log, "menu_selection", 0)
+    sel = int(np.clip(sel + direction, 0, len(names) - 1))
+    log.menu_selection = sel
+    if delta:
+        name = names[sel]
+        v = log.menu_values[name]
+        log.menu_values[name] = v + delta * (abs(v) if v else 1.0)
+    return names[sel]

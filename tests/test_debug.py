@@ -23,3 +23,21 @@ def test_debugviewer_renders_timeline(tmp_path):
     assert main([str(dump), str(out)]) == 0
     text = out.read_text()
     assert "animation" in text and "raster" in text and "<svg" in text
+
+
+def test_debug_overlay_menu():
+    import numpy as np
+
+    from datum_tpu.debug.debug import DebugLog, debug_menu_value, g_debuglog
+    from datum_tpu.debug.overlay import debug_menu_adjust, render_debug_overlay
+
+    debug_menu_value("fog.density", 0.5)
+    debug_menu_value("bloom.cut", 7.8)
+    name = debug_menu_adjust(direction=1)
+    assert name == "bloom.cut"
+    debug_menu_adjust(delta=0.1)
+    assert g_debuglog.menu_values["bloom.cut"] > 7.8
+
+    img = np.zeros((128, 256, 3), np.uint8)
+    render_debug_overlay(img, fps=60.0)
+    assert img.max() > 0
