@@ -115,19 +115,13 @@ def upsample2_dense(img):
     (jax.image.resize lowers to gathers for odd ratios on TPU).
     """
     def axis_up(x, axis):
-        prev = jnp.roll(x, 1, axis=axis)
-        nxt = jnp.roll(x, -1, axis=axis)
-        # clamp edges (roll wraps)
-        idx_lo = [slice(None)] * x.ndim
-        idx_lo[axis] = slice(0, 1)
-        idx_hi = [slice(None)] * x.ndim
-        idx_hi[axis] = slice(-1, None)
-        prev = jnp.concatenate([x[tuple(idx_lo)],
-                                jnp.take(prev, jnp.arange(1, x.shape[axis]),
-                                         axis=axis)], axis=axis)
-        nxt = jnp.concatenate([jnp.take(nxt, jnp.arange(0, x.shape[axis] - 1),
-                                        axis=axis),
-                               x[tuple(idx_hi)]], axis=axis)
+        def sl(a, b):
+            s = [slice(None)] * x.ndim
+            s[axis] = slice(a, b)
+            return tuple(s)
+
+        prev = jnp.concatenate([x[sl(0, 1)], x[sl(0, -1)]], axis=axis)
+        nxt = jnp.concatenate([x[sl(1, None)], x[sl(-1, None)]], axis=axis)
         a = 0.75 * x + 0.25 * prev
         b = 0.75 * x + 0.25 * nxt
         stacked = jnp.stack([a, b], axis=axis + 1)

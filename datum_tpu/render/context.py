@@ -242,6 +242,41 @@ class RenderContext:
         self._device = None
         return self.pool.add_mesh(vertices, indices, **kw)
 
+    def update_material(self, i, **fields):
+        """Live-edit a material (reference: Material::update).  The next
+        frame re-uploads only the material table."""
+        for k, v in fields.items():
+            getattr(self, f"mat_{k}")[i] = v
+        if self._device is not None:
+            self._device = dict(self._device)
+            self._device["materials"] = dict(
+                color=jnp.asarray(self.mat_color),
+                metalness=jnp.asarray(self.mat_metalness),
+                roughness=jnp.asarray(self.mat_roughness),
+                reflectivity=jnp.asarray(self.mat_reflectivity),
+                emissive=jnp.asarray(self.mat_emissive),
+                albedomap=jnp.asarray(self.mat_albedomap),
+                surfacemap=jnp.asarray(self.mat_surfacemap),
+                normalmap=jnp.asarray(self.mat_normalmap),
+            )
+
+    def update_texture(self, i, image):
+        """Live-edit one texture slot (reference: Texture::update via a
+        TransferLump) — patches the device pool in place instead of
+        re-uploading all slots."""
+        img = np.asarray(image)
+        if img.dtype != np.uint8:
+            img = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        if img.shape[2] == 3:
+            img = np.concatenate(
+                [img, np.full(img.shape[:2] + (1,), 255, np.uint8)], -1)
+        img = _resample_nearest(img, TEX_SIZE)
+        self.textures[i] = img
+        if self._device is not None:
+            self._device = dict(self._device)
+            self._device["textures"] = self._device["textures"].at[i].set(
+                jnp.asarray(img))
+
     def add_water_material(self, color=(1, 1, 1, 1), metalness=0.0,
                            roughness=0.08, reflectivity=0.9, **lut_kw) -> int:
         """Water material: procedural (depth, facing) color LUT as the

@@ -313,3 +313,45 @@ def test_bin_overflow_reported():
 
     assert run(16) > 0          # dense sphere overflows small bins
     assert run(512) == 0
+
+
+def test_live_material_and_texture_update():
+    import numpy as np
+
+    from datum_tpu.math import Transform
+    from datum_tpu.ops.common import FrameConfig
+    from datum_tpu.render import Camera, RenderContext, RenderList, RenderParams
+    from datum_tpu.render import primitives
+
+    cfg = FrameConfig(width=256, height=128, max_vertices=512,
+                      max_triangles=512, max_instances=4, bin_capacity=64,
+                      big_capacity=8, enable_shadows=False,
+                      texture_filter="bilinear")
+    ctx = RenderContext(cfg)
+    qv, qi = primitives.unit_quad()
+    quad = ctx.add_mesh(qv, qi)
+    tex = ctx.add_texture(np.full((8, 8, 4), [255, 0, 0, 255], np.uint8))
+    mat = ctx.add_material(color=(1, 1, 1, 1), albedomap=tex)
+    cam = Camera()
+    cam.set_projection(np.radians(60), 2.0)
+    cam.lookat(np.array([0.0, 0.0, 3.0]), np.zeros(3), np.array([0.0, 1.0, 0.0]))
+    params = RenderParams(width=256, height=128)
+    params.ambientintensity = 1.0
+    rl = RenderList()
+    rl.push_mesh(quad, Transform.identity(), mat)
+
+    a = ctx.render(cam, rl, params).astype(np.float32)
+    ctx.update_texture(tex, np.full((8, 8, 4), [0, 0, 255, 255], np.uint8))
+    rl2 = RenderList()
+    rl2.push_mesh(quad, Transform.identity(), mat)
+    b = ctx.render(cam, rl2, params).astype(np.float32)
+    c = a[50:78, 112:144]
+    d = b[50:78, 112:144]
+    assert c[..., 0].mean() > c[..., 2].mean() * 1.5     # red first
+    assert d[..., 2].mean() > d[..., 0].mean() * 1.5     # blue after update
+
+    ctx.update_material(mat, emissive=0.9)
+    rl3 = RenderList()
+    rl3.push_mesh(quad, Transform.identity(), mat)
+    e = ctx.render(cam, rl3, params).astype(np.float32)
+    assert e[50:78, 112:144].mean() > d.mean() + 20
