@@ -147,17 +147,17 @@ def bin_triangles(setup, n_tris, tiles_x, tiles_y, bin_capacity, big_capacity,
     key = (tile.reshape(-1) << 21) | tri_ids.reshape(-1)
     skey = jnp.sort(key)
     sorted_tile = skey >> 21
-    sorted_tri = skey & ((1 << 21) - 1)
 
     starts = jnp.searchsorted(sorted_tile, jnp.arange(n_tiles + 1, dtype=jnp.int32))
     raw_counts = starts[1:] - starts[:-1]
     counts = jnp.minimum(raw_counts, bin_capacity)
 
     idx = starts[:-1, None] + jnp.arange(bin_capacity, dtype=jnp.int32)[None, :]
-    idx = jnp.minimum(idx, sorted_tile.shape[0] - 1)
+    idx = jnp.minimum(idx, skey.shape[0] - 1)
+    k = skey[idx]                       # ONE gather; unpack tile/tri below
     bins = jnp.where(
-        sorted_tile[idx] == jnp.arange(n_tiles, dtype=jnp.int32)[:, None],
-        sorted_tri[idx], -1)
+        (k >> 21) == jnp.arange(n_tiles, dtype=jnp.int32)[:, None],
+        k & ((1 << 21) - 1), -1)
 
     big_ids = jnp.nonzero(setup["big"], size=big_capacity, fill_value=-1)[0].astype(jnp.int32)
     if return_overflow:

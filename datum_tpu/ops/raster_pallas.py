@@ -329,18 +329,58 @@ def raster_shade_pallas(setup, bins, big_ids, counts, tris, uv, normal,
 
 DEPTH_TILES_PER_STEP = 8    # amortize per-grid-step latency: shadow
                             # bins are short, so step overhead dominates
+DEPTH_PACK = 8              # triangles per 128-lane row (16 slots each)
+
+
+def pack_tile_setup_depth(setup, bins, big_ids):
+    """Depth-only rows, 8 triangles packed per 128-lane row.
+
+    Returns (n_tiles, E/8, 128) where lane r*16+j holds slot j of entry
+    g*8+r — the kernel statically unrolls r, so every lane offset stays
+    static (Mosaic forbids dynamic lane indexing).  8x less gather/DMA
+    traffic than the 128-wide single-entry rows.
+    """
+    adj, det, zc = setup["adj"], setup["det"], setup["zc"]
+    ez = adj * (zc[:, :, None] / det[:, None, None])
+    zs = ez.sum(axis=1)
+    sgn = jnp.sign(det)
+    T = adj.shape[0]
+    ylim = setup.get("ylim")
+    if ylim is None:
+        ylim = jnp.broadcast_to(jnp.array([-8.0, 8.0], jnp.float32), (T, 2))
+    flat = jnp.concatenate([
+        adj.reshape(-1, 9) * sgn[:, None], zs,
+        jnp.ones((T, 1), jnp.float32),
+        jnp.zeros((T, 1), jnp.float32),
+        ylim,
+    ], axis=-1)                                       # (T, 16)
+
+    ids = jnp.concatenate(
+        [jnp.broadcast_to(big_ids[None, :], (bins.shape[0], big_ids.shape[0])),
+         bins], axis=1)                               # (n_tiles, E)
+    E = ids.shape[1]
+    assert E % DEPTH_PACK == 0
+    ok = ids >= 0
+    rows = flat[jnp.maximum(ids, 0)] * ok[..., None]  # (n_tiles, E, 16)
+    return rows.reshape(ids.shape[0], E // DEPTH_PACK, DEPTH_PACK * 16)
 
 
 def _depth_kernel(counts_ref, rows_ref, depth_ref,
-                  *, tiles_x, width, height, n_entries, tiles_per_step):
+                  *, tiles_x, width, height, tiles_per_step):
     """Depth-only variant of _raster_kernel (shadow cascades): no
     barycentrics, no id plane, no per-triangle reciprocal; walks
-    tiles_per_step consecutive tiles per grid step."""
+    tiles_per_step consecutive tiles per grid step, DEPTH_PACK packed
+    triangles per row group (static lane offsets, unrolled)."""
     i = pl.program_id(0)
 
     yy = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
     xx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
-    big_count = counts_ref[0]
+    # bigs occupy groups [0, ceil(big/P)); the bin segment starts at
+    # group B/P and runs ceil(count/P) groups — zero rows in partially
+    # filled groups fail the valid test (slot 12)
+    P = DEPTH_PACK
+    big_groups = (counts_ref[0] + (P - 1)) // P
+    bin_group0 = counts_ref[1] // P
 
     for r in range(tiles_per_step):
         tile = i * tiles_per_step + r
@@ -350,21 +390,24 @@ def _depth_kernel(counts_ref, rows_ref, depth_ref,
         xn = (tx.astype(jnp.float32) * TILE_W + xx + 0.5) * (2.0 / width) - 1.0
         rows = rows_ref.at[r]
 
-        def body(k, depth):
-            e0 = rows[k, 0] * xn + rows[k, 1] * yn + rows[k, 2]
-            e1 = rows[k, 3] * xn + rows[k, 4] * yn + rows[k, 5]
-            e2 = rows[k, 6] * xn + rows[k, 7] * yn + rows[k, 8]
-            s = e0 + e1 + e2
-            inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (s > 0) \
-                & (rows[k, 12] > 0) \
-                & (yn >= rows[k, 14]) & (yn < rows[k, 15])
-            d = rows[k, 9] * xn + rows[k, 10] * yn + rows[k, 11]
-            return jnp.where(inside & (d > depth) & (d <= 1.0), d, depth)
+        def body(g, depth):
+            for q in range(P):
+                o = q * 16
+                e0 = rows[g, o + 0] * xn + rows[g, o + 1] * yn + rows[g, o + 2]
+                e1 = rows[g, o + 3] * xn + rows[g, o + 4] * yn + rows[g, o + 5]
+                e2 = rows[g, o + 6] * xn + rows[g, o + 7] * yn + rows[g, o + 8]
+                s = e0 + e1 + e2
+                inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (s > 0) \
+                    & (rows[g, o + 12] > 0) \
+                    & (yn >= rows[g, o + 14]) & (yn < rows[g, o + 15])
+                d = rows[g, o + 9] * xn + rows[g, o + 10] * yn + rows[g, o + 11]
+                depth = jnp.where(inside & (d > depth) & (d <= 1.0), d, depth)
+            return depth
 
         init = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        count = counts_ref[2 + tile]
-        depth = jax.lax.fori_loop(0, big_count, body, init)
-        depth = jax.lax.fori_loop(counts_ref[1], counts_ref[1] + count,
+        count_groups = (counts_ref[2 + tile] + (P - 1)) // P
+        depth = jax.lax.fori_loop(0, big_groups, body, init)
+        depth = jax.lax.fori_loop(bin_group0, bin_group0 + count_groups,
                                   body, depth)
         depth_ref[r, :, :] = depth
 
@@ -372,8 +415,9 @@ def _depth_kernel(counts_ref, rows_ref, depth_ref,
 def raster_depth_pallas(setup, bins, big_ids, counts, tiles_x, tiles_y,
                         width, height, interpret=False):
     """Depth-only pallas raster (shadow maps).  Returns (H, W) depth."""
-    rows = pack_tile_setup(setup, bins, big_ids)
-    n_entries = rows.shape[1]
+    assert big_ids.shape[0] % DEPTH_PACK == 0
+    rows = pack_tile_setup_depth(setup, bins, big_ids)
+    n_groups = rows.shape[1]
     n_tiles = tiles_x * tiles_y
     R = DEPTH_TILES_PER_STEP
     while n_tiles % R:
@@ -386,12 +430,12 @@ def raster_depth_pallas(setup, bins, big_ids, counts, tiles_x, tiles_y,
     def kernel_wrap(counts_ref, rows_ref, depth_ref):
         _depth_kernel(counts_ref, rows_ref, depth_ref,
                       tiles_x=tiles_x, width=width, height=height,
-                      n_entries=n_entries, tiles_per_step=R)
+                      tiles_per_step=R)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles // R,),
-        in_specs=[pl.BlockSpec((R, n_entries, SETUP_WIDTH),
+        in_specs=[pl.BlockSpec((R, n_groups, DEPTH_PACK * 16),
                                lambda i, *_: (i, 0, 0))],
         out_specs=[pl.BlockSpec((R, TILE_H, TILE_W), lambda i, *_: (i, 0, 0))],
     )
