@@ -185,10 +185,24 @@ MAT_BASE = 34         # material: rgb(3), emissive, metalness, roughness,
                       # reflectivity, albedo_id  -> slots 34..41
 
 
+SHADE_PACK = 2        # triangles per 128-lane row (64 slots each)
+
+
 def pack_tile_setup_attrs(setup, bins, big_ids, tris, uv, normal, tri_material,
                           materials):
-    """Setup rows extended with per-vertex attributes + material params."""
-    rows = pack_tile_setup(setup, bins, big_ids)      # (n_tiles, E, 128)
+    """Setup+attribute rows, 2 triangles packed per 128-lane row.
+
+    Entry layout within its 64-lane half: [adj*sgn 0-8, zs 9-11, valid 12,
+    tri_id 13, uv 16-21, normal 22-30, material 34-41].  Returns
+    (n_tiles, E/2, 128); the kernel statically unrolls the half offset,
+    halving row DMA and loop trips vs one-entry-per-row.
+    """
+    adj, det, zc = setup["adj"], setup["det"], setup["zc"]
+    ez = adj * (zc[:, :, None] / det[:, None, None])
+    zs = ez.sum(axis=1)
+    sgn = jnp.sign(det)
+    T = adj.shape[0]
+
     uv_t = uv[tris].reshape(-1, 6)                    # (T, 6)
     n_t = normal[tris].reshape(-1, 9)                 # (T, 9)
     mat = tri_material                                 # (T,) int32
@@ -200,25 +214,37 @@ def pack_tile_setup_attrs(setup, bins, big_ids, tris, uv, normal, tri_material,
         materials["reflectivity"][mat][:, None],
         materials["albedomap"][mat][:, None].astype(jnp.float32),
     ], axis=-1)                                       # (T, 8)
-    attr_flat = jnp.concatenate([uv_t, n_t, jnp.zeros((uv_t.shape[0], 1))], -1)
+
+    flat = jnp.concatenate([
+        adj.reshape(-1, 9) * sgn[:, None], zs,        # 0..11
+        jnp.ones((T, 1), jnp.float32),                # 12 valid
+        jnp.zeros((T, 3), jnp.float32),               # 13 tri id, 14-15 pad
+        uv_t, n_t,                                    # 16..30
+        jnp.zeros((T, 3), jnp.float32),               # 31-33 pad
+        mrows,                                        # 34..41
+        jnp.zeros((T, 64 - 42), jnp.float32),
+    ], axis=-1)                                       # (T, 64)
 
     ids = jnp.concatenate(
         [jnp.broadcast_to(big_ids[None, :], (bins.shape[0], big_ids.shape[0])), bins],
         axis=1)
+    E = ids.shape[1]
+    assert E % SHADE_PACK == 0
     ok = (ids >= 0)[..., None]
-    t = jnp.maximum(ids, 0)
-    rows = rows.at[..., ATTR_BASE:ATTR_BASE + 15].set(attr_flat[t][..., :15] * ok)
-    rows = rows.at[..., MAT_BASE:MAT_BASE + 8].set(mrows[t] * ok)
-    return rows
+    rows = flat[jnp.maximum(ids, 0)] * ok             # (n_tiles, E, 64)
+    rows = rows.at[..., 13].set(ids.astype(jnp.float32))
+    return rows.reshape(ids.shape[0], E // SHADE_PACK, SHADE_PACK * 64)
 
 
 def _raster_shade_kernel(tile_ids_ref, counts_ref, rows_all, out_refs,
-                         *, tiles_x, width, height, n_entries,
+                         *, tiles_x, width, height,
                          tiles_per_step=1):
     i = pl.program_id(0)
     yy = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
     xx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
-    big_count = counts_ref[0]
+    P = SHADE_PACK
+    big_groups = (counts_ref[0] + (P - 1)) // P
+    bin_group0 = counts_ref[1] // P
 
     N_PLANES = 15   # depth, vis, u, v, nx, ny, nz, r, g, b, em, met, rgh, rfl, alb
 
@@ -229,40 +255,44 @@ def _raster_shade_kernel(tile_ids_ref, counts_ref, rows_all, out_refs,
         tx = tile % tiles_x
         yn = (ty.astype(jnp.float32) * TILE_H + yy + 0.5) * (2.0 / height) - 1.0
         xn = (tx.astype(jnp.float32) * TILE_W + xx + 0.5) * (2.0 / width) - 1.0
-        rows_ref = rows_all.at[rstep]
+        rows = rows_all.at[rstep]
 
-        def body(k, carry):
-            depth = carry[0]
-            e0 = rows_ref[k, 0] * xn + rows_ref[k, 1] * yn + rows_ref[k, 2]
-            e1 = rows_ref[k, 3] * xn + rows_ref[k, 4] * yn + rows_ref[k, 5]
-            e2 = rows_ref[k, 6] * xn + rows_ref[k, 7] * yn + rows_ref[k, 8]
-            s = e0 + e1 + e2
-            inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (s > 0) & (rows_ref[k, 12] > 0)
-            d = rows_ref[k, 9] * xn + rows_ref[k, 10] * yn + rows_ref[k, 11]
-            passed = inside & (d > depth) & (d <= 1.0)
-            inv = 1.0 / jnp.where(s == 0, 1.0, s)
-            l0 = e0 * inv
-            l1 = e1 * inv
-            l2 = 1.0 - l0 - l1
+        def body(g, carry):
+            for q in range(P):
+                o = q * 64
+                depth = carry[0]
+                e0 = rows[g, o + 0] * xn + rows[g, o + 1] * yn + rows[g, o + 2]
+                e1 = rows[g, o + 3] * xn + rows[g, o + 4] * yn + rows[g, o + 5]
+                e2 = rows[g, o + 6] * xn + rows[g, o + 7] * yn + rows[g, o + 8]
+                s = e0 + e1 + e2
+                inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (s > 0) \
+                    & (rows[g, o + 12] > 0)
+                d = rows[g, o + 9] * xn + rows[g, o + 10] * yn + rows[g, o + 11]
+                passed = inside & (d > depth) & (d <= 1.0)
+                inv = 1.0 / jnp.where(s == 0, 1.0, s)
+                l0 = e0 * inv
+                l1 = e1 * inv
+                l2 = 1.0 - l0 - l1
 
-            u = rows_ref[k, 16] * l0 + rows_ref[k, 18] * l1 + rows_ref[k, 20] * l2
-            v = rows_ref[k, 17] * l0 + rows_ref[k, 19] * l1 + rows_ref[k, 21] * l2
-            nx = rows_ref[k, 22] * l0 + rows_ref[k, 25] * l1 + rows_ref[k, 28] * l2
-            ny = rows_ref[k, 23] * l0 + rows_ref[k, 26] * l1 + rows_ref[k, 29] * l2
-            nz = rows_ref[k, 24] * l0 + rows_ref[k, 27] * l1 + rows_ref[k, 30] * l2
+                u = rows[g, o + 16] * l0 + rows[g, o + 18] * l1 + rows[g, o + 20] * l2
+                v = rows[g, o + 17] * l0 + rows[g, o + 19] * l1 + rows[g, o + 21] * l2
+                nx = rows[g, o + 22] * l0 + rows[g, o + 25] * l1 + rows[g, o + 28] * l2
+                ny = rows[g, o + 23] * l0 + rows[g, o + 26] * l1 + rows[g, o + 29] * l2
+                nz = rows[g, o + 24] * l0 + rows[g, o + 27] * l1 + rows[g, o + 30] * l2
 
-            vals = [d, rows_ref[k, 13], u, v, nx, ny, nz,
-                    rows_ref[k, 34], rows_ref[k, 35], rows_ref[k, 36],
-                    rows_ref[k, 37], rows_ref[k, 38], rows_ref[k, 39],
-                    rows_ref[k, 40], rows_ref[k, 41]]
-            return tuple(jnp.where(passed, vals[j], carry[j])
-                         for j in range(N_PLANES))
+                vals = [d, rows[g, o + 13], u, v, nx, ny, nz,
+                        rows[g, o + 34], rows[g, o + 35], rows[g, o + 36],
+                        rows[g, o + 37], rows[g, o + 38], rows[g, o + 39],
+                        rows[g, o + 40], rows[g, o + 41]]
+                carry = tuple(jnp.where(passed, vals[j], carry[j])
+                              for j in range(N_PLANES))
+            return carry
 
         zeros = jnp.zeros((TILE_H, TILE_W), jnp.float32)
         init = (zeros, zeros - 1.0) + tuple(zeros for _ in range(13))
-        count = counts_ref[2 + slot]
-        carry = jax.lax.fori_loop(0, big_count, body, init)
-        out = jax.lax.fori_loop(counts_ref[1], counts_ref[1] + count, body,
+        count_groups = (counts_ref[2 + slot] + (P - 1)) // P
+        carry = jax.lax.fori_loop(0, big_groups, body, init)
+        out = jax.lax.fori_loop(bin_group0, bin_group0 + count_groups, body,
                                 carry)
         for j in range(N_PLANES):
             out_refs[j][rstep, :, :] = out[j]
@@ -277,9 +307,10 @@ def raster_shade_pallas(setup, bins, big_ids, counts, tris, uv, normal,
     normal (H,W,3), color (H,W,3), emissive, metalness, roughness,
     reflectivity, albedo_id (int32).
     """
+    assert big_ids.shape[0] % SHADE_PACK == 0
     rows = pack_tile_setup_attrs(setup, bins, big_ids, tris, uv, normal,
                                  tri_material, materials)
-    n_entries = rows.shape[1]
+    n_groups = rows.shape[1]
     if tile_ids is None:
         tile_ids = jnp.arange(tiles_x * tiles_y, dtype=jnp.int32)
     else:
@@ -299,12 +330,13 @@ def raster_shade_pallas(setup, bins, big_ids, counts, tris, uv, normal,
         _raster_shade_kernel(tile_ids_ref, counts_ref, rows_ref,
                              list(outs),
                              tiles_x=tiles_x, width=width, height=height,
-                             n_entries=n_entries, tiles_per_step=R)
+                             tiles_per_step=R)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles // R,),
-        in_specs=[pl.BlockSpec((R, n_entries, SETUP_WIDTH), lambda i, *_: (i, 0, 0))],
+        in_specs=[pl.BlockSpec((R, n_groups, SHADE_PACK * 64),
+                               lambda i, *_: (i, 0, 0))],
         out_specs=[pl.BlockSpec((R, TILE_H, TILE_W), lambda i, *_: (i, 0, 0))
                    for _ in range(N_PLANES)],
     )
