@@ -117,10 +117,13 @@ def gbuffer_from_planes(planes, textures, texture_filter="nearest"):
     if texture_filter == "none":
         albedo = jnp.ones(planes["color"].shape[:2] + (4,), jnp.float32)
     elif texture_filter == "nearest_half":
-        # gather at half res, dense upsample: quarters the gather cost
-        import jax
-        a_h = nearest_tap(uv[::2, ::2], planes["albedo_id"][::2, ::2])
+        # gather at half res, dense upsample: quarters the gather cost.
+        # reshape-slice pooling instead of [::2] (strided lane reads are
+        # slow on TPU)
         h, w = uv.shape[:2]
+        uv_h = uv.reshape(h // 2, 2, w // 2, 2, 2).mean((1, 3))
+        ids_h = planes["albedo_id"].reshape(h // 2, 2, w // 2, 2)[:, 0, :, 0]
+        a_h = nearest_tap(uv_h, ids_h)
         from .blur import resize_up_dense
         albedo = resize_up_dense(a_h, h, w)
     elif texture_filter == "nearest":
