@@ -292,11 +292,22 @@ def shadow_factor_esm_fast(worldpos, esm, zmax, zscale, splits, shadowview,
     m_sel = rows
     for s in range(1, nslices):
         m_sel = jnp.where((s_sel == s)[..., None, None], shadowview[s], m_sel)
-    zmax_sel = zmax[s_sel]
-    zscale_sel = zscale[s_sel]
+    # per-slice scalars via where-chains, not gathers — gather cost is
+    # per-lookup regardless of table size, selects are free
     xnorm = jnp.linalg.norm(shadowview[:, 0, :3], axis=-1)
     znorm = jnp.linalg.norm(shadowview[:, 2, :3], axis=-1)
-    wtexel = 2.0 / (res * xnorm[s_sel])
+
+    def sel(table):
+        out = jnp.full(s_sel.shape, table[0])
+        for s in range(1, nslices):
+            out = jnp.where(s_sel == s, table[s], out)
+        return out
+
+    zmax_sel = sel(zmax)
+    zscale_sel = sel(zscale)
+    xnorm_sel = sel(xnorm)
+    znorm_sel = sel(znorm)
+    wtexel = 2.0 / (res * xnorm_sel)
     pos = worldpos if normal is None else worldpos + normal * (1.5 * wtexel)[..., None]
 
     clip = jnp.einsum("...ij,...j->...i", m_sel[..., :3, :3], pos) + m_sel[..., :3, 3]
@@ -310,7 +321,7 @@ def shadow_factor_esm_fast(worldpos, esm, zmax, zscale, splits, shadowview,
     tap = esm.reshape(-1)[s_sel * (res * res) + yi * res + xi]
 
     dref = (zmax_sel - ref) * zscale_sel
-    bias = wtexel * zscale_sel * znorm[s_sel] * 2.0
+    bias = wtexel * zscale_sel * znorm_sel * 2.0
     lit = jnp.clip(tap * jnp.exp(jnp.clip(-ESM_C * (dref - bias), -20.0, 20.0)),
                    0.0, 1.0)
     return jnp.where(inside, lit, 1.0)
