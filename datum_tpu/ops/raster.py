@@ -116,7 +116,8 @@ def triangle_setup(clip, tris, width, height, tiles_x, tiles_y, tri_valid=None,
 
 
 def bin_triangles(setup, n_tris, tiles_x, tiles_y, bin_capacity, big_capacity,
-                  max_span=BIN_MAX_SPAN, return_overflow=False):
+                  max_span=BIN_MAX_SPAN, return_overflow=False,
+                  depth_prio=None):
     """Build per-tile triangle lists via pair-expansion + sort.
 
     Each binned triangle emits up to max_span (tile, tri) pairs over
@@ -124,6 +125,13 @@ def bin_triangles(setup, n_tris, tiles_x, tiles_y, bin_capacity, big_capacity,
     (capacity bin_capacity).  Unbounded triangles go to a shared 'big'
     list every tile also walks.  Replaces the scatter/atomic pattern a
     GPU would use with sort+searchsorted, which XLA executes well.
+
+    depth_prio: optional (T,) reverse-Z depth in [0, 1].  When given, a
+    4-bit near-first depth band rides the sort key, so a saturated bin
+    keeps the NEAREST triangles — overflow then only drops triangles
+    that are occluded anyway (used by the shadow cascades, where hot
+    far-cascade tiles can hold thousands of sub-texel triangles).
+    Costs 4 tri-id bits: T <= 2^17.
     """
     n_tiles = tiles_x * tiles_y
     bbox = setup["tile_bbox"]
@@ -139,12 +147,22 @@ def bin_triangles(setup, n_tris, tiles_x, tiles_y, bin_capacity, big_capacity,
     pair_ok = setup["valid"][:, None] & (k[None, :] < span[:, None])
     tile = jnp.where(pair_ok, tile, n_tiles)                          # sentinel
 
-    # pack (tile, tri) into one int32 key: a single-array sort moves half
-    # the data of an argsort+gather and stays in draw order per tile
-    assert T <= (1 << 21), "triangle capacity exceeds packed sort key"
+    # pack (tile[, depth band], tri) into one int32 key: a single-array
+    # sort moves half the data of an argsort+gather and stays in draw
+    # order per tile (per band when depth_prio is on)
     tri_ids = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[:, None],
                                tile.shape)
-    key = (tile.reshape(-1) << 21) | tri_ids.reshape(-1)
+    if depth_prio is None:
+        assert T <= (1 << 21), "triangle capacity exceeds packed sort key"
+        tri_bits = 21
+        key = (tile.reshape(-1) << 21) | tri_ids.reshape(-1)
+    else:
+        assert T <= (1 << 17), "triangle capacity exceeds depth-prio key"
+        tri_bits = 17
+        dq = jnp.clip(((1.0 - depth_prio) * 15.0).astype(jnp.int32), 0, 15)
+        dq = jnp.broadcast_to(dq[:, None], tile.shape)
+        key = ((tile.reshape(-1) << 21) | (dq.reshape(-1) << 17)
+               | tri_ids.reshape(-1))
     skey = jnp.sort(key)
     sorted_tile = skey >> 21
 
@@ -157,7 +175,7 @@ def bin_triangles(setup, n_tris, tiles_x, tiles_y, bin_capacity, big_capacity,
     k = skey[idx]                       # ONE gather; unpack tile/tri below
     bins = jnp.where(
         (k >> 21) == jnp.arange(n_tiles, dtype=jnp.int32)[:, None],
-        k & ((1 << 21) - 1), -1)
+        k & ((1 << tri_bits) - 1), -1)
 
     big_ids = jnp.nonzero(setup["big"], size=big_capacity, fill_value=-1)[0].astype(jnp.int32)
     if return_overflow:

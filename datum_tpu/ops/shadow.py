@@ -68,9 +68,12 @@ def render_shadow_cascades(world_pos, tris, shadowview, *, res=1024,
     band = jnp.arange(n_slices * T, dtype=jnp.int32) // T
     band_lo = -1.0 + band.astype(jnp.float32) * (2.0 / n_slices)
     setup["ylim"] = jnp.stack([band_lo, band_lo + 2.0 / n_slices], -1)
+    # near-to-light priority: saturated far-cascade bins then drop only
+    # triangles already occluded in light space
     bins, counts, big = raster_ops.bin_triangles(
         setup, tris_all.shape[0], tiles_x, tiles_y, bin_capacity,
-        big_capacity, max_span=4)
+        big_capacity, max_span=4,
+        depth_prio=jnp.clip(setup["zc"].max(axis=1), 0.0, 1.0))
     if use_pallas:
         from .raster_pallas import raster_depth_pallas
         depth = raster_depth_pallas(setup, bins, big, counts,

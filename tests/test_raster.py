@@ -174,3 +174,34 @@ class TestBinning:
         bins, counts, big = bin_triangles(setup, 1, TX, TY, 16, 4)
         assert np.asarray(big)[0] == 0  # went to the big list
         assert np.asarray(counts).sum() == 0
+
+
+def test_depth_prio_binning_keeps_nearest():
+    import jax.numpy as jnp
+
+    from datum_tpu.ops import raster as R
+
+    # three stacked quads covering the same tile, nearest (reverse-Z
+    # largest) pushed LAST — draw-order binning would drop it at cap 4
+    clip = []
+    tris = []
+    for i, z in enumerate((0.2, 0.5, 0.9)):        # far -> near
+        b = 4 * i
+        clip += [[-1, -1, z, 1], [1, -1, z, 1], [1, 1, z, 1], [-1, 1, z, 1]]
+        tris += [[b, b + 1, b + 2], [b, b + 2, b + 3]]
+    clip = jnp.asarray(clip, jnp.float32)
+    tris = jnp.asarray(tris, jnp.int32)
+    setup = R.triangle_setup(clip, tris, 128, 32, 1, 1, max_span=4)
+    prio = jnp.clip(setup["zc"].max(axis=1), 0.0, 1.0)
+
+    bins, counts, big, ov = R.bin_triangles(setup, 6, 1, 1, 2, 4, max_span=4,
+                                            return_overflow=True,
+                                            depth_prio=prio)
+    kept = set(np.asarray(bins[0][bins[0] >= 0]).tolist())
+    assert int(ov) > 0
+    assert kept == {4, 5}, f"nearest triangles not kept: {kept}"
+
+    # draw order without prio keeps the first-pushed (farthest)
+    bins2, _, _ = R.bin_triangles(setup, 6, 1, 1, 2, 4, max_span=4)
+    kept2 = set(np.asarray(bins2[0][bins2[0] >= 0]).tolist())
+    assert kept2 == {0, 1}
