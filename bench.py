@@ -22,7 +22,7 @@ def main():
     ctx, camera, params, make_rl = datumtest_scene(
         width=1920, height=1088, sphere_detail=24, n_point_lights=8,
         max_vertices=1 << 15, max_triangles=1 << 15,
-        bin_capacity=128, big_capacity=64, bin_max_span=8,
+        bin_capacity=160, big_capacity=64, bin_max_span=8,
         use_pallas=True, enable_material_maps=False,
         texture_filter="nearest_half", shadow_factor_scale=4)
     device = jax.device_put(ctx.device_state())
