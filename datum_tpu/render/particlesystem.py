@@ -18,6 +18,19 @@ import numpy as np
 
 from ..math.bound import Bound3
 
+_native_lib = False     # tri-state: False = unprobed, None = unavailable
+
+
+def _native_particles():
+    """ctypes handle to the native particle integrator, or None."""
+    global _native_lib
+    if _native_lib is False:
+        from ..asset.lz4 import _load_native
+        lib = _load_native()
+        _native_lib = lib if lib is not None and hasattr(
+            lib, "datum_particles_integrate") else None
+    return _native_lib
+
 
 class Distribution:
     """Scalar/vector distribution over particle life or emission."""
@@ -142,16 +155,33 @@ class ParticleSystem:
         inst.time += dt
         rng = inst.rng
 
-        # integrate live particles
+        # integrate live particles — native fused SoA pass when the
+        # runtime library is present (reference: particlesystem.cpp
+        # update on worker threads), numpy masked updates otherwise
         a = inst.alive
         if a.any():
-            for em in self.emitters:
-                pass
-            acc = self.emitters[0].acceleration
-            inst.velocity[a] += acc * dt
-            inst.position[a] += inst.velocity[a] * dt
-            inst.life[a] -= dt
-            inst.alive &= inst.life > 0
+            acc = np.asarray(self.emitters[0].acceleration, np.float32)
+            lib = _native_particles()
+            if lib is not None:
+                import ctypes
+                n = len(inst.position)
+                t01 = np.empty(n, np.float32)
+                alive_u8 = inst.alive.view(np.uint8)
+                lib.datum_particles_integrate(
+                    inst.position.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    inst.velocity.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    inst.life.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    inst.maxlife.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    alive_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    t01.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    ctypes.c_int32(n),
+                    acc.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    ctypes.c_float(dt))
+            else:
+                inst.velocity[a] += acc * dt
+                inst.position[a] += inst.velocity[a] * dt
+                inst.life[a] -= dt
+                inst.alive &= inst.life > 0
 
         # over-life modules
         a = inst.alive
@@ -162,12 +192,8 @@ class ParticleSystem:
                 s = em.scale_over_life.evaluate(t01)
                 inst.size[a] = inst.basesize[a][:, None] * np.stack([s, s], -1) \
                     if np.ndim(s) == 1 else inst.basesize[a][:, None] * s
-            else:
-                inst.size[a] = inst.basesize[a][:, None]
             if em.color_over_life is not None:
                 inst.color[a] = inst.basecolor[a] * em.color_over_life.evaluate(t01)
-            else:
-                inst.color[a] = inst.basecolor[a]
             if em.rotate_over_life is not None:
                 inst.rotation[a] += em.rotate_over_life.evaluate(t01) * dt
             if em.layer_over_life is not None:
