@@ -215,19 +215,39 @@ class RenderList:
             if n <= 0:
                 continue
             idx = alive[:n]
-            p = inst.position[idx]
-            sz = inst.size[idx]
-            rot = inst.rotation[idx]
             col = inst.color[idx]
-            c, s = np.cos(rot)[:, None], np.sin(rot)[:, None]
-            r = right[None, :] * c + up[None, :] * s
-            u = up[None, :] * c - right[None, :] * s
-            rx = r * sz[:, 0:1]
-            uy = u * sz[:, 1:2]
             base = q * 4
-            corners = np.stack([p - rx - uy, p + rx - uy, p + rx + uy, p - rx + uy],
-                               axis=1)                       # (n, 4, 3)
-            positions[base:base + 4 * n] = corners.reshape(-1, 3)
+            from .particlesystem import _native_particles
+            lib = _native_particles() if n > 4096 else None
+            if lib is not None:
+                import ctypes
+                fp = ctypes.POINTER(ctypes.c_float)
+                r32 = np.ascontiguousarray(right, np.float32)
+                u32 = np.ascontiguousarray(up, np.float32)
+                out = positions[base:base + 4 * n]
+                nq = lib.datum_particles_billboards(
+                    inst.position.ctypes.data_as(fp),
+                    inst.size.ctypes.data_as(fp),
+                    inst.rotation.ctypes.data_as(fp),
+                    inst.alive.view(np.uint8).ctypes.data_as(
+                        ctypes.POINTER(ctypes.c_uint8)),
+                    ctypes.c_int32(len(inst.position)), ctypes.c_int32(n),
+                    r32.ctypes.data_as(fp), u32.ctypes.data_as(fp),
+                    out.ctypes.data_as(fp))
+                assert nq == n
+            else:
+                p = inst.position[idx]
+                sz = inst.size[idx]
+                rot = inst.rotation[idx]
+                c, s = np.cos(rot)[:, None], np.sin(rot)[:, None]
+                r = right[None, :] * c + up[None, :] * s
+                u = up[None, :] * c - right[None, :] * s
+                rx = r * sz[:, 0:1]
+                uy = u * sz[:, 1:2]
+                corners = np.stack(
+                    [p - rx - uy, p + rx - uy, p + rx + uy, p - rx + uy],
+                    axis=1)                                  # (n, 4, 3)
+                positions[base:base + 4 * n] = corners.reshape(-1, 3)
             uv[base:base + 4 * n] = np.tile([[0, 0], [1, 0], [1, 1], [0, 1]],
                                             (n, 1)).astype(np.float32)
             color[base:base + 4 * n] = np.repeat(col, 4, axis=0)

@@ -117,3 +117,41 @@ def test_translucent_mesh_blends():
     assert overlap[..., 2].mean() > 20, f"glass invisible {overlap.mean(0).mean(0)}"
     assert overlap[..., 0].mean() > 10, "background lost behind glass"
     assert red_only[..., 2].mean() < overlap[..., 2].mean() * 0.5
+
+
+def test_native_billboards_match_numpy():
+    from datum_tpu.render.particlesystem import _native_particles
+    from datum_tpu.render import Camera, RenderList
+
+    if _native_particles() is None:
+        import pytest
+        pytest.skip("native lib not built")
+
+    ps = ParticleSystem(maxparticles=9000, emitters=[ParticleEmitter(
+        rate=0.0, bursts=[(0.0, 8000)], life=Distribution.constant(10.0),
+        velocity=Distribution.uniform(0.2, 1.0), shape="sphere",
+        shape_radius=2.0, size=Distribution.uniform(0.05, 0.3),
+        rotation=Distribution.uniform(0.0, 3.0),
+        color=Distribution.constant([1, 1, 1, 1]),
+        acceleration=np.zeros(3, np.float32))])
+    inst = ps.create(seed=3)
+    ps.update(inst, 0.02, Transform.identity())
+    assert inst.count > 4096          # native path kicks in above 4096
+
+    cam = Camera()
+    cam.lookat(np.array([0, 1.0, 5.0]), np.zeros(3), np.array([0, 1.0, 0]))
+    rl = RenderList()
+    rl.push_particles(inst)
+    fast = rl.forward_arrays(8192, cam)
+
+    import datum_tpu.render.renderlist as RL
+    import datum_tpu.render.particlesystem as PS
+    saved = PS._native_lib
+    PS._native_lib = None             # force numpy fallback
+    try:
+        slow = rl.forward_arrays(8192, cam)
+    finally:
+        PS._native_lib = saved
+    np.testing.assert_allclose(fast["positions"], slow["positions"],
+                               atol=1e-5)
+    assert fast["quad_count"] == slow["quad_count"]
