@@ -16,6 +16,18 @@ import numpy as np
 WIDTH = 256
 HEIGHT = 144
 
+_native_lib = False
+
+
+def _native_occlusion():
+    global _native_lib
+    if _native_lib is False:
+        from ..asset.lz4 import _load_native
+        lib = _load_native()
+        _native_lib = lib if lib is not None and hasattr(
+            lib, "datum_occlusion_fill") else None
+    return _native_lib
+
 
 class OcclusionBuffer:
     def __init__(self, width=WIDTH, height=HEIGHT):
@@ -27,11 +39,27 @@ class OcclusionBuffer:
         self.depth.fill(0.0)
 
     def fill_elements(self, viewproj, positions, indices):
-        """Rasterize occluder triangles (conservative constant depth)."""
+        """Rasterize occluder triangles (conservative constant depth).
+
+        Uses the native scanline fill (native/occlusion.cpp) when the
+        runtime library is built; numpy per-triangle loop otherwise."""
         pos = np.asarray(positions, np.float32)
         hp = np.concatenate([pos, np.ones((len(pos), 1), np.float32)], -1)
         clip = hp @ np.asarray(viewproj, np.float32).T
         tris = np.asarray(indices, np.int32).reshape(-1, 3)
+
+        lib = _native_occlusion()
+        if lib is not None:
+            import ctypes
+            clip_c = np.ascontiguousarray(clip, np.float32)
+            tris_c = np.ascontiguousarray(tris, np.int32)
+            lib.datum_occlusion_fill(
+                self.depth.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                ctypes.c_int32(self.width), ctypes.c_int32(self.height),
+                clip_c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                tris_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.c_int32(len(tris_c)))
+            return
         v = clip[tris]                                       # (T, 3, 4)
         w = v[..., 3]
         ok = np.all(w > 1e-4, axis=1)
