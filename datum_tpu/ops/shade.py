@@ -116,13 +116,14 @@ def gbuffer_from_planes(planes, textures, texture_filter="nearest"):
 
     if texture_filter == "none":
         albedo = jnp.ones(planes["color"].shape[:2] + (4,), jnp.float32)
-    elif texture_filter == "nearest_half":
-        # gather at half res, dense upsample: quarters the gather cost.
-        # reshape-slice pooling instead of [::2] (strided lane reads are
-        # slow on TPU)
+    elif texture_filter in ("nearest_half", "nearest_quarter"):
+        # gather at reduced res, dense upsample: divides the gather cost
+        # by p^2.  reshape-slice pooling instead of [::2] (strided lane
+        # reads are slow on TPU)
+        p = 2 if texture_filter == "nearest_half" else 4
         h, w = uv.shape[:2]
-        uv_h = uv.reshape(h // 2, 2, w // 2, 2, 2).mean((1, 3))
-        ids_h = planes["albedo_id"].reshape(h // 2, 2, w // 2, 2)[:, 0, :, 0]
+        uv_h = uv.reshape(h // p, p, w // p, p, 2).mean((1, 3))
+        ids_h = planes["albedo_id"].reshape(h // p, p, w // p, p)[:, 0, :, 0]
         a_h = nearest_tap(uv_h, ids_h)
         from .blur import resize_up_dense
         albedo = resize_up_dense(a_h, h, w)
