@@ -60,10 +60,10 @@ def build_fog_volume(sceneset, *, proj, invview, shadow=None, normalquery=None,
     if shadow is not None:
         from .shadow import shadow_factor_esm
         esm, zmx, zsc = shadow
-        sf = shadow_factor_esm(worldpos.reshape(-1, 3), esm, zmx, zsc,
-                               ml["splits"], ml["shadowview"],
-                               dist * jnp.ones((fog_d, fog_h, fog_w))
-                               .reshape(-1))
+        sf = shadow_factor_esm(
+            worldpos.reshape(-1, 3), esm, zmx, zsc,
+            ml["splits"], ml["shadowview"],
+            jnp.broadcast_to(dist, (fog_d, fog_h, fog_w)).reshape(-1))
         sf = sf.reshape(fog_d, fog_h, fog_w)
     else:
         sf = 1.0

@@ -185,6 +185,8 @@ def render_spot_maps(world_pos, tris, spotview, n_maps, *, res=256,
     """Depth maps for the first n_maps spot lights (reference:
     src/renderer/spotmap.cpp render_spotmaps — one D32 target per spot,
     parabolic in the reference, perspective here)."""
+    from .common import TILE_W
+    res = max(res, TILE_W)      # raster tiles are TILE_W wide
     return render_shadow_cascades(world_pos, tris, spotview[:n_maps],
                                   res=res, bin_capacity=bin_capacity,
                                   big_capacity=big_capacity,
