@@ -127,13 +127,9 @@ class ParticleInstance:
         self.life = np.zeros(n, np.float32)       # remaining
         self.maxlife = np.ones(n, np.float32)
         self.alive = np.zeros(n, bool)
-        self.emit_time = np.zeros(len(ParticleInstance._emitter_slots or [0]), np.float32) \
-            if False else None
         self.time = 0.0
         self.emit_accum = 0.0
         self.rng = np.random.RandomState(seed)
-
-    _emitter_slots = None
 
     @property
     def count(self):
