@@ -221,7 +221,10 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
         ao = hbao(depth[::4, ::4], gbuffer["normal"][::4, ::4, :3],
                   sceneset["proj"], sceneset["view"], params=pr)
         from ..ops.blur import resize_up_dense
-        ssao_img = resize_up_dense(ao[..., 0], h, w)
+        # ssaoscale: strength lerp toward unoccluded (reference:
+        # RenderParams::ssaoscale)
+        scale = sceneset["camera"].get("ssaoscale", jnp.float32(1.0))
+        ssao_img = 1.0 + (resize_up_dense(ao[..., 0], h, w) - 1.0) * scale
 
     spotmaps = None
     if cfg.max_spot_shadows > 0:
@@ -241,14 +244,23 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
     # skybox background (reference: forward pass skybox.vert/frag fills
     # uncovered pixels along the view ray)
     if ibl is not None:
-        from ..ops.sampling import sample_cubemap
+        from ..ops.sampling import sample_cubemap, sample_cubemap_lod_flat
         from ..ops.lighting_pass import view_ray_grid, _inv_proj
 
         rx, ry = view_ray_grid(_inv_proj(sceneset["proj"]), w, h)
         rays = jnp.stack([rx, ry, -jnp.ones_like(rx)], -1)
         rays = rays @ sceneset["invview"][:3, :3].T
         rays = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
-        sky = sample_cubemap(ibl["mips"][0], rays)[..., :3]
+        # skyboxlod: -1 = sharp (mip 0), >= 0 selects a blurred mip
+        # (reference: RenderParams::skyboxlod)
+        lod = jnp.maximum(sceneset["camera"].get("skyboxlod",
+                                                 jnp.float32(-1.0)), 0.0)
+        if "flat" in ibl:
+            sky = sample_cubemap_lod_flat(
+                ibl["flat"], rays, jnp.broadcast_to(lod, rays.shape[:-1])
+            )[..., :3]
+        else:
+            sky = sample_cubemap(ibl["mips"][0], rays)[..., :3]
         exposure = sceneset["camera"]["exposure"]
         hdr = jnp.where(gbuffer["mask"][..., None], hdr, sky * exposure)
 
@@ -336,6 +348,8 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
                        envbrdf_lut=ibl["envbrdf"] if ibl else None)
         from ..ops.blur import resize_up_dense
         ssr_img = resize_up_dense(ssr_h, h, w)
+        ssr_img = ssr_img * sceneset["camera"].get("ssrstrength",
+                                                   jnp.float32(1.0))
 
     # bloom (reference: bloom.luma + separable blurs)
     bloom_img = None

@@ -144,6 +144,7 @@ def make_sceneset(camera, params: RenderParams, *, point_lights=(), spot_lights=
             ambientintensity=np.float32(params.ambientintensity),
             specularintensity=np.float32(params.specularintensity),
             ssrstrength=np.float32(params.ssrstrength),
+            ssaoscale=np.float32(params.ssaoscale),
             bloomstrength=np.float32(params.bloomstrength),
             fogdensity=np.asarray(params.fogdensity, np.float32),
         ),
