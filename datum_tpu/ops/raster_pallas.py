@@ -324,7 +324,7 @@ def raster_shade_pallas(setup, bins, big_ids, counts, tris, uv, normal,
 
     N_PLANES = 15
     # multi-tile grid steps amortize per-step dispatch/DMA latency
-    R = next((r for r in (6, 5, 4, 3, 2) if n_tiles % r == 0), 1)
+    R = next((r for r in (15, 10, 6, 5, 4, 3, 2) if n_tiles % r == 0), 1)
 
     def kernel_wrap(tile_ids_ref, counts_ref, rows_ref, *outs):
         _raster_shade_kernel(tile_ids_ref, counts_ref, rows_ref,
@@ -359,7 +359,7 @@ def raster_shade_pallas(setup, bins, big_ids, counts, tris, uv, normal,
     )
 
 
-DEPTH_TILES_PER_STEP = 8    # amortize per-grid-step latency: shadow
+DEPTH_TILES_PER_STEP = 16   # amortize per-grid-step latency: shadow
                             # bins are short, so step overhead dominates
 DEPTH_PACK = 8              # triangles per 128-lane row (16 slots each)
 
