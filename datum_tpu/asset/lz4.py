@@ -9,34 +9,10 @@ tools/assetcompressor.cpp).
 from __future__ import annotations
 
 import ctypes
-import os
-
-_native = None
-
 
 def _load_native():
-    global _native
-    if _native is not None:
-        return _native
-    path = os.path.join(os.path.dirname(__file__), "..", "native", "libdatum_native.so")
-    path = os.path.abspath(path)
-    if not os.path.exists(path):
-        # try building it once
-        makefile_dir = os.path.dirname(path)
-        if os.path.exists(os.path.join(makefile_dir, "Makefile")):
-            os.system(f"make -C {makefile_dir} -s >/dev/null 2>&1")
-    if os.path.exists(path):
-        lib = ctypes.CDLL(path)
-        lib.datum_lz4_decompress.restype = ctypes.c_long
-        lib.datum_lz4_decompress.argtypes = [
-            ctypes.c_char_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long]
-        lib.datum_lz4_compress.restype = ctypes.c_long
-        lib.datum_lz4_compress.argtypes = [
-            ctypes.c_char_p, ctypes.POINTER(ctypes.c_long), ctypes.c_void_p, ctypes.c_long]
-        _native = lib
-    else:
-        _native = False
-    return _native
+    from .. import native as native_mod
+    return native_mod.load()
 
 
 def decompress(src: bytes, dstcap: int) -> bytes:

@@ -87,7 +87,13 @@ class FrameConfig:
     max_fog_planes: int = 0          # analytic half-space fog planes
     enable_depth_of_field: bool = False
     enable_color_grading: bool = True
-    enable_ssao: bool = False        # quarter-res HBAO (gather-heavy)
+    enable_ssao: bool = False        # HBAO pass
+    # AO buffer resolution relative to the fbo — matches the reference's
+    # RenderParams::ssaoscale (ssaobuffer = fbo*ssaoscale,
+    # renderer.cpp:5841; 0 disables, :6558).  Static here because buffer
+    # shapes are compiled; the reference likewise rebuilds its context
+    # when it changes (renderer.cpp:5621).
+    ssao_scale: float = 0.5
     enable_ssr: bool = False         # half-res SSR march (gather-heavy)
     enable_bloom: bool = True        # dense conv chain - cheap
     enable_fog: bool = False

@@ -147,24 +147,38 @@ def bin_triangles(setup, n_tris, tiles_x, tiles_y, bin_capacity, big_capacity,
     pair_ok = setup["valid"][:, None] & (k[None, :] < span[:, None])
     tile = jnp.where(pair_ok, tile, n_tiles)                          # sentinel
 
-    # pack (tile[, depth band], tri) into one int32 key: a single-array
+    # pack (tile[, depth band], tri) into one 32-bit key: a single-array
     # sort moves half the data of an argsort+gather and stays in draw
-    # order per tile (per band when depth_prio is on)
-    tri_ids = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[:, None],
-                               tile.shape)
+    # order per tile (per band when depth_prio is on).  Bit widths are
+    # sized to the actual tile/triangle capacities; int32 while the key
+    # fits in 31 bits, uint32 when it needs all 32.
+    tile_bits = max(int(n_tiles).bit_length(), 1)   # sentinel n_tiles fits
+    tri_bits = max(int(T - 1).bit_length(), 1)
     if depth_prio is None:
-        assert T <= (1 << 21), "triangle capacity exceeds packed sort key"
-        tri_bits = 21
-        key = (tile.reshape(-1) << 21) | tri_ids.reshape(-1)
+        dq_bits = 0
     else:
-        assert T <= (1 << 17), "triangle capacity exceeds depth-prio key"
-        tri_bits = 17
-        dq = jnp.clip(((1.0 - depth_prio) * 15.0).astype(jnp.int32), 0, 15)
-        dq = jnp.broadcast_to(dq[:, None], tile.shape)
-        key = ((tile.reshape(-1) << 21) | (dq.reshape(-1) << 17)
-               | tri_ids.reshape(-1))
+        dq_bits = min(4, 32 - tile_bits - tri_bits)
+        assert dq_bits >= 2, (
+            f"depth-prio binning needs >=2 spare key bits: "
+            f"{n_tiles} tiles ({tile_bits}b) + {T} tris ({tri_bits}b)")
+    total_bits = tile_bits + dq_bits + tri_bits
+    assert total_bits <= 32, (
+        f"bin sort key overflow: {n_tiles} tiles ({tile_bits}b) + "
+        f"{T} tris ({tri_bits}b) + {dq_bits} depth bits > 32")
+    key_dtype = jnp.int32 if total_bits <= 31 else jnp.uint32
+    shift = dq_bits + tri_bits
+
+    tri_ids = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[:, None],
+                               tile.shape).astype(key_dtype)
+    key = (tile.astype(key_dtype).reshape(-1) << shift) | tri_ids.reshape(-1)
+    if depth_prio is not None:
+        levels = (1 << dq_bits) - 1
+        dq = jnp.clip(((1.0 - depth_prio) * levels).astype(jnp.int32),
+                      0, levels)
+        dq = jnp.broadcast_to(dq[:, None], tile.shape).astype(key_dtype)
+        key = key | (dq.reshape(-1) << tri_bits)
     skey = jnp.sort(key)
-    sorted_tile = skey >> 21
+    sorted_tile = (skey >> shift).astype(jnp.int32)
 
     starts = jnp.searchsorted(sorted_tile, jnp.arange(n_tiles + 1, dtype=jnp.int32))
     raw_counts = starts[1:] - starts[:-1]
@@ -174,8 +188,8 @@ def bin_triangles(setup, n_tris, tiles_x, tiles_y, bin_capacity, big_capacity,
     idx = jnp.minimum(idx, skey.shape[0] - 1)
     k = skey[idx]                       # ONE gather; unpack tile/tri below
     bins = jnp.where(
-        (k >> 21) == jnp.arange(n_tiles, dtype=jnp.int32)[:, None],
-        k & ((1 << tri_bits) - 1), -1)
+        (k >> shift).astype(jnp.int32) == jnp.arange(n_tiles, dtype=jnp.int32)[:, None],
+        (k & ((1 << tri_bits) - 1)).astype(jnp.int32), -1)
 
     big_ids = jnp.nonzero(setup["big"], size=big_capacity, fill_value=-1)[0].astype(jnp.int32)
     if return_overflow:

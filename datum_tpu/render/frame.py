@@ -212,19 +212,26 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
         gbuffer = apply_decals(gbuffer, wpos, draws["decals"],
                                textures=device.get("textures"))
 
-    # ambient occlusion (reference: hbao.comp), quarter res
+    # ambient occlusion (reference: hbao.comp) at cfg.ssao_scale of the
+    # fbo resolution (reference: ssaobuffer = fbo*ssaoscale,
+    # renderer.cpp:5841; ssaoscale==0 disables, :6558)
     ssao_img = None
-    if cfg.enable_ssao:
+    if cfg.enable_ssao and cfg.ssao_scale > 0:
         from ..ops.ssao import hbao, make_hbao_params
-        import numpy as _np
+        dec = max(int(round(1.0 / cfg.ssao_scale)), 1)
         pr = make_hbao_params()
-        ao = hbao(depth[::4, ::4], gbuffer["normal"][::4, ::4, :3],
-                  sceneset["proj"], sceneset["view"], params=pr)
+        # reshape-pool the inputs (strided reads are slow on TPU)
+        dd = depth[:h - h % dec, :w - w % dec]
+        nn = gbuffer["normal"][:h - h % dec, :w - w % dec, :3]
+        if dec > 1:
+            dd = dd.reshape(h // dec, dec, w // dec, dec)[:, 0, :, 0]
+            nn = nn.reshape(h // dec, dec, w // dec, dec, 3)[:, 0, :, 0]
+        ao = hbao(dd, nn, sceneset["proj"], sceneset["view"], params=pr)
         from ..ops.blur import resize_up_dense
-        # ssaoscale: strength lerp toward unoccluded (reference:
-        # RenderParams::ssaoscale)
-        scale = sceneset["camera"].get("ssaoscale", jnp.float32(1.0))
-        ssao_img = 1.0 + (resize_up_dense(ao[..., 0], h, w) - 1.0) * scale
+        # ssaostrength: intensity lerp toward unoccluded (our knob; the
+        # reference has no AO strength dial)
+        strength = sceneset["camera"].get("ssaostrength", jnp.float32(1.0))
+        ssao_img = 1.0 + (resize_up_dense(ao[..., 0], h, w) - 1.0) * strength
 
     spotmaps = None
     if cfg.max_spot_shadows > 0:

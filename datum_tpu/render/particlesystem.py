@@ -114,7 +114,7 @@ class ParticleEmitter:
 class ParticleInstance:
     """SoA particle state (reference: particlesystem.h:171-189)."""
 
-    def __init__(self, maxparticles, seed=0):
+    def __init__(self, maxparticles, seed=0, n_emitters=1):
         n = maxparticles
         self.position = np.zeros((n, 3), np.float32)
         self.velocity = np.zeros((n, 3), np.float32)
@@ -127,8 +127,11 @@ class ParticleInstance:
         self.life = np.zeros(n, np.float32)       # remaining
         self.maxlife = np.ones(n, np.float32)
         self.alive = np.zeros(n, bool)
+        self.emitter = np.zeros(n, np.int32)      # owning emitter per slot
         self.time = 0.0
-        self.emit_accum = 0.0
+        # fractional emission carry, PER emitter (the reference keeps
+        # per-emitter state; a shared accumulator couples their rates)
+        self.emit_accum = np.zeros(n_emitters, np.float64)
         self.rng = np.random.RandomState(seed)
 
     @property
@@ -144,7 +147,8 @@ class ParticleSystem:
         self.spritesheet = spritesheet
 
     def create(self, seed=0) -> ParticleInstance:
-        return ParticleInstance(self.maxparticles, seed)
+        return ParticleInstance(self.maxparticles, seed,
+                                n_emitters=len(self.emitters))
 
     def update(self, instance: ParticleInstance, dt, transform, camera=None):
         inst = instance
@@ -158,7 +162,20 @@ class ParticleSystem:
         if a.any():
             acc = np.asarray(self.emitters[0].acceleration, np.float32)
             lib = _native_particles()
-            if lib is not None:
+            if len(self.emitters) > 1:
+                # per-emitter acceleration: numpy masked updates grouped
+                # by owning emitter (the native fused pass assumes one
+                # uniform acceleration — the common single-emitter case)
+                for ei, em in enumerate(self.emitters):
+                    ea = a & (inst.emitter == ei)
+                    if not ea.any():
+                        continue
+                    eacc = np.asarray(em.acceleration, np.float32)
+                    inst.velocity[ea] += eacc * dt
+                    inst.position[ea] += inst.velocity[ea] * dt
+                    inst.life[ea] -= dt
+                inst.alive &= inst.life > 0
+            elif lib is not None:
                 import ctypes
                 n = len(inst.position)
                 t01 = np.empty(n, np.float32)
@@ -179,10 +196,13 @@ class ParticleSystem:
                 inst.life[a] -= dt
                 inst.alive &= inst.life > 0
 
-        # over-life modules
-        a = inst.alive
-        if a.any():
-            em = self.emitters[0]
+        # over-life modules, per owning emitter (reference keeps
+        # per-emitter modules: particlesystem.h:86-159)
+        for ei, em in enumerate(self.emitters):
+            a = inst.alive if len(self.emitters) == 1 else (
+                inst.alive & (inst.emitter == ei))
+            if not a.any():
+                continue
             t01 = 1.0 - inst.life[a] / inst.maxlife[a]
             if em.scale_over_life is not None:
                 s = em.scale_over_life.evaluate(t01)
@@ -196,11 +216,11 @@ class ParticleSystem:
                 inst.layer[a] = em.layer_over_life.evaluate(t01)
 
         # emission
-        for em in self.emitters:
+        for ei, em in enumerate(self.emitters):
             n_emit = 0
-            inst.emit_accum += em.rate * dt
-            n_emit += int(inst.emit_accum)
-            inst.emit_accum -= int(inst.emit_accum)
+            inst.emit_accum[ei] += em.rate * dt
+            n_emit += int(inst.emit_accum[ei])
+            inst.emit_accum[ei] -= int(inst.emit_accum[ei])
             t_mod = inst.time % em.duration if em.looping else inst.time
             for btime, bcount in em.bursts:
                 if t_mod - dt <= btime < t_mod or (btime == 0.0 and inst.time <= dt):
@@ -230,6 +250,7 @@ class ParticleSystem:
             inst.basecolor[free] = em.color.sample(n, rng)
             inst.color[free] = inst.basecolor[free]
             inst.layer[free] = 0
+            inst.emitter[free] = ei
             inst.alive[free] = True
 
     def _emit_shape(self, em, n, rng):

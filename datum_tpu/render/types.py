@@ -77,7 +77,10 @@ class RenderParams:
 
     ambientintensity: float = 1.0
     specularintensity: float = 1.0
-    ssaoscale: float = 1.0
+    # extra knob (not in the reference): AO intensity lerp toward
+    # unoccluded; the reference's ssaoscale (AO buffer resolution) is the
+    # static FrameConfig.ssao_scale
+    ssaostrength: float = 1.0
     ssrstrength: float = 1.0
     bloomstrength: float = 1.0
 
@@ -144,7 +147,7 @@ def make_sceneset(camera, params: RenderParams, *, point_lights=(), spot_lights=
             ambientintensity=np.float32(params.ambientintensity),
             specularintensity=np.float32(params.specularintensity),
             ssrstrength=np.float32(params.ssrstrength),
-            ssaoscale=np.float32(params.ssaoscale),
+            ssaostrength=np.float32(params.ssaostrength),
             bloomstrength=np.float32(params.bloomstrength),
             fogdensity=np.asarray(params.fogdensity, np.float32),
         ),

@@ -155,3 +155,38 @@ def test_native_billboards_match_numpy():
     np.testing.assert_allclose(fast["positions"], slow["positions"],
                                atol=1e-5)
     assert fast["quad_count"] == slow["quad_count"]
+
+
+def test_multi_emitter_independence():
+    """Per-emitter state: rates must not couple through a shared
+    accumulator, and over-life/acceleration must use the OWNING emitter
+    (reference keeps per-emitter modules, particlesystem.h:86-159)."""
+    from datum_tpu.math import Transform
+
+    up = ParticleEmitter(rate=10.0, acceleration=(0, 5, 0),
+                         life=Distribution.constant(100.0),
+                         velocity=Distribution.constant(0.0),
+                         color=Distribution.constant([1, 0, 0, 1]))
+    down = ParticleEmitter(rate=2.5, acceleration=(0, -5, 0),
+                           life=Distribution.constant(100.0),
+                           velocity=Distribution.constant(0.0),
+                           color=Distribution.constant([0, 1, 0, 1]))
+    ps = ParticleSystem(maxparticles=512, emitters=[up, down])
+    inst = ps.create(seed=3)
+    tf = Transform.identity()
+    for _ in range(10):
+        ps.update(inst, 0.1, tf)
+    # one second at rates 10 + 2.5: counts must be per-emitter exact
+    n_up = int((inst.alive & (inst.emitter == 0)).sum())
+    n_down = int((inst.alive & (inst.emitter == 1)).sum())
+    assert n_up == 10, n_up
+    assert n_down == 2, n_down
+    # opposite accelerations: owners must separate vertically
+    y_up = inst.position[inst.alive & (inst.emitter == 0), 1]
+    y_down = inst.position[inst.alive & (inst.emitter == 1), 1]
+    # the newest particle hasn't integrated yet (position 0)
+    assert y_up.min() >= 0.0 and (y_up > 0).sum() >= 9
+    assert y_down.max() <= 0.0 and (y_down < 0).sum() >= 1
+    # colors come from the owning emitter
+    c_up = inst.color[inst.alive & (inst.emitter == 0)]
+    assert np.allclose(c_up[:, 0], 1) and np.allclose(c_up[:, 1], 0)

@@ -205,3 +205,71 @@ def test_depth_prio_binning_keeps_nearest():
     bins2, _, _ = R.bin_triangles(setup, 6, 1, 1, 2, 4, max_span=4)
     kept2 = set(np.asarray(bins2[0][bins2[0] >= 0]).tolist())
     assert kept2 == {0, 1}
+
+
+class TestKeyCapacity:
+    """Dynamic sort-key packing: big tile counts and big triangle counts
+    must bin correctly (round-1 bug: fixed 21-bit tile shift overflowed
+    int32 at >=1024 tiles, and depth-prio capped T at 2^17)."""
+
+    def _quad_at_tile(self, tx, ty, tiles_x, tiles_y):
+        # clip-space quad exactly covering tile (tx, ty), w=1
+        w, h = tiles_x * 128, tiles_y * 32
+        x0, x1 = tx * 128 / w * 2 - 1, (tx + 1) * 128 / w * 2 - 1
+        y0, y1 = ty * 32 / h * 2 - 1, (ty + 1) * 32 / h * 2 - 1
+        return [[x0, y0, 0.5, 1], [x1, y0, 0.5, 1], [x1, y1, 0.5, 1], [x0, y1, 0.5, 1]]
+
+    def test_tiles_beyond_1024(self):
+        # 8 x 136 = 1088 tiles (> 1023): triangles binned into a
+        # high-index tile must land there, not vanish
+        tiles_x, tiles_y = 8, 136
+        target = (tiles_x - 1, tiles_y - 1)          # tile index 1087
+        clip = jnp.asarray(self._quad_at_tile(*target, tiles_x, tiles_y),
+                           jnp.float32)
+        tris = jnp.asarray([[0, 1, 2], [0, 2, 3]], jnp.int32)
+        setup = triangle_setup(clip, tris, tiles_x * 128, tiles_y * 32,
+                               tiles_x, tiles_y)
+        bins, counts, big = bin_triangles(setup, 2, tiles_x, tiles_y, 8, 4)
+        tid = target[1] * tiles_x + target[0]
+        assert int(counts[tid]) == 2
+        assert set(np.asarray(bins[tid][:2]).tolist()) == {0, 1}
+        assert int(counts.sum()) == 2                # nowhere else
+
+    def test_depth_prio_large_t(self):
+        # T > 2^17 with depth_prio (the default-config shadow shape):
+        # packing must still sort/bin correctly with reduced dq bits
+        T = (1 << 17) + 8
+        clip = jnp.asarray(self._quad_at_tile(0, 0, 1, 1) , jnp.float32)
+        tris = jnp.zeros((T, 3), jnp.int32)
+        # only the last two triangles are real
+        tris = tris.at[T - 2].set(jnp.asarray([0, 1, 2]))
+        tris = tris.at[T - 1].set(jnp.asarray([0, 2, 3]))
+        setup = triangle_setup(clip, tris, 128, 32, 1, 1)
+        prio = jnp.clip(setup["zc"].max(axis=1), 0.0, 1.0)
+        bins, counts, big = bin_triangles(setup, T, 1, 1, 8, 4,
+                                          depth_prio=prio)
+        assert int(counts[0]) == 2
+        assert set(np.asarray(bins[0][:2]).tolist()) == {T - 2, T - 1}
+
+
+def test_default_frameconfig_renders():
+    """FrameConfig() defaults must produce a frame (round-1 bug: the
+    4-cascade shadow stream exceeded the depth-prio key capacity at the
+    default max_triangles=65536)."""
+    from datum_tpu.render import (Camera, RenderContext, RenderList,
+                                  RenderParams, primitives)
+
+    ctx = RenderContext()                            # all defaults
+    verts, idx = primitives.unit_sphere(12, 6)
+    mesh = ctx.add_mesh(verts, idx)
+    cam = Camera()
+    cam.set_projection(np.radians(60),
+                       ctx.config.width / ctx.config.height)
+    cam.lookat(np.array([0.0, 1.0, 3.0]), np.array([0.0, 0.5, 0.0]),
+               np.array([0.0, 1.0, 0.0]))
+    rl = RenderList()
+    rl.push_mesh(mesh, np.eye(4, dtype=np.float32), ctx.default_material)
+    params = RenderParams(width=ctx.config.width, height=ctx.config.height)
+    img = ctx.render(cam, rl, params)
+    assert img.shape[0] == ctx.config.height
+    assert (img.max(-1) > 0).any()
