@@ -66,6 +66,32 @@ def box_blur_1d(img, r: int, axis: int):
     return out[..., 0] if squeeze else out
 
 
+def shifted_gaussian_blur(img, sigma: float, radius: int = 3):
+    """Separable gaussian via explicit shifted adds (edge-clamped).
+
+    Unlike the cumsum box chain, this is cancellation-free: safe for
+    high-dynamic-range inputs like ESM exp(c*d') maps where a full-axis
+    cumsum reaches ~1e11 and differencing destroys small window sums
+    (the round-1 blocky shadow-noise artifact).  Cost is 2*(2r+1) dense
+    fused adds — cheap for the small radii shadow/ESM blurs use.
+    """
+    k = gaussian_kernel(sigma, radius)
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    for axis in (0, 1):
+        pad = [(0, 0)] * 3
+        pad[axis] = (radius, radius)
+        x = jnp.pad(img, pad, mode="edge")
+        n = img.shape[axis]
+        acc = None
+        for j in range(2 * radius + 1):
+            term = lax.slice_in_dim(x, j, j + n, axis=axis) * k[j]
+            acc = term if acc is None else acc + term
+        img = acc
+    return img[..., 0] if squeeze else img
+
+
 def gaussian_blur(img, sigma: float, radius: int | None = None):
     """Gaussian approximated by 3 box-blur passes.
 

@@ -102,7 +102,7 @@ def build_esm(shadowmaps, shadowview, blur_sigma=1.5):
     Returns (esm (S, R, R), zmax (S,), zscale (S,)) with zscale mapping
     raw depth differences to the normalized d' domain.
     """
-    from .blur import gaussian_blur
+    from .blur import shifted_gaussian_blur
 
     nslices = shadowmaps.shape[0]
     esms, zmaxs, zscales = [], [], []
@@ -119,7 +119,9 @@ def build_esm(shadowmaps, shadowview, blur_sigma=1.5):
         # cap the exponent: the box-blur cumsum differences lose f32
         # precision when the dynamic range exceeds ~1e4 of the window sum
         e = jnp.exp(jnp.clip(ESM_C * dprime, 0.0, 20.0))
-        e = gaussian_blur(e, blur_sigma, radius=2)
+        # cancellation-free blur: cumsum box chains destroy small window
+        # sums next to e^20 background texels (blocky shadow noise)
+        e = shifted_gaussian_blur(e, blur_sigma, radius=3)
         esms.append(e)
         zmaxs.append(zmax)
         zscales.append(norm_scale)

@@ -52,7 +52,7 @@ def datumtest_scene(width=1920, height=1080, *, sphere_detail=24, grid=(7, 5),
                   np.array([0.0, 1.0, 0.0]))
 
     params = RenderParams(width=width, height=height)
-    params.sundirection = np.array([-0.4, -0.8, -0.45], np.float32)
+    params.sundirection = np.array([-0.7, -0.8, -0.2], np.float32)
     params.sundirection /= np.linalg.norm(params.sundirection)
     params.sunintensity = np.array([4.0, 3.9, 3.7], np.float32)
     params.ambientintensity = 0.5
