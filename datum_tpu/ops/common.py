@@ -50,7 +50,10 @@ class FrameConfig:
 
     width: int = 1280
     height: int = 720
-    bin_capacity: int = 256          # triangles per raster tile
+    # triangles per raster tile; None auto-sizes to a fixed total-pairs
+    # budget divided over the tiles, so small framebuffers (few tiles)
+    # get deep bins for free while big ones keep the gather cost bounded
+    bin_capacity: int | None = None
     big_capacity: int = 64           # screen-crossing triangles (w<=0 spans)
     bin_max_span: int = 16           # pair-expansion width: sort array is
                                      # max_span*T entries; wider tris -> big list
@@ -98,6 +101,14 @@ class FrameConfig:
     enable_bloom: bool = True        # dense conv chain - cheap
     enable_fog: bool = False
     fog_depth_range: float = FOG_DEPTH_RANGE
+
+    def __post_init__(self):
+        if self.bin_capacity is None:
+            # ~128K (tile, tri) pairs total: bins-gather cost stays flat
+            # across resolutions; deep bins where tiles are few
+            cap = max(131072 // max(self.n_tiles, 1), 64)
+            cap = min(round_up(cap, 8), round_up(self.max_triangles, 8))
+            object.__setattr__(self, "bin_capacity", cap)
 
     @property
     def padded_width(self) -> int:

@@ -158,9 +158,14 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
     setup = raster_ops.triangle_setup(clip, ex["tris"], w, h, tx, ty,
                                       cull=-1 if cfg.backface_cull else 0,
                                       max_span=cfg.bin_max_span)
+    # near-first priority: a saturated bin keeps the NEAREST triangles,
+    # so overflow degrades to dropping mostly-occluded geometry instead
+    # of whatever was pushed last (opaque raster is draw-order free)
+    zw = clip[:, 2] / jnp.maximum(clip[:, 3], 1e-6)
+    prio = jnp.clip(zw[ex["tris"]].max(axis=1), 0.0, 1.0)
     bins, counts, big_ids, bin_overflow = raster_ops.bin_triangles(
         setup, cfg.max_triangles, tx, ty, cfg.bin_capacity, cfg.big_capacity,
-        max_span=cfg.bin_max_span, return_overflow=True)
+        max_span=cfg.bin_max_span, return_overflow=True, depth_prio=prio)
     if cfg.use_pallas and not cfg.enable_material_maps:
         # fused raster + attribute/material interpolation: no per-pixel
         # attribute gathers at all (gather throughput is the TPU wall)

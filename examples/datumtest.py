@@ -17,7 +17,7 @@ def init(args):
     ctx, camera, params, make_rl = datumtest_scene(
         width=args.width, height=args.height, sphere_detail=20,
         n_point_lights=8, max_vertices=1 << 15, max_triangles=1 << 15,
-        bin_capacity=512, big_capacity=32,
+        big_capacity=32,
         max_particle_quads=512, max_spot_shadows=1, spot_shadow_res=256)
 
     ps = ParticleSystem(maxparticles=400, emitters=[ParticleEmitter(

@@ -12,7 +12,7 @@ def init(args):
 
     cfg = FrameConfig(width=args.width, height=args.height,
                       max_vertices=1 << 14, max_triangles=1 << 15,
-                      max_instances=4, bin_capacity=4096, big_capacity=64,
+                      max_instances=4, big_capacity=64,
                       enable_shadows=False, max_dynamic_vertices=1 << 14,
                       enable_bloom=True)
     ctx = RenderContext(cfg)
