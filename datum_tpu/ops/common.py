@@ -73,7 +73,12 @@ class FrameConfig:
     # loses edge-function precision to the MXU's bf16 mantissa (0.77 vis
     # agreement on hardware) — kept selectable for sparse-bin scenes.
     raster_kernel: str = "v2"
-    texture_filter: str = "nearest"  # none|nearest_half|nearest|bilinear
+    # none|nearest_half|nearest|bilinear: legacy 256^2 pool paths;
+    # mip|mip_half: texture system v2 — native-size mip chains with
+    # combined albedo+surface+normal quad rows (one gather per sample,
+    # render/texturepool.py); mip_half samples at half resolution
+    texture_filter: str = "nearest"
+    matmap_max_size: int = 256       # material-map entry resolution cap
     enable_skinning: bool = False    # dual-quat skinned vertex path
     enable_foliage: bool = False     # per-draw wind bend vertex modifier
     max_palettes: int = 16

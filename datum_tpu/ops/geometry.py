@@ -74,12 +74,29 @@ def transform_vertices_rigid(positions, normals, tangents, vtx_instance,
     positions: (V, 3); vtx_instance: (V,) int32; inst_world: (I, 3, 4);
     viewproj: (4, 4).  Returns clip (V,4), wnormal (V,3), wtangent (V,4).
     """
-    M = inst_world[vtx_instance]                               # (V, 3, 4)
-    world = jnp.einsum("vij,vj->vi", M[:, :, :3], positions) + M[:, :, 3]
-    wn = jnp.einsum("vij,vj->vi", M[:, :, :3], normals)
-    wt3 = jnp.einsum("vij,vj->vi", M[:, :, :3], tangents[:, :3])
-    clip = world @ viewproj[:, :3].T + viewproj[:, 3]
-    wtangent = jnp.concatenate([wt3, tangents[:, 3:4]], axis=-1)
+    V = positions.shape[0]
+    # SoA: one row gather + one (V,12)->(12,V) relayout, then all math on
+    # (V,)-lane arrays — the einsum over (V,3,4) AoS wastes 124/128 lanes
+    M = inst_world[vtx_instance].reshape(V, 12).T              # (12, V)
+    pT, nT, tT = positions.T, normals.T, tangents.T
+    wx = M[0] * pT[0] + M[1] * pT[1] + M[2] * pT[2] + M[3]
+    wy = M[4] * pT[0] + M[5] * pT[1] + M[6] * pT[2] + M[7]
+    wz = M[8] * pT[0] + M[9] * pT[1] + M[10] * pT[2] + M[11]
+    nx = M[0] * nT[0] + M[1] * nT[1] + M[2] * nT[2]
+    ny = M[4] * nT[0] + M[5] * nT[1] + M[6] * nT[2]
+    nz = M[8] * nT[0] + M[9] * nT[1] + M[10] * nT[2]
+    tx = M[0] * tT[0] + M[1] * tT[1] + M[2] * tT[2]
+    ty = M[4] * tT[0] + M[5] * tT[1] + M[6] * tT[2]
+    tz = M[8] * tT[0] + M[9] * tT[1] + M[10] * tT[2]
+    vp = viewproj
+    clip = jnp.stack([vp[0, 0] * wx + vp[0, 1] * wy + vp[0, 2] * wz + vp[0, 3],
+                      vp[1, 0] * wx + vp[1, 1] * wy + vp[1, 2] * wz + vp[1, 3],
+                      vp[2, 0] * wx + vp[2, 1] * wy + vp[2, 2] * wz + vp[2, 3],
+                      vp[3, 0] * wx + vp[3, 1] * wy + vp[3, 2] * wz + vp[3, 3]],
+                     axis=-1)
+    world = jnp.stack([wx, wy, wz], axis=-1)
+    wn = jnp.stack([nx, ny, nz], axis=-1)
+    wtangent = jnp.stack([tx, ty, tz, tT[3]], axis=-1)
     return clip, wn, wtangent, world
 
 

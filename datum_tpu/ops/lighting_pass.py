@@ -35,7 +35,14 @@ def reconstruct_positions(depth, proj, invview, width, height, y0=0):
     """
     h, w = depth.shape
     rx, ry = view_ray_grid(_inv_proj(proj), width, height, y0=y0, local_h=h)
-    dist = proj[2, 3] / (depth + proj[2, 2])
+    # background depth==0 under the infinite reverse-Z projection makes
+    # the denominator 0 -> inf positions -> NaN eyevec; those NaNs used
+    # to die at the final mask, but reduced-res pooling mixes them into
+    # covered pixels (and bloom then smears NaN over the whole frame).
+    # Clamp to a huge-but-finite distance instead.
+    denom = depth + proj[2, 2]
+    dist = proj[2, 3] / jnp.where(jnp.abs(denom) < 1e-7,
+                                  jnp.where(denom < 0, -1e-7, 1e-7), denom)
     viewpos = jnp.stack([rx * dist, ry * dist, -dist], axis=-1)
     worldpos = viewpos @ invview[:3, :3].T + invview[:3, 3]
     return viewpos, worldpos
@@ -54,7 +61,7 @@ def shade_deferred(gbuffer, depth, sceneset, *, proj, invview,
                    ssao=None, fogvol=None, shadowfactor=None, shadowmaps=None,
                    ibl=None, env_specular=None, env_diffuse=None, envbrdf=None,
                    cluster=None, spotmaps=None, full_size=None, y0=0,
-                   shadow_factor_scale=2):
+                   shadow_factor_scale=2, env_scale=2):
     """Main deferred shade.  Returns HDR color (H, W, 3) premultiplied by
     camera exposure (reference: lighting.comp:274-283 applies exposure at
     the end of the lighting pass).  full_size/y0 support row-band shards."""
@@ -86,6 +93,7 @@ def shade_deferred(gbuffer, depth, sceneset, *, proj, invview,
     if ibl is not None and env_diffuse is None:
         from .sampling import (
             sample_cubemap, sample_cubemap_lod, sample_cubemap_lod_flat,
+            sample_cubemap_lod_quad,
         )
 
         mips = ibl["mips"]
@@ -93,19 +101,58 @@ def shade_deferred(gbuffer, depth, sceneset, *, proj, invview,
         r = 2.0 * jnp.sum(normal * eyevec, -1, keepdims=True) * normal - eyevec
         sdir = brdf.specular_dominant_direction(normal, r, rough)
         ddir = brdf.diffuse_dominant_direction(normal, eyevec, rough)
-        lod = rough * (len(mips) - 1)
-        if "flat" in ibl:   # 8 gathers/pixel vs 4 per mip level
-            env_specular = sample_cubemap_lod_flat(ibl["flat"], sdir,
-                                                   lod)[..., :3]
+        if "sh" in ibl and "flatq" in ibl and ibl.get("envprobes") is None \
+                and env_scale > 1 and h % env_scale == 0 and w % env_scale == 0:
+            # fast path: env radiance terms at 1/env_scale res (2 quad
+            # gathers + 1 flat LUT gather per low-res pixel), upsampled
+            # densely; diffuse irradiance is a per-pixel SH-9 polynomial
+            # — zero full-res gathers.  Per-pixel gathers are the TPU
+            # wall (see PERF.md lesson 1); the env radiance field is
+            # smooth so reduced-res costs no visible quality.
+            from .blur import downsample_pool, resize_up_dense
+            p = env_scale
+            # mask-weighted pooling: background lanes carry garbage
+            # (huge clamped positions) that would bleed into covered
+            # pixels at silhouettes
+            mk = gbuffer["mask"].astype(jnp.float32)[..., None]
+            mk_h = jnp.maximum(downsample_pool(mk, p), 1e-6)
+            sdir_h = brdf.normalize(downsample_pool(sdir * mk, p) / mk_h)
+            rough_h = downsample_pool(rough[..., None] * mk, p)[..., 0] / mk_h[..., 0]
+            ndv = jnp.clip(jnp.sum(normal * eyevec, -1), 0.0, 1.0)
+            ndv_h = downsample_pool(ndv[..., None] * mk, p)[..., 0] / mk_h[..., 0]
+            lod_h = rough_h * (len(mips) - 1)
+            spec_h = sample_cubemap_lod_quad(ibl["flatq"], sdir_h,
+                                             lod_h)[..., :3]
+            lut = ibl["envbrdf"]
+            s = lut.shape[0]
+            flat_lut = lut.reshape(-1, lut.shape[-1])
+            bi = jnp.clip((rough_h * s).astype(jnp.int32), 0, s - 1)
+            bj = jnp.clip((ndv_h * s).astype(jnp.int32), 0, s - 1)
+            eb_h = flat_lut[bi * s + bj]
+            env_specular = resize_up_dense(spec_h, h, w)
+            envbrdf = resize_up_dense(eb_h, h, w)
+            # deepest specular mip ~ E(d)/pi (the GGX roughness-1
+            # prefilter normalizes by sum N.L); probe_irradiance(sh)
+            # evaluates E(d), so /pi matches the sampled path.  ddir is
+            # NOT unit length (dominant-direction bend) — the SH basis
+            # needs a normalized direction (cubemap taps normalize
+            # implicitly)
+            env_diffuse = brdf.probe_irradiance(
+                ibl["sh"], brdf.normalize(ddir)) / brdf.PI
         else:
-            env_specular = sample_cubemap_lod(mips, sdir, lod)[..., :3]
-        env_diffuse = sample_cubemap(mips[-1], ddir)[..., :3]
-        lut = ibl["envbrdf"]
-        s = lut.shape[0]
-        ndv = jnp.clip(jnp.sum(normal * eyevec, -1), 0.0, 1.0)
-        bi = jnp.clip((rough * s).astype(jnp.int32), 0, s - 1)
-        bj = jnp.clip((ndv * s).astype(jnp.int32), 0, s - 1)
-        envbrdf = lut[bi, bj]
+            lod = rough * (len(mips) - 1)
+            if "flat" in ibl:   # 8 gathers/pixel vs 4 per mip level
+                env_specular = sample_cubemap_lod_flat(ibl["flat"], sdir,
+                                                       lod)[..., :3]
+            else:
+                env_specular = sample_cubemap_lod(mips, sdir, lod)[..., :3]
+            env_diffuse = sample_cubemap(mips[-1], ddir)[..., :3]
+            lut = ibl["envbrdf"]
+            s = lut.shape[0]
+            ndv = jnp.clip(jnp.sum(normal * eyevec, -1), 0.0, 1.0)
+            bi = jnp.clip((rough * s).astype(jnp.int32), 0, s - 1)
+            bj = jnp.clip((ndv * s).astype(jnp.int32), 0, s - 1)
+            envbrdf = lut[bi, bj]
 
         # local environment probe boxes override the global env
         # (reference: lighting.comp:187-207 environment loop)
@@ -157,9 +204,10 @@ def shade_deferred(gbuffer, depth, sceneset, *, proj, invview,
 
         p = shadow_factor_scale
 
+        from .blur import downsample_pool
+
         def pool(x):
-            sh = x.shape
-            return x.reshape(sh[0] // p, p, sh[1] // p, p, *sh[2:]).mean((1, 3))
+            return downsample_pool(x, p)
 
         esm, zmx, zsc = shadowmaps
         sf_h = shadow_factor_esm_fast(pool(worldpos), esm, zmx, zsc,

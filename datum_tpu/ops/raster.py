@@ -52,35 +52,45 @@ def adjugate3(m):
          jnp.stack([c02, c12, c22], -1)], axis=-2)
 
 
-def triangle_setup(clip, tris, width, height, tiles_x, tiles_y, tri_valid=None,
-                   cull=0, max_span=BIN_MAX_SPAN):
-    """Per-triangle raster setup.
+def triangle_setup_comps(comps, shared, width, height, tiles_x, tiles_y,
+                         tri_valid=None, cull=0, max_span=BIN_MAX_SPAN,
+                         ylim=None):
+    """SoA triangle setup core.
 
-    clip: (V, 4) clip positions; tris: (T, 3) int32 vertex ids
-    (padding triangles use [0,0,0] -> zero area -> culled);
-    cull: 0 = two-sided, +1 = cull det<0 backfaces, -1 = cull det>0.
+    comps: dict of (T,) f32 arrays x0,y0,z0,w0,x1,...,w2 (clip coords per
+    corner); shared: (T,) bool degenerate-id mask.  All math runs on
+    (T,)-shaped arrays so the triangle count rides the 128-lane axis —
+    the (T,3,3) AoS formulation wastes 125/128 lanes per op and measured
+    ~3 ms at T=131k (profiling/prof_shadow3.py).
 
-    Returns dict with:
-      adj (T,3,3), det (T,), zc (T,3) clip z,
-      tile_bbox (T,4) int32 [tx0,ty0,tx1,ty1],
-      valid (T,) — contributes pixels,
-      big (T,)   — valid but unbounded/huge screen extent.
+    Returns the setup dict: SoA fields bbox_soa (tx0,ty0,tx1,ty1),
+    valid/big (T,), row16 (T,16) packed kernel rows, plus AoS adj/det/zc
+    (one stack each) for the XLA fallback/resolve consumers.
     """
-    v = clip[tris]                                  # (T, 3, 4)
-    x, y, w, z = v[..., 0], v[..., 1], v[..., 3], v[..., 2]
-    m = jnp.stack([x, y, w], axis=-2)               # (T, 3, 3) rows x/y/w
-    adj = adjugate3(m)
-    det = (m[:, 0, 0] * adj[:, 0, 0] + m[:, 0, 1] * adj[:, 1, 0]
-           + m[:, 0, 2] * adj[:, 2, 0])
+    x0, y0, z0, w0 = comps["x0"], comps["y0"], comps["z0"], comps["w0"]
+    x1, y1, z1, w1 = comps["x1"], comps["y1"], comps["z1"], comps["w1"]
+    x2, y2, z2, w2 = comps["x2"], comps["y2"], comps["z2"], comps["w2"]
+
+    # adjugate of M = [[x0,x1,x2],[y0,y1,y2],[w0,w1,w2]]: row k of adj is
+    # the edge-coefficient vector of edge k (cofactors, transposed)
+    a00 = y1 * w2 - w1 * y2
+    a01 = w1 * x2 - x1 * w2
+    a02 = x1 * y2 - y1 * x2
+    a10 = w0 * y2 - y0 * w2
+    a11 = x0 * w2 - w0 * x2
+    a12 = y0 * x2 - x0 * y2
+    a20 = y0 * w1 - w0 * y1
+    a21 = w0 * x1 - x0 * w1
+    a22 = x0 * y1 - y0 * x1
+    det = x0 * a00 + y0 * a01 + w0 * a02
 
     # conservative frustum reject: all vertices outside one clip plane
-    out = (jnp.all(x > w, 1) | jnp.all(x < -w, 1)
-           | jnp.all(y > w, 1) | jnp.all(y < -w, 1)
-           | jnp.all(z < 0, 1) | jnp.all(z > w, 1))
-    # degenerate: repeated vertex ids (exact — catches padding triangles
-    # even when FMA contraction makes det a nonzero residual) or zero area
-    shared = ((tris[:, 0] == tris[:, 1]) | (tris[:, 1] == tris[:, 2])
-              | (tris[:, 0] == tris[:, 2]))
+    out = (((x0 > w0) & (x1 > w1) & (x2 > w2))
+           | ((x0 < -w0) & (x1 < -w1) & (x2 < -w2))
+           | ((y0 > w0) & (y1 > w1) & (y2 > w2))
+           | ((y0 < -w0) & (y1 < -w1) & (y2 < -w2))
+           | ((z0 < 0) & (z1 < 0) & (z2 < 0))
+           | ((z0 > w0) & (z1 > w1) & (z2 > w2)))
     degenerate = shared | (jnp.abs(det) < 1e-14)
     valid = ~(out | degenerate)
     if cull > 0:
@@ -91,28 +101,87 @@ def triangle_setup(clip, tris, width, height, tiles_x, tiles_y, tri_valid=None,
         valid = valid & tri_valid
 
     # screen bbox (only meaningful when all w comfortably positive)
-    w_ok = jnp.all(w > 1e-6, axis=1)
-    safe_w = jnp.where(w_ok[:, None], w, 1.0)
-    sx = (x / safe_w * 0.5 + 0.5) * width           # pixel coords
-    sy = (y / safe_w * 0.5 + 0.5) * height
-    tx0 = jnp.clip(jnp.floor(sx.min(1) / TILE_W).astype(jnp.int32), 0, tiles_x - 1)
-    tx1 = jnp.clip(jnp.floor(sx.max(1) / TILE_W).astype(jnp.int32), 0, tiles_x - 1)
-    ty0 = jnp.clip(jnp.floor(sy.min(1) / TILE_H).astype(jnp.int32), 0, tiles_y - 1)
-    ty1 = jnp.clip(jnp.floor(sy.max(1) / TILE_H).astype(jnp.int32), 0, tiles_y - 1)
+    w_ok = (w0 > 1e-6) & (w1 > 1e-6) & (w2 > 1e-6)
+    iw0 = 1.0 / jnp.where(w_ok, w0, 1.0)
+    iw1 = 1.0 / jnp.where(w_ok, w1, 1.0)
+    iw2 = 1.0 / jnp.where(w_ok, w2, 1.0)
+    sx0, sx1, sx2 = x0 * iw0, x1 * iw1, x2 * iw2
+    sy0, sy1, sy2 = y0 * iw0, y1 * iw1, y2 * iw2
+    sxmin = (jnp.minimum(jnp.minimum(sx0, sx1), sx2) * 0.5 + 0.5) * width
+    sxmax = (jnp.maximum(jnp.maximum(sx0, sx1), sx2) * 0.5 + 0.5) * width
+    symin = (jnp.minimum(jnp.minimum(sy0, sy1), sy2) * 0.5 + 0.5) * height
+    symax = (jnp.maximum(jnp.maximum(sy0, sy1), sy2) * 0.5 + 0.5) * height
+    tx0 = jnp.clip(jnp.floor(sxmin / TILE_W).astype(jnp.int32), 0, tiles_x - 1)
+    tx1 = jnp.clip(jnp.floor(sxmax / TILE_W).astype(jnp.int32), 0, tiles_x - 1)
+    ty0 = jnp.clip(jnp.floor(symin / TILE_H).astype(jnp.int32), 0, tiles_y - 1)
+    ty1 = jnp.clip(jnp.floor(symax / TILE_H).astype(jnp.int32), 0, tiles_y - 1)
 
-    # off-screen reject for bounded triangles
-    onscreen = (sx.max(1) >= 0) & (sx.min(1) < width) & (sy.max(1) >= 0) & (sy.min(1) < height)
+    onscreen = (sxmax >= 0) & (sxmin < width) & (symax >= 0) & (symin < height)
     valid = valid & (w_ok & onscreen | ~w_ok)
 
     span = (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
     big = valid & (~w_ok | (span > max_span))
     binned = valid & ~big
 
+    # depth-plane coefficients: depth = sum_k e_k * z_k / det
+    idet = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1.0, det)
+    zs0 = (a00 * z0 + a10 * z1 + a20 * z2) * idet
+    zs1 = (a01 * z0 + a11 * z1 + a21 * z2) * idet
+    zs2 = (a02 * z0 + a12 * z1 + a22 * z2) * idet
+    sgn = jnp.sign(det)
+    if ylim is None:
+        ylo = jnp.full_like(det, -8.0)
+        yhi = jnp.full_like(det, 8.0)
+    else:
+        ylo, yhi = ylim
+        ylo = jnp.broadcast_to(ylo, det.shape)
+        yhi = jnp.broadcast_to(yhi, det.shape)
+    val_f = valid | big   # kernel-visible validity (slot 12)
+    # packed kernel row: [adj*sgn 0-8, zs 9-11, valid 12, tri-id 13 (set
+    # by the packers), ylim 14-15] — ONE stack relayout instead of
+    # re-deriving from (T,3,3) AoS in every pack_tile_setup_*
+    row16 = jnp.stack([
+        a00 * sgn, a01 * sgn, a02 * sgn,
+        a10 * sgn, a11 * sgn, a12 * sgn,
+        a20 * sgn, a21 * sgn, a22 * sgn,
+        zs0, zs1, zs2,
+        val_f.astype(jnp.float32), jnp.zeros_like(det), ylo, yhi,
+    ], axis=-1)
+
+    adj = jnp.stack([
+        jnp.stack([a00, a01, a02], -1),
+        jnp.stack([a10, a11, a12], -1),
+        jnp.stack([a20, a21, a22], -1)], axis=-2)     # (T, 3, 3)
+    zc = jnp.stack([z0, z1, z2], -1)
+
     return dict(
-        adj=adj, det=det, zc=z,
+        adj=adj, det=det, zc=zc, row16=row16, zmax=jnp.maximum(
+            jnp.maximum(z0, z1), z2),
+        bbox_soa=(tx0, ty0, tx1, ty1),
         tile_bbox=jnp.stack([tx0, ty0, tx1, ty1], axis=-1),
         valid=binned, big=big,
     )
+
+
+def triangle_setup(clip, tris, width, height, tiles_x, tiles_y, tri_valid=None,
+                   cull=0, max_span=BIN_MAX_SPAN, ylim=None):
+    """Per-triangle raster setup (row-gather wrapper over the SoA core).
+
+    clip: (V, 4) clip positions; tris: (T, 3) int32 vertex ids
+    (padding triangles use [0,0,0] -> zero area -> culled);
+    cull: 0 = two-sided, +1 = cull det<0 backfaces, -1 = cull det>0.
+    """
+    v0 = clip[tris[:, 0]].T                         # (4, T): one relayout
+    v1 = clip[tris[:, 1]].T
+    v2 = clip[tris[:, 2]].T
+    comps = dict(x0=v0[0], y0=v0[1], z0=v0[2], w0=v0[3],
+                 x1=v1[0], y1=v1[1], z1=v1[2], w1=v1[3],
+                 x2=v2[0], y2=v2[1], z2=v2[2], w2=v2[3])
+    shared = ((tris[:, 0] == tris[:, 1]) | (tris[:, 1] == tris[:, 2])
+              | (tris[:, 0] == tris[:, 2]))
+    return triangle_setup_comps(comps, shared, width, height, tiles_x,
+                                tiles_y, tri_valid=tri_valid, cull=cull,
+                                max_span=max_span, ylim=ylim)
 
 
 def bin_triangles(setup, n_tris, tiles_x, tiles_y, bin_capacity, big_capacity,
@@ -134,17 +203,22 @@ def bin_triangles(setup, n_tris, tiles_x, tiles_y, bin_capacity, big_capacity,
     Costs 4 tri-id bits: T <= 2^17.
     """
     n_tiles = tiles_x * tiles_y
-    bbox = setup["tile_bbox"]
-    tx0, ty0, tx1, ty1 = bbox[:, 0], bbox[:, 1], bbox[:, 2], bbox[:, 3]
+    if "bbox_soa" in setup:
+        tx0, ty0, tx1, ty1 = setup["bbox_soa"]
+    else:
+        bbox = setup["tile_bbox"]
+        tx0, ty0, tx1, ty1 = bbox[:, 0], bbox[:, 1], bbox[:, 2], bbox[:, 3]
     span_w = tx1 - tx0 + 1
     span = span_w * (ty1 - ty0 + 1)
 
     T = n_tris
-    k = jnp.arange(max_span, dtype=jnp.int32)
-    kx = k[None, :] % span_w[:, None]
-    ky = k[None, :] // span_w[:, None]
-    tile = (ty0[:, None] + ky) * tiles_x + (tx0[:, None] + kx)       # (T, S)
-    pair_ok = setup["valid"][:, None] & (k[None, :] < span[:, None])
+    # pair expansion TRANSPOSED (span, T): T rides the 128-lane axis —
+    # the (T, span) layout wastes (128 - span) lanes per op
+    k = jnp.arange(max_span, dtype=jnp.int32)[:, None]               # (S, 1)
+    kx = k % span_w[None, :]
+    ky = k // span_w[None, :]
+    tile = (ty0[None, :] + ky) * tiles_x + (tx0[None, :] + kx)       # (S, T)
+    pair_ok = setup["valid"][None, :] & (k < span[None, :])
     tile = jnp.where(pair_ok, tile, n_tiles)                          # sentinel
 
     # pack (tile[, depth band], tri) into one 32-bit key: a single-array
@@ -168,16 +242,16 @@ def bin_triangles(setup, n_tris, tiles_x, tiles_y, bin_capacity, big_capacity,
     key_dtype = jnp.int32 if total_bits <= 31 else jnp.uint32
     shift = dq_bits + tri_bits
 
-    tri_ids = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[:, None],
+    tri_ids = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :],
                                tile.shape).astype(key_dtype)
-    key = (tile.astype(key_dtype).reshape(-1) << shift) | tri_ids.reshape(-1)
+    key = (tile.astype(key_dtype) << shift) | tri_ids
     if depth_prio is not None:
         levels = (1 << dq_bits) - 1
         dq = jnp.clip(((1.0 - depth_prio) * levels).astype(jnp.int32),
                       0, levels)
-        dq = jnp.broadcast_to(dq[:, None], tile.shape).astype(key_dtype)
-        key = key | (dq.reshape(-1) << tri_bits)
-    skey = jnp.sort(key)
+        dq = jnp.broadcast_to(dq[None, :], tile.shape).astype(key_dtype)
+        key = key | (dq << tri_bits)
+    skey = jnp.sort(key.reshape(-1))
     sorted_tile = (skey >> shift).astype(jnp.int32)
 
     starts = jnp.searchsorted(sorted_tile, jnp.arange(n_tiles + 1, dtype=jnp.int32))

@@ -38,20 +38,10 @@ def pack_tile_setup(setup, bins, big_ids):
     zs . (xn, yn, 1), and adj rows carry det's sign so the inside test
     is sign-free.  tri_id is stored as float (exact below 2^24).
     """
-    adj, det, zc = setup["adj"], setup["det"], setup["zc"]
-    ez = adj * (zc[:, :, None] / det[:, None, None])
-    zs = ez.sum(axis=1)                               # (T, 3)
-    sgn = jnp.sign(det)
-    T = adj.shape[0]
-    ylim = setup.get("ylim")
-    if ylim is None:
-        ylim = jnp.broadcast_to(jnp.array([-8.0, 8.0], jnp.float32), (T, 2))
+    row16 = setup["row16"]                            # (T, 16) prebuilt SoA
+    T = row16.shape[0]
     flat = jnp.concatenate([
-        adj.reshape(-1, 9) * sgn[:, None], zs,
-        jnp.ones((T, 1), jnp.float32),
-        jnp.zeros((T, 1), jnp.float32),     # slot 13: tri id (set below)
-        ylim,                                # slots 14/15: y scissor band
-        jnp.zeros((T, SETUP_WIDTH - 16), jnp.float32),
+        row16, jnp.zeros((T, SETUP_WIDTH - 16), jnp.float32),
     ], axis=-1)                                       # (T, SETUP_WIDTH)
 
     # big-list entries FIRST so the dynamic trip count (B + bin count)
@@ -189,19 +179,17 @@ SHADE_PACK = 2        # triangles per 128-lane row (64 slots each)
 
 
 def pack_tile_setup_attrs(setup, bins, big_ids, tris, uv, normal, tri_material,
-                          materials):
+                          materials, tangent=None, matmaps=None):
     """Setup+attribute rows, 2 triangles packed per 128-lane row.
 
     Entry layout within its 64-lane half: [adj*sgn 0-8, zs 9-11, valid 12,
-    tri_id 13, uv 16-21, normal 22-30, material 34-41].  Returns
-    (n_tiles, E/2, 128); the kernel statically unrolls the half offset,
-    halving row DMA and loop trips vs one-entry-per-row.
+    tri_id 13, uv 16-21, normal 22-30, material 34-41, matmap base/size
+    42-43, tangent 44-55 (when given)].  Returns (n_tiles, E/2, 128);
+    the kernel statically unrolls the half offset, halving row DMA and
+    loop trips vs one-entry-per-row.
     """
-    adj, det, zc = setup["adj"], setup["det"], setup["zc"]
-    ez = adj * (zc[:, :, None] / det[:, None, None])
-    zs = ez.sum(axis=1)
-    sgn = jnp.sign(det)
-    T = adj.shape[0]
+    row16 = setup["row16"]                            # (T, 16) prebuilt SoA
+    T = row16.shape[0]
 
     uv_t = uv[tris].reshape(-1, 6)                    # (T, 6)
     n_t = normal[tris].reshape(-1, 9)                 # (T, 9)
@@ -215,15 +203,21 @@ def pack_tile_setup_attrs(setup, bins, big_ids, tris, uv, normal, tri_material,
         materials["albedomap"][mat][:, None].astype(jnp.float32),
     ], axis=-1)                                       # (T, 8)
 
-    flat = jnp.concatenate([
-        adj.reshape(-1, 9) * sgn[:, None], zs,        # 0..11
-        jnp.ones((T, 1), jnp.float32),                # 12 valid
-        jnp.zeros((T, 3), jnp.float32),               # 13 tri id, 14-15 pad
+    pieces = [
+        row16,                                        # 0..12 setup, 13 id,
+                                                      # 14-15 ylim (unused)
         uv_t, n_t,                                    # 16..30
         jnp.zeros((T, 3), jnp.float32),               # 31-33 pad
         mrows,                                        # 34..41
-        jnp.zeros((T, 64 - 42), jnp.float32),
-    ], axis=-1)                                       # (T, 64)
+    ]
+    if tangent is not None:
+        mm = jnp.stack([matmaps["base"][mat].astype(jnp.float32),
+                        matmaps["size"][mat].astype(jnp.float32)], -1)
+        t_t = tangent[tris].reshape(-1, 12)           # (T, 12)
+        pieces += [mm, t_t, jnp.zeros((T, 64 - 56), jnp.float32)]
+    else:
+        pieces += [jnp.zeros((T, 64 - 42), jnp.float32)]
+    flat = jnp.concatenate(pieces, axis=-1)           # (T, 64)
 
     ids = jnp.concatenate(
         [jnp.broadcast_to(big_ids[None, :], (bins.shape[0], big_ids.shape[0])), bins],
@@ -238,7 +232,7 @@ def pack_tile_setup_attrs(setup, bins, big_ids, tris, uv, normal, tri_material,
 
 def _raster_shade_kernel(tile_ids_ref, counts_ref, rows_all, out_refs,
                          *, tiles_x, width, height,
-                         tiles_per_step=1):
+                         tiles_per_step=1, extended=False):
     i = pl.program_id(0)
     yy = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
     xx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
@@ -246,7 +240,9 @@ def _raster_shade_kernel(tile_ids_ref, counts_ref, rows_all, out_refs,
     big_groups = (counts_ref[0] + (P - 1)) // P
     bin_group0 = counts_ref[1] // P
 
-    N_PLANES = 15   # depth, vis, u, v, nx, ny, nz, r, g, b, em, met, rgh, rfl, alb
+    # depth, vis, u, v, nx, ny, nz, r, g, b, em, met, rgh, rfl, alb
+    # (+ matmap base, matmap size, tangent xyzw when extended)
+    N_PLANES = 21 if extended else 15
 
     for rstep in range(tiles_per_step):
         slot = i * tiles_per_step + rstep
@@ -284,12 +280,21 @@ def _raster_shade_kernel(tile_ids_ref, counts_ref, rows_all, out_refs,
                         rows[g, o + 34], rows[g, o + 35], rows[g, o + 36],
                         rows[g, o + 37], rows[g, o + 38], rows[g, o + 39],
                         rows[g, o + 40], rows[g, o + 41]]
+                if extended:
+                    tx_ = rows[g, o + 44] * l0 + rows[g, o + 48] * l1 \
+                        + rows[g, o + 52] * l2
+                    ty_ = rows[g, o + 45] * l0 + rows[g, o + 49] * l1 \
+                        + rows[g, o + 53] * l2
+                    tz_ = rows[g, o + 46] * l0 + rows[g, o + 50] * l1 \
+                        + rows[g, o + 54] * l2
+                    vals += [rows[g, o + 42], rows[g, o + 43],
+                             tx_, ty_, tz_, rows[g, o + 47]]
                 carry = tuple(jnp.where(passed, vals[j], carry[j])
                               for j in range(N_PLANES))
             return carry
 
         zeros = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        init = (zeros, zeros - 1.0) + tuple(zeros for _ in range(13))
+        init = (zeros, zeros - 1.0) + tuple(zeros for _ in range(N_PLANES - 2))
         count_groups = (counts_ref[2 + slot] + (P - 1)) // P
         carry = jax.lax.fori_loop(0, big_groups, body, init)
         out = jax.lax.fori_loop(bin_group0, bin_group0 + count_groups, body,
@@ -300,16 +305,20 @@ def _raster_shade_kernel(tile_ids_ref, counts_ref, rows_all, out_refs,
 
 def raster_shade_pallas(setup, bins, big_ids, counts, tris, uv, normal,
                         tri_material, materials, tiles_x, tiles_y, width, height,
-                        tile_ids=None, interpret=False):
+                        tile_ids=None, interpret=False, tangent=None,
+                        matmaps=None):
     """Fused raster + attribute/material interpolation.
 
     Returns dict of full-res planes: depth, vis (int32), uv (H,W,2),
     normal (H,W,3), color (H,W,3), emissive, metalness, roughness,
-    reflectivity, albedo_id (int32).
+    reflectivity, albedo_id (int32); with tangent/matmaps also
+    tangent (H,W,4), matmap_base (H,W) i32, matmap_size (H,W) i32.
     """
     assert big_ids.shape[0] % SHADE_PACK == 0
+    extended = tangent is not None
     rows = pack_tile_setup_attrs(setup, bins, big_ids, tris, uv, normal,
-                                 tri_material, materials)
+                                 tri_material, materials, tangent=tangent,
+                                 matmaps=matmaps)
     n_groups = rows.shape[1]
     if tile_ids is None:
         tile_ids = jnp.arange(tiles_x * tiles_y, dtype=jnp.int32)
@@ -322,7 +331,7 @@ def raster_shade_pallas(setup, bins, big_ids, counts, tris, uv, normal,
     trip = jnp.concatenate([big_count[None], jnp.int32(B)[None],
                             counts.astype(jnp.int32)])
 
-    N_PLANES = 15
+    N_PLANES = 21 if extended else 15
     # multi-tile grid steps amortize per-step dispatch/DMA latency
     R = next((r for r in (15, 10, 6, 5, 4, 3, 2) if n_tiles % r == 0), 1)
 
@@ -330,7 +339,7 @@ def raster_shade_pallas(setup, bins, big_ids, counts, tris, uv, normal,
         _raster_shade_kernel(tile_ids_ref, counts_ref, rows_ref,
                              list(outs),
                              tiles_x=tiles_x, width=width, height=height,
-                             tiles_per_step=R)
+                             tiles_per_step=R, extended=extended)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -349,7 +358,7 @@ def raster_shade_pallas(setup, bins, big_ids, counts, tris, uv, normal,
     from .raster import _untile
     tyl = n_tiles // tiles_x
     u = [_untile(p, tiles_x, tyl) for p in planes]
-    return dict(
+    out = dict(
         depth=u[0], vis=jnp.round(u[1]).astype(jnp.int32),
         uv=jnp.stack([u[2], u[3]], -1),
         normal=jnp.stack([u[4], u[5], u[6]], -1),
@@ -357,6 +366,11 @@ def raster_shade_pallas(setup, bins, big_ids, counts, tris, uv, normal,
         emissive=u[10], metalness=u[11], roughness=u[12],
         reflectivity=u[13], albedo_id=jnp.round(u[14]).astype(jnp.int32),
     )
+    if extended:
+        out["matmap_base"] = jnp.round(u[15]).astype(jnp.int32)
+        out["matmap_size"] = jnp.round(u[16]).astype(jnp.int32)
+        out["tangent"] = jnp.stack([u[17], u[18], u[19], u[20]], -1)
+    return out
 
 
 DEPTH_TILES_PER_STEP = 16   # amortize per-grid-step latency: shadow
@@ -372,20 +386,7 @@ def pack_tile_setup_depth(setup, bins, big_ids):
     static (Mosaic forbids dynamic lane indexing).  8x less gather/DMA
     traffic than the 128-wide single-entry rows.
     """
-    adj, det, zc = setup["adj"], setup["det"], setup["zc"]
-    ez = adj * (zc[:, :, None] / det[:, None, None])
-    zs = ez.sum(axis=1)
-    sgn = jnp.sign(det)
-    T = adj.shape[0]
-    ylim = setup.get("ylim")
-    if ylim is None:
-        ylim = jnp.broadcast_to(jnp.array([-8.0, 8.0], jnp.float32), (T, 2))
-    flat = jnp.concatenate([
-        adj.reshape(-1, 9) * sgn[:, None], zs,
-        jnp.ones((T, 1), jnp.float32),
-        jnp.zeros((T, 1), jnp.float32),
-        ylim,
-    ], axis=-1)                                       # (T, 16)
+    flat = setup["row16"]                             # (T, 16) prebuilt SoA
 
     ids = jnp.concatenate(
         [jnp.broadcast_to(big_ids[None, :], (bins.shape[0], big_ids.shape[0])),

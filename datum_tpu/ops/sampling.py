@@ -229,3 +229,93 @@ def sample_cubemap_lod_flat(flat, d, lod):
 
 def sample_cubemap_lod_flat_level(table, bases, sizes, face, uv, level):
     return _flat_bilinear(table, bases[level], sizes[level], face, uv)
+
+
+# ---------------------------------------------------------------------------
+# Quad-packed tables: one gather per bilinear tap.
+#
+# TPU gather cost is per-LOOKUP, not per-byte (profiling/prof_micro.py:
+# 2M row-gathers cost ~3.8 ms whether rows are 4 or 48 floats), so
+# packing each texel's 2x2 bilinear footprint into its row turns a
+# 4-gather bilinear into ONE gather + lerps.
+# ---------------------------------------------------------------------------
+
+
+def quad_pack(img):
+    """(H, W, C) -> (H*W, 4C) rows [t(y,x), t(y,x+1), t(y+1,x), t(y+1,x+1)]
+    with edge clamp."""
+    h, w, c = img.shape
+    xr = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+    yd = jnp.concatenate([img[1:], img[-1:]], axis=0)
+    xyd = jnp.concatenate([yd[:, 1:], yd[:, -1:]], axis=1)
+    return jnp.concatenate([img, xr, yd, xyd], axis=-1).reshape(h * w, 4 * c)
+
+
+def flatten_cube_mips_quad(cube_mips):
+    """Quad-packed flat cubemap mip chain.
+
+    Returns (table (N, 4C), bases (n,), sizes (n,)).  Bilinear within a
+    face needs ONE gather; trilinear needs two (adjacent mips).  Face
+    edges clamp within the face (no seam filtering — same contract as
+    sample_cubemap).
+    """
+    flats, bases, sizes = [], [], []
+    off = 0
+    for m in cube_mips:
+        m = jnp.asarray(m, jnp.float32)
+        s = int(m.shape[1])
+        flats.append(jnp.concatenate(
+            [quad_pack(m[f]) for f in range(6)], axis=0))
+        bases.append(off)
+        sizes.append(s)
+        off += 6 * s * s
+    return (jnp.concatenate(flats, axis=0), jnp.asarray(bases, jnp.int32),
+            jnp.asarray(sizes, jnp.int32))
+
+
+def _quad_bilinear(table, base, s, face, uv, channels):
+    sf = s.astype(jnp.float32)
+    x = uv[..., 0] * sf - 0.5
+    y = uv[..., 1] * sf - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    # low-edge clamp must kill the fraction too (the clamped row's +1
+    # neighbor is texel 1, but both taps should be texel 0 there)
+    fx = jnp.where(x0 < 0, 0.0, x - x0)[..., None]
+    fy = jnp.where(y0 < 0, 0.0, y - y0)[..., None]
+    # clamp the quad origin; the packed row handles the +1 neighbors
+    x0c = jnp.clip(x0, 0, s - 1)
+    y0c = jnp.clip(y0, 0, s - 1)
+    # edge half-texels: quad row at the clamped origin still interpolates
+    # correctly because rows clamp their own neighbors
+    row = table[base + (face * s + y0c) * s + x0c]          # (..., 4C)
+    c = channels
+    t00, t01 = row[..., 0:c], row[..., c:2 * c]
+    t10, t11 = row[..., 2 * c:3 * c], row[..., 3 * c:4 * c]
+    top = t00 + (t01 - t00) * fx
+    bot = t10 + (t11 - t10) * fx
+    return top + (bot - top) * fy
+
+
+def sample_cubemap_lod_quad(flatq, d, lod):
+    """Trilinear cubemap sample from a quad-packed mip chain: 2 gathers
+    per output texel (one per adjacent mip)."""
+    table, bases, sizes = flatq
+    c = table.shape[-1] // 4
+    n = bases.shape[0]
+    lod = jnp.clip(lod, 0.0, n - 1)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, n - 1)
+    f = (lod - l0)[..., None]
+    face, uv = cubemap_face_uv(d)
+    s0 = _quad_bilinear(table, bases[l0], sizes[l0], face, uv, c)
+    s1 = _quad_bilinear(table, bases[l1], sizes[l1], face, uv, c)
+    return s0 + (s1 - s0) * f
+
+
+def sample_cubemap_quad(flatq, d, level=0):
+    """Bilinear cubemap sample from a quad-packed chain: ONE gather."""
+    table, bases, sizes = flatq
+    c = table.shape[-1] // 4
+    face, uv = cubemap_face_uv(d)
+    return _quad_bilinear(table, bases[level], sizes[level], face, uv, c)

@@ -97,12 +97,114 @@ def resolve_gbuffer(vis, setup, tris, tri_instance, attrs, instances, materials,
     )
 
 
-def gbuffer_from_planes(planes, textures, texture_filter="nearest"):
+def sample_matmaps(table, base, size, uv, pool=1):
+    """One-gather material sample from the combined mip table.
+
+    table: (R, 48) u8 quad rows (render/texturepool.py layout); base,
+    size: per-pixel (H, W) int32 planes; uv: (H, W, 2).  The mip level
+    comes from screen-space uv derivatives (dense rolls are free on
+    TPU); `pool` notes an external resolution divisor so derivatives
+    stay calibrated when sampling at reduced res.
+
+    Returns (albedo, surface, normal_ts) each (..., 4) f32 in [0, 1].
+    """
+    u, v = uv[..., 0], uv[..., 1]
+    sf = size.astype(jnp.float32)
+    # uv footprint per output pixel (edge-clamped backward difference —
+    # jnp.roll would wrap the first row/col across the image; `pool`
+    # rescales the step to full-res pixels)
+    def _bdiff(a, axis):
+        sl = [slice(None)] * a.ndim
+        sl[axis] = slice(0, 1)
+        first = a[tuple(sl)]
+        sl[axis] = slice(0, -1)
+        prev = jnp.concatenate([first, a[tuple(sl)]], axis=axis)
+        return jnp.abs(a - prev)
+
+    du = _bdiff(u, 1) + _bdiff(u, 0)
+    dv = _bdiff(v, 1) + _bdiff(v, 0)
+    span = jnp.maximum(du, dv) * sf * (1.0 / max(pool, 1))
+    lod = jnp.log2(jnp.maximum(span, 1.0))
+    max_lod = jnp.log2(jnp.maximum(sf, 1.0))          # exact for pow2
+    level = jnp.clip(jnp.round(lod), 0.0, max_lod).astype(jnp.int32)
+    s_l = (size >> level).astype(jnp.int32)
+    slf = s_l.astype(jnp.float32)
+    # mip row offset: 4*(S^2 - (S>>l)^2)/3, exact in f32 below 2^24
+    mip_base = base + (4 * (size * size - s_l * s_l)) // 3
+
+    x = u * slf - 0.5
+    y = v * slf - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    xi = jnp.mod(x0.astype(jnp.int32), jnp.maximum(s_l, 1))
+    yi = jnp.mod(y0.astype(jnp.int32), jnp.maximum(s_l, 1))
+    rows = table[mip_base + yi * s_l + xi].astype(jnp.float32) * (1.0 / 255.0)
+    t00, t01 = rows[..., 0:12], rows[..., 12:24]
+    t10, t11 = rows[..., 24:36], rows[..., 36:48]
+    out = (t00 + (t01 - t00) * fx) + ((t10 + (t11 - t10) * fx)
+                                      - (t00 + (t01 - t00) * fx)) * fy
+    return out[..., 0:4], out[..., 4:8], out[..., 8:12]
+
+
+def gbuffer_from_planes(planes, textures, texture_filter="nearest",
+                        matmaps=None):
     """Gbuffer from the fused raster kernel's interpolated planes
     (ops/raster_pallas.py raster_shade_pallas) — the only per-pixel
-    gather left is the albedo texture tap."""
+    gather left is the material texture tap."""
     mask = planes["vis"] >= 0
     nrm = brdf.normalize(planes["normal"])
+
+    if texture_filter in ("mip", "mip_half"):
+        # texture system v2: ONE quad-row gather yields albedo + surface
+        # + normal maps, bilinear-filtered at the derivative-chosen mip
+        h, w = planes["uv"].shape[:2]
+        p = 2 if texture_filter == "mip_half" else 1
+        if p > 1:
+            from .blur import downsample_pool, resize_up_dense
+            uv_h = downsample_pool(planes["uv"], p)
+            base_h = downsample_pool(planes["matmap_base"], p, reduce="first")
+            size_h = downsample_pool(planes["matmap_size"], p, reduce="first")
+            alb, srf, nmap = sample_matmaps(matmaps["table"], base_h, size_h,
+                                            uv_h, pool=p)
+            packed = jnp.concatenate([alb, srf, nmap], -1)
+            packed = resize_up_dense(packed, h, w)
+            alb, srf, nmap = packed[..., 0:4], packed[..., 4:8], packed[..., 8:12]
+        else:
+            alb, srf, nmap = sample_matmaps(
+                matmaps["table"], planes["matmap_base"],
+                planes["matmap_size"], planes["uv"])
+        # TBN from interpolated vertex tangents (reference:
+        # data/geometry.frag normal mapping)
+        tan = planes["tangent"]
+        tgt = brdf.normalize(tan[..., :3]
+                             - nrm * jnp.sum(tan[..., :3] * nrm, -1,
+                                             keepdims=True))
+        btg = jnp.cross(nrm, tgt) * tan[..., 3:4]
+        tn = nmap[..., :3] * 2.0 - 1.0
+        shaded_n = brdf.normalize(
+            tgt * tn[..., 0:1] + btg * tn[..., 1:2] + nrm * tn[..., 2:3])
+        metalness = planes["metalness"] * srf[..., 0]
+        reflectivity = planes["reflectivity"] * srf[..., 1]
+        roughness = planes["roughness"] * srf[..., 3]
+        m = brdf.make_material(alb[..., :3] * planes["color"],
+                               planes["emissive"], metalness,
+                               reflectivity, roughness)
+        diffuse = jnp.concatenate([m["diffuse"],
+                                   planes["emissive"][..., None]], -1)
+        specular = jnp.concatenate([m["specular"], roughness[..., None]], -1)
+        normal_out = jnp.concatenate(
+            [shaded_n * 0.5 + 0.5,
+             jnp.zeros_like(planes["emissive"])[..., None]], -1)
+        bg = ~mask
+        zero = jnp.zeros_like(diffuse)
+        return dict(
+            diffuse=jnp.where(bg[..., None], zero, diffuse),
+            specular=jnp.where(bg[..., None], zero, specular),
+            normal=jnp.where(bg[..., None], zero, normal_out),
+            mask=mask,
+        )
 
     s = textures.shape[1]
     uv = planes["uv"]
@@ -122,8 +224,9 @@ def gbuffer_from_planes(planes, textures, texture_filter="nearest"):
         # reads are slow on TPU)
         p = 2 if texture_filter == "nearest_half" else 4
         h, w = uv.shape[:2]
-        uv_h = uv.reshape(h // p, p, w // p, p, 2).mean((1, 3))
-        ids_h = planes["albedo_id"].reshape(h // p, p, w // p, p)[:, 0, :, 0]
+        from .blur import downsample_pool
+        uv_h = downsample_pool(uv, p)
+        ids_h = downsample_pool(planes["albedo_id"], p, reduce="first")
         a_h = nearest_tap(uv_h, ids_h)
         from .blur import resize_up_dense
         albedo = resize_up_dense(a_h, h, w)

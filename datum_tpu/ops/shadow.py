@@ -40,40 +40,53 @@ def render_shadow_cascades(world_pos, tris, shadowview, *, res=1024,
     tiles_x = res // raster_ops.TILE_W
     tiles_y = (res * n_slices) // raster_ops.TILE_H
     vh = res * n_slices
-    V = world_pos.shape[0]
     T = tris.shape[0]
 
-    # band remap in clip space: y'/w = (y/w + offset_s) / n_slices
-    clips = []
+    # gather the triangle corners ONCE (3 row gathers at T lookups),
+    # transpose to SoA (3, T): the per-slice transform + setup math then
+    # runs on (T,)-lane arrays — the old (S*V, 4) @ matrix formulation
+    # plus (S*T,3,3) AoS setup measured ~3 ms at S*T=131k of lane-starved
+    # ops (profiling/prof_shadow3.py)
+    p0 = world_pos[tris[:, 0]].T                              # (3, T)
+    p1 = world_pos[tris[:, 1]].T
+    p2 = world_pos[tris[:, 2]].T
+    shared = ((tris[:, 0] == tris[:, 1]) | (tris[:, 1] == tris[:, 2])
+              | (tris[:, 0] == tris[:, 2]))
+
+    # band remap in clip space: y' = (y + (2s - (n-1)) * w) / n_slices
+    names = ("x", "y", "z", "w")
+    parts = {f"{n}{j}": [] for n in names for j in range(3)}
     for s in range(n_slices):
         m = shadowview[s]
-        c = world_pos @ m[:, :3].T + m[:, 3]
-        y = (c[:, 1] + (2.0 * s - (n_slices - 1)) * c[:, 3]) * (1.0 / n_slices)
-        clips.append(jnp.stack([c[:, 0], y, c[:, 2], c[:, 3]], -1))
-    clip_all = jnp.concatenate(clips, axis=0)                 # (S*V, 4)
-    tris_all = jnp.concatenate(
-        [tris + s * V for s in range(n_slices)], axis=0)      # (S*T, 3)
+        off = (2.0 * s - (n_slices - 1)) / n_slices
+        for j, p in enumerate((p0, p1, p2)):
+            cx = m[0, 0] * p[0] + m[0, 1] * p[1] + m[0, 2] * p[2] + m[0, 3]
+            cy = m[1, 0] * p[0] + m[1, 1] * p[1] + m[1, 2] * p[2] + m[1, 3]
+            cz = m[2, 0] * p[0] + m[2, 1] * p[1] + m[2, 2] * p[2] + m[2, 3]
+            cw = m[3, 0] * p[0] + m[3, 1] * p[1] + m[3, 2] * p[2] + m[3, 3]
+            parts[f"x{j}"].append(cx)
+            parts[f"y{j}"].append(cy * (1.0 / n_slices) + off * cw)
+            parts[f"z{j}"].append(cz)
+            parts[f"w{j}"].append(cw)
+    comps = {k: jnp.concatenate(v) for k, v in parts.items()}
+    shared_all = jnp.tile(shared, n_slices)
 
-    # cull casters facing away from the light: with ESM the nearest
-    # light-facing surface is the occluder, back faces only add raster
-    # load (standard shadow-map front-face rendering)
-    # shadow casters are small at cascade res: a tight pair-span keeps
-    # the binning sort array (max_span * 4T entries) 4x smaller than the
-    # main raster's; wide casters spill to the shared big list
-    setup = raster_ops.triangle_setup(clip_all, tris_all, res, vh,
-                                      tiles_x, tiles_y, cull=-1, max_span=4)
     # per-band scissor: casters crossing a slice frustum's y-planes are
     # not clipped by the homogeneous raster, so bound coverage to the
     # triangle's own band (applied per pixel inside the raster)
     band = jnp.arange(n_slices * T, dtype=jnp.int32) // T
     band_lo = -1.0 + band.astype(jnp.float32) * (2.0 / n_slices)
-    setup["ylim"] = jnp.stack([band_lo, band_lo + 2.0 / n_slices], -1)
+    # cull casters facing away from the light (cull=-1); tight pair-span
+    # keeps the binning sort array (max_span * 4T entries) small
+    setup = raster_ops.triangle_setup_comps(
+        comps, shared_all, res, vh, tiles_x, tiles_y, cull=-1, max_span=4,
+        ylim=(band_lo, band_lo + 2.0 / n_slices))
     # near-to-light priority: saturated far-cascade bins then drop only
     # triangles already occluded in light space
     bins, counts, big = raster_ops.bin_triangles(
-        setup, tris_all.shape[0], tiles_x, tiles_y, bin_capacity,
+        setup, n_slices * T, tiles_x, tiles_y, bin_capacity,
         big_capacity, max_span=4,
-        depth_prio=jnp.clip(setup["zc"].max(axis=1), 0.0, 1.0))
+        depth_prio=jnp.clip(setup["zmax"], 0.0, 1.0))
     if use_pallas:
         from .raster_pallas import raster_depth_pallas
         depth = raster_depth_pallas(setup, bins, big, counts,

@@ -145,6 +145,7 @@ class RenderContext:
         self.n_materials = 0
 
         self.textures = np.zeros((max_textures, TEX_SIZE, TEX_SIZE, 4), np.uint8)
+        self.tex_native = {}    # id -> native-size (H, W, 4) u8 (mip source)
         self.n_textures = 0
         # built-ins
         self.add_texture(np.full((1, 1, 4), 255, np.uint8))                       # white
@@ -231,9 +232,9 @@ class RenderContext:
             img = np.stack([img] * 3 + [np.full_like(img, 255)], -1)
         if img.shape[2] == 3:
             img = np.concatenate([img, np.full(img.shape[:2] + (1,), 255, np.uint8)], -1)
-        img = _resample_nearest(img, TEX_SIZE)
         i = self.n_textures
-        self.textures[i] = img
+        self.tex_native[i] = img
+        self.textures[i] = _resample_nearest(img, TEX_SIZE)
         self.n_textures += 1
         self._device = None
         return i
@@ -249,6 +250,8 @@ class RenderContext:
             getattr(self, f"mat_{k}")[i] = v
         if self._device is not None:
             self._device = dict(self._device)
+            if any(k.endswith("map") for k in fields):
+                self._rebuild_matmaps(self._device)
             self._device["materials"] = dict(
                 color=jnp.asarray(self.mat_color),
                 metalness=jnp.asarray(self.mat_metalness),
@@ -270,12 +273,18 @@ class RenderContext:
         if img.shape[2] == 3:
             img = np.concatenate(
                 [img, np.full(img.shape[:2] + (1,), 255, np.uint8)], -1)
+        self.tex_native[i] = img
         img = _resample_nearest(img, TEX_SIZE)
         self.textures[i] = img
         if self._device is not None:
             self._device = dict(self._device)
             self._device["textures"] = self._device["textures"].at[i].set(
                 jnp.asarray(img))
+            # mip-table entries are immutable per (albedo,surface,normal)
+            # triple — a live texture edit rebuilds the matmap table
+            if "matmaps" in self._device:
+                self._device.pop("matmaps")
+                self._rebuild_matmaps(self._device)
 
     def add_water_material(self, color=(1, 1, 1, 1), metalness=0.0,
                            roughness=0.08, reflectivity=0.9, **lut_kw) -> int:
@@ -305,11 +314,17 @@ class RenderContext:
                 ),
                 textures=jnp.asarray(self.textures),
             )
+            self._rebuild_matmaps(self._device)
             if self.skybox is not None:
-                from ..ops.sampling import flatten_cube_mips
+                from ..ops.ibl import sh_project
+                from ..ops.sampling import (flatten_cube_mips,
+                                            flatten_cube_mips_quad)
                 self._device["ibl"] = dict(
                     mips=tuple(self.skybox.mips),
                     flat=flatten_cube_mips(self.skybox.mips),
+                    flatq=flatten_cube_mips_quad(self.skybox.mips),
+                    sh=jnp.asarray(sh_project(
+                        jnp.asarray(self.skybox.mips[0], jnp.float32)[..., :3])),
                     envbrdf=jnp.asarray(self.envbrdf_lut()),
                 )
                 if self._envprobes:
@@ -333,6 +348,27 @@ class RenderContext:
             if self.colorlut is not None:
                 self._device["colorlut"] = jnp.asarray(self.colorlut)
         return self._device
+
+    def _rebuild_matmaps(self, device):
+        """Combined material-map mip table (texture system v2): one
+        48-byte quad row per texel delivers albedo+surface+normal with
+        bilinear + mips in a single gather (render/texturepool.py)."""
+        from .texturepool import build_matmap_pool
+
+        triples = [(int(self.mat_albedomap[m]), int(self.mat_surfacemap[m]),
+                    int(self.mat_normalmap[m]))
+                   for m in range(max(self.n_materials, 1))]
+        table, base, size = build_matmap_pool(
+            triples, self.tex_native,
+            max_size=getattr(self.config, "matmap_max_size", 256))
+        nm = self.mat_color.shape[0]
+        base_full = np.zeros(nm, np.int32)
+        size_full = np.ones(nm, np.int32)
+        base_full[:len(triples)] = base
+        size_full[:len(triples)] = size
+        device["matmaps"] = dict(table=jnp.asarray(table),
+                                 base=jnp.asarray(base_full),
+                                 size=jnp.asarray(size_full))
 
     # --- frame ------------------------------------------------------------
     def render(self, camera, renderlist, params, sceneset=None):

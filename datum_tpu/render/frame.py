@@ -166,19 +166,27 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
     bins, counts, big_ids, bin_overflow = raster_ops.bin_triangles(
         setup, cfg.max_triangles, tx, ty, cfg.bin_capacity, cfg.big_capacity,
         max_span=cfg.bin_max_span, return_overflow=True, depth_prio=prio)
-    if cfg.use_pallas and not cfg.enable_material_maps:
+    fused_mip = (cfg.use_pallas and cfg.texture_filter.startswith("mip")
+                 and cfg.raster_kernel != "mxu")
+    if cfg.use_pallas and (not cfg.enable_material_maps or fused_mip):
         # fused raster + attribute/material interpolation: no per-pixel
-        # attribute gathers at all (gather throughput is the TPU wall)
+        # attribute gathers at all (gather throughput is the TPU wall);
+        # the 'mip' filters add tangent + matmap planes so the deferred
+        # material tap is ONE quad-row gather for all three maps
         from ..ops.raster_pallas import raster_shade_pallas, raster_shade_mxu
         shade_fn = (raster_shade_mxu if cfg.raster_kernel == "mxu"
                     else raster_shade_pallas)
         tri_mat = draws["material"][ex["tri_draw"]]
+        kw = {}
+        if fused_mip:
+            kw = dict(tangent=wtangent, matmaps=device["matmaps"])
         planes = shade_fn(
             setup, bins, big_ids, counts, ex["tris"], uv, wnormal, tri_mat,
-            device["materials"], tx, ty, w, h)
+            device["materials"], tx, ty, w, h, **kw)
         depth, vis = planes["depth"], planes["vis"]
         gbuffer = shade_ops.gbuffer_from_planes(planes, device["textures"],
-                                                texture_filter=cfg.texture_filter)
+                                                texture_filter=cfg.texture_filter,
+                                                matmaps=device.get("matmaps"))
     else:
         if cfg.use_pallas:
             from ..ops.raster_pallas import raster_pallas
@@ -226,11 +234,9 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
         dec = max(int(round(1.0 / cfg.ssao_scale)), 1)
         pr = make_hbao_params()
         # reshape-pool the inputs (strided reads are slow on TPU)
-        dd = depth[:h - h % dec, :w - w % dec]
-        nn = gbuffer["normal"][:h - h % dec, :w - w % dec, :3]
-        if dec > 1:
-            dd = dd.reshape(h // dec, dec, w // dec, dec)[:, 0, :, 0]
-            nn = nn.reshape(h // dec, dec, w // dec, dec, 3)[:, 0, :, 0]
+        from ..ops.blur import downsample_pool
+        dd = downsample_pool(depth, dec, reduce="first")
+        nn = downsample_pool(gbuffer["normal"][..., :3], dec, reduce="first")
         ao = hbao(dd, nn, sceneset["proj"], sceneset["view"], params=pr)
         from ..ops.blur import resize_up_dense
         # ssaostrength: intensity lerp toward unoccluded (our knob; the
@@ -267,7 +273,18 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
         # (reference: RenderParams::skyboxlod)
         lod = jnp.maximum(sceneset["camera"].get("skyboxlod",
                                                  jnp.float32(-1.0)), 0.0)
-        if "flat" in ibl:
+        if "flatq" in ibl:
+            # half-res sky tap (quad rows: 2 gathers/sample), dense
+            # upsample — the sky field is smooth; full-res gathers are
+            # the TPU wall (PERF.md lesson 1)
+            from ..ops.blur import downsample_pool, resize_up_dense
+            from ..ops.sampling import sample_cubemap_lod_quad
+            rays_h = downsample_pool(rays, 2)
+            sky_h = sample_cubemap_lod_quad(
+                ibl["flatq"], rays_h,
+                jnp.broadcast_to(lod, rays_h.shape[:-1]))[..., :3]
+            sky = resize_up_dense(sky_h, h, w)
+        elif "flat" in ibl:
             sky = sample_cubemap_lod_flat(
                 ibl["flat"], rays, jnp.broadcast_to(lod, rays.shape[:-1])
             )[..., :3]
