@@ -124,8 +124,11 @@ def point_light(position, normal, eyevec, material, light_pos, intensity, attenu
     fd = diffuse_disney(NdotV, NdotL, LdotH, alpha) * (1.0 / PI)
     fr = specular_ggx(material["specular"], 1.0, NdotV, NdotL, LdotH, NdotH, alpha) * (1.0 / PI)
 
-    att = jnp.sign(NdotL) / (attenuation[..., 2] + attenuation[..., 1] * dist
-                             + attenuation[..., 0] * dist * dist)
+    # denominator guard: padded (all-zero) light rows in chunked loops
+    # are evaluated then masked — 1/0 * 0 would poison the frame with NaN
+    att = jnp.sign(NdotL) / jnp.maximum(
+        attenuation[..., 2] + attenuation[..., 1] * dist
+        + attenuation[..., 0] * dist * dist, 1e-9)
     dr = dist / jnp.maximum(attenuation[..., 3], 1e-6)
     dr2 = dr * dr
     falloff = saturate(1.0 - dr2 * dr2)
@@ -145,8 +148,9 @@ def spot_light(position, normal, eyevec, material, light_pos, intensity, attenua
     fd = diffuse_disney(NdotV, NdotL, LdotH, alpha) * (1.0 / PI)
     fr = specular_ggx(material["specular"], 1.0, NdotV, NdotL, LdotH, NdotH, alpha) * (1.0 / PI)
 
-    att = jnp.sign(NdotL) / (attenuation[..., 2] + attenuation[..., 1] * dist
-                             + attenuation[..., 0] * dist * dist)
+    att = jnp.sign(NdotL) / jnp.maximum(
+        attenuation[..., 2] + attenuation[..., 1] * dist
+        + attenuation[..., 0] * dist * dist, 1e-9)
     dr = dist / jnp.maximum(attenuation[..., 3], 1e-6)
     dr2 = dr * dr
     falloff = saturate(1.0 - dr2 * dr2)

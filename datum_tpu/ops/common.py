@@ -79,6 +79,8 @@ class FrameConfig:
     # render/texturepool.py); mip_half samples at half resolution
     texture_filter: str = "nearest"
     matmap_max_size: int = 256       # material-map entry resolution cap
+    use_shade_kernel: bool = True    # deferred-shade Pallas megakernel
+                                     # (requires use_pallas + mip filter)
     enable_skinning: bool = False    # dual-quat skinned vertex path
     enable_foliage: bool = False     # per-draw wind bend vertex modifier
     max_palettes: int = 16
@@ -102,7 +104,9 @@ class FrameConfig:
     # shapes are compiled; the reference likewise rebuilds its context
     # when it changes (renderer.cpp:5621).
     ssao_scale: float = 0.5
-    enable_ssr: bool = False         # half-res SSR march (gather-heavy)
+    enable_ssr: bool = False         # screen-space reflections
+    ssr_mode: str = "binned"         # 'binned' quarter-res gather-free
+                                     # march (ops/ssr2.py) or 'dda'
     enable_bloom: bool = True        # dense conv chain - cheap
     enable_fog: bool = False
     fog_depth_range: float = FOG_DEPTH_RANGE

@@ -42,25 +42,31 @@ def build_fog_volume(sceneset, *, proj, invview, shadow=None, normalquery=None,
     rx = inv00 * xs[None, None, :]
     ry = inv11 * ys[None, :, None]
     dist = ds[:, None, None]
-    viewpos = jnp.stack([
-        jnp.broadcast_to(rx * dist, (fog_d, fog_h, fog_w)),
-        jnp.broadcast_to(ry * dist, (fog_d, fog_h, fog_w)),
-        jnp.broadcast_to(-dist, (fog_d, fog_h, fog_w)),
-    ], -1)
-    worldpos = viewpos @ invview[:3, :3].T + invview[:3, 3]
+    shape3 = (fog_d, fog_h, fog_w)
+    # SoA world transform: (D,H,W,3) @ matrix puts 3 on the lane axis
+    vx = jnp.broadcast_to(rx * dist, shape3)
+    vy = jnp.broadcast_to(ry * dist, shape3)
+    vz = jnp.broadcast_to(-dist, shape3)
+    iv = invview
+    wx = iv[0, 0] * vx + iv[0, 1] * vy + iv[0, 2] * vz + iv[0, 3]
+    wy = iv[1, 0] * vx + iv[1, 1] * vy + iv[1, 2] * vz + iv[1, 3]
+    wz = iv[2, 0] * vx + iv[2, 1] * vy + iv[2, 2] * vz + iv[2, 3]
+    worldpos = jnp.stack([wx, wy, wz], -1)
 
     # height-fog density (exponential falloff above base_height)
     sigma = (fogdensity[3]
-             * jnp.exp(-jnp.maximum(worldpos[..., 1] - base_height, 0.0)
+             * jnp.exp(-jnp.maximum(wy - base_height, 0.0)
                        * height_falloff))
     sigma_rgb = fogdensity[:3] * sigma[..., None]
 
     # main-light in-scatter, shadowed when an ESM is available
+    # (single-gather arithmetic-cascade lookup: the per-slice version
+    # costs 4x the gathers over ~1M froxels)
     sun = ml["intensity"]
     if shadow is not None:
-        from .shadow import shadow_factor_esm
+        from .shadow import shadow_factor_esm_fast
         esm, zmx, zsc = shadow
-        sf = shadow_factor_esm(
+        sf = shadow_factor_esm_fast(
             worldpos.reshape(-1, 3), esm, zmx, zsc,
             ml["splits"], ml["shadowview"],
             jnp.broadcast_to(dist, (fog_d, fog_h, fog_w)).reshape(-1))
@@ -79,30 +85,58 @@ def build_fog_volume(sceneset, *, proj, invview, shadow=None, normalquery=None,
 
 
 def apply_fog(hdr, depth, fogvol, proj, *, depth_range=FOG_DEPTH_RANGE,
-              exponent=FOG_DEPTH_EXPONENT):
-    """Blend the fog volume over the HDR image (dense slice blending).
+              exponent=FOG_DEPTH_EXPONENT, sample_scale=4):
+    """Blend the fog volume over the HDR image.
 
     color' = color * transmittance + inscatter, slice chosen per pixel
     from view depth (reference: lighting.comp fog apply + global_fog).
-    """
-    h, w = depth.shape
-    fog_d = fogvol.shape[0]
-    dist = proj[2, 3] / (depth + proj[2, 2])
-    slice_f = jnp.power(jnp.clip(dist / depth_range, 0.0, 1.0), 1.0 / exponent) * fog_d - 0.5
-    k0 = jnp.clip(jnp.floor(slice_f), 0, fog_d - 1)
-    frac = jnp.clip(slice_f - k0, 0.0, 1.0)
 
-    # upsample each slice to screen res once (dense resize, no gathers),
-    # blend via per-pixel slice masks
+    Sampled at 1/sample_scale res with TWO flat row-gathers per pixel
+    (quad-packed xy rows make each tap xy-bilinear; the z pair is
+    lerped), then densely upsampled — the per-slice dense-resize
+    formulation cost ~200 ms/frame at 1080p.
+    """
     import jax
 
-    out0 = jnp.zeros((h, w, 4), jnp.float32)
-    out1 = jnp.zeros((h, w, 4), jnp.float32)
-    for k in range(fog_d):
-        up = jax.image.resize(fogvol[k], (h, w, 4), method="linear")
-        out0 = out0 + up * (k0 == k)[..., None]
-        out1 = out1 + up * (jnp.minimum(k0 + 1, fog_d - 1) == k)[..., None]
-    fog = out0 + (out1 - out0) * frac[..., None]
+    from .blur import downsample_pool, resize_up_dense
+    from .sampling import quad_pack
+
+    h, w = depth.shape
+    fog_d, fog_h, fog_w, _ = fogvol.shape
+    q = sample_scale
+    while q > 1 and (h % q or w % q):
+        q //= 2
+
+    qtab = jax.vmap(quad_pack)(fogvol).reshape(-1, 16)   # (D*H*W, 16)
+
+    dq = downsample_pool(depth, q, reduce="first")
+    hq, wq = dq.shape
+    dist = proj[2, 3] / jnp.maximum(dq + proj[2, 2], 1e-7)
+    slice_f = (jnp.power(jnp.clip(dist / depth_range, 0.0, 1.0),
+                         1.0 / exponent) * fog_d - 0.5)
+    k0 = jnp.clip(jnp.floor(slice_f), 0, fog_d - 1).astype(jnp.int32)
+    k1 = jnp.minimum(k0 + 1, fog_d - 1)
+    fz = jnp.clip(slice_f - k0, 0.0, 1.0)[..., None]
+
+    xf = (jnp.arange(wq, dtype=jnp.float32) + 0.5) / wq * fog_w - 0.5
+    yf = (jnp.arange(hq, dtype=jnp.float32) + 0.5) / hq * fog_h - 0.5
+    x0 = jnp.clip(jnp.floor(xf), 0, fog_w - 1).astype(jnp.int32)[None, :]
+    y0 = jnp.clip(jnp.floor(yf), 0, fog_h - 1).astype(jnp.int32)[:, None]
+    fx = jnp.clip(xf - jnp.floor(xf), 0.0, 1.0)[None, :, None]
+    fy = jnp.clip(yf - jnp.floor(yf), 0.0, 1.0)[:, None, None]
+    cell = y0 * fog_w + x0                               # (hq, wq)
+
+    def tap(k):
+        rows = qtab[k * (fog_h * fog_w) + cell]          # (hq, wq, 16)
+        t00, t01 = rows[..., 0:4], rows[..., 4:8]
+        t10, t11 = rows[..., 8:12], rows[..., 12:16]
+        top = t00 + (t01 - t00) * fx
+        bot = t10 + (t11 - t10) * fx
+        return top + (bot - top) * fy
+
+    fog_q = tap(k0)
+    fog_q = fog_q + (tap(k1) - fog_q) * fz
+    fog = resize_up_dense(fog_q, h, w) if q > 1 else fog_q
     return hdr * fog[..., 3:4] + fog[..., :3]
 
 

@@ -241,44 +241,70 @@ def shade_deferred(gbuffer, depth, sceneset, *, proj, invview,
         diffuse = diffuse + d
         specular = specular + s
     elif nlights > 0:
-        def body(i, accum):
-            dif, spec = accum
-            d_i, s_i = brdf.point_light(worldpos, normal, eyevec, material,
-                                        pl["position"][i], pl["intensity"][i],
-                                        pl["attenuation"][i])
-            on = (i < count).astype(jnp.float32)
-            return (dif + on * d_i, spec + on * s_i)
+        # chunked loop: evaluate K lights per trip so the two full-res
+        # accumulators round-trip HBM once per chunk, not once per light
+        # (the per-light fori measured ~3.4 ms for 8 lights on v5e,
+        # trace while.38) — one trip total for scenes with <= K lights
+        K = 8
 
-        diffuse, specular = jax.lax.fori_loop(0, jnp.minimum(count, nlights),
-                                              body, (diffuse, specular))
+        def body(c, accum):
+            dif, spec = accum
+            for j in range(K):
+                i = c * K + j
+                ic = jnp.minimum(i, nlights - 1)
+                d_i, s_i = brdf.point_light(
+                    worldpos, normal, eyevec, material,
+                    pl["position"][ic], pl["intensity"][ic],
+                    pl["attenuation"][ic])
+                on = (i < count).astype(jnp.float32)
+                dif = dif + on * d_i
+                spec = spec + on * s_i
+            return (dif, spec)
+
+        nchunks = (jnp.minimum(count, nlights) + K - 1) // K
+        diffuse, specular = jax.lax.fori_loop(0, nchunks, body,
+                                              (diffuse, specular))
 
     # spot lights (shadowed for the first max_spot_shadows slots)
     sl = sceneset.get("spotlights")
     if sl is not None and sl["position"].shape[0] > 0:
         n_maps = spotmaps.shape[0] if spotmaps is not None else 0
-
-        def sbody(i, accum):
-            dif, spec = accum
-            if n_maps > 0:
-                from .shadow import spot_shadow_factor
-                shadow = jax.lax.cond(
-                    i < n_maps,
-                    lambda: spot_shadow_factor(
-                        worldpos, spotmaps[jnp.minimum(i, n_maps - 1)],
-                        sl["shadowview"][i]),
-                    lambda: jnp.ones((h, w), jnp.float32))
-            else:
-                shadow = jnp.ones((h, w), jnp.float32)
+        ns = sl["position"].shape[0]
+        scount = sl["count"]
+        # shadowed slots are static config (max_spot_shadows): unroll
+        from .shadow import spot_shadow_factor
+        for i in range(n_maps):
+            shadow = spot_shadow_factor(worldpos, spotmaps[i],
+                                        sl["shadowview"][i])
             d_i, s_i = brdf.spot_light(worldpos, normal, eyevec, material,
                                        sl["position"][i], sl["intensity"][i],
                                        sl["attenuation"][i], sl["direction"][i],
                                        sl["cutoff"][i], shadow)
-            on = (i < sl["count"]).astype(jnp.float32)
-            return (dif + on * d_i, spec + on * s_i)
+            on = (i < scount).astype(jnp.float32)
+            diffuse = diffuse + on * d_i
+            specular = specular + on * s_i
+        # unshadowed remainder: chunked like the point lights
+        K = 4
 
-        diffuse, specular = jax.lax.fori_loop(
-            0, jnp.minimum(sl["count"], sl["position"].shape[0]), sbody,
-            (diffuse, specular))
+        def sbody(c, accum):
+            dif, spec = accum
+            for j in range(K):
+                i = n_maps + c * K + j
+                ic = jnp.minimum(i, ns - 1)
+                d_i, s_i = brdf.spot_light(
+                    worldpos, normal, eyevec, material,
+                    sl["position"][ic], sl["intensity"][ic],
+                    sl["attenuation"][ic], sl["direction"][ic],
+                    sl["cutoff"][ic], jnp.float32(1.0))
+                on = (i < scount).astype(jnp.float32)
+                dif = dif + on * d_i
+                spec = spec + on * s_i
+            return (dif, spec)
+
+        nchunks = (jnp.maximum(jnp.minimum(scount, ns) - n_maps, 0)
+                   + K - 1) // K
+        diffuse, specular = jax.lax.fori_loop(0, nchunks, sbody,
+                                              (diffuse, specular))
 
     emissive_term = material["emissive"][..., None] * material["diffuse"]
     color = (material["diffuse"] * diffuse + specular + emissive_term)

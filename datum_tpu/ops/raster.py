@@ -265,7 +265,15 @@ def bin_triangles(setup, n_tris, tiles_x, tiles_y, bin_capacity, big_capacity,
         (k >> shift).astype(jnp.int32) == jnp.arange(n_tiles, dtype=jnp.int32)[:, None],
         (k & ((1 << tri_bits) - 1)).astype(jnp.int32), -1)
 
-    big_ids = jnp.nonzero(setup["big"], size=big_capacity, fill_value=-1)[0].astype(jnp.int32)
+    # compact big-triangle ids via cumsum + scatter: jnp.nonzero(size=K)
+    # lowers to a ~1.1 ms fusion at T=131k on v5e (trace fusion.45);
+    # positions are unique so the scatter is conflict-free, overflow
+    # positions fall outside the buffer and drop
+    bigm = setup["big"]
+    pos = jnp.where(bigm, jnp.cumsum(bigm.astype(jnp.int32)) - 1, big_capacity)
+    big_ids = (jnp.full((big_capacity + 1,), -1, jnp.int32)
+               .at[pos].set(jnp.arange(T, dtype=jnp.int32), mode="drop")
+               [:big_capacity])
     if return_overflow:
         # dropped (tile, tri) pairs: bins saturate in draw order, so a
         # nonzero overflow means later draws lost coverage in hot tiles

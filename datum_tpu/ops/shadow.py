@@ -195,6 +195,75 @@ def shadow_factor_esm(worldpos, esm, zmax, zscale, splits, shadowview, view_dist
     return factor
 
 
+def sun_shadow_factor_quarter(depth, nrm_planes, shadowmaps, sceneset, *,
+                              proj, invview, scale=4):
+    """Quarter-res sun ESM factor straight from the depth plane.
+
+    Feeds the deferred-shade megakernel (ops/shade_pallas.py), which
+    upsamples it in-kernel — no full-res worldpos is ever materialized.
+    """
+    from .blur import downsample_pool
+    from .lighting_pass import reconstruct_positions
+
+    esm, zmx, zsc = shadowmaps
+    dq = downsample_pool(depth, scale, reduce="first")
+    h4, w4 = dq.shape
+    viewpos, wpos = reconstruct_positions(dq, proj, invview, w4, h4)
+    nrm = jnp.stack([downsample_pool(nrm_planes[0], scale, reduce="first"),
+                     downsample_pool(nrm_planes[1], scale, reduce="first"),
+                     downsample_pool(nrm_planes[2], scale, reduce="first")],
+                    axis=-1)
+    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-6)
+    ml = sceneset["mainlight"]
+    return shadow_factor_esm_fast(wpos, esm, zmx, zsc, ml["splits"],
+                                  ml["shadowview"], -viewpos[..., 2],
+                                  normal=nrm)
+
+
+SPOT_ESM_C = 30.0
+
+
+def build_spot_esm(spotmaps, blur_sigma=1.0):
+    """Exponential transform + blur of spot depth maps.
+
+    factor = clamp(E[exp(-c*occ)] * exp(c*ref)): a receiver further from
+    the light than the stored occluder (ref < occ in reverse-Z) goes
+    dark; empty texels (occ = 0) read lit.  Soft edges come from the
+    light-space blur (the reference spot path is PCF-soft).
+    """
+    from .blur import shifted_gaussian_blur
+
+    e = jnp.exp(-SPOT_ESM_C * jnp.clip(spotmaps, 0.0, 1.0))
+    return jnp.stack([shifted_gaussian_blur(e[i], blur_sigma, radius=2)
+                      for i in range(e.shape[0])])
+
+
+def spot_factor_quarter(depth, spot_esm, shadowview, *, proj, invview,
+                        scale=4):
+    """Quarter-res shadow factor for ONE spot light from its ESM map."""
+    from .blur import downsample_pool
+    from .lighting_pass import reconstruct_positions
+
+    res = spot_esm.shape[0]
+    dq = downsample_pool(depth, scale, reduce="first")
+    h4, w4 = dq.shape
+    _, wpos = reconstruct_positions(dq, proj, invview, w4, h4)
+    hp = wpos @ shadowview[:3, :3].T + shadowview[:3, 3]
+    ww = wpos @ shadowview[3, :3] + shadowview[3, 3]
+    ws = jnp.where(jnp.abs(ww) < 1e-8, 1e-8, ww)
+    u = hp[..., 0] / ws * 0.5 + 0.5
+    v = hp[..., 1] / ws * 0.5 + 0.5
+    ref = hp[..., 2] / ws
+    inside = (u > 0) & (u < 1) & (v > 0) & (v < 1) & (ref > 0) & (ref < 1) \
+        & (ww > 0)
+    xi = jnp.clip((u * res).astype(jnp.int32), 0, res - 1)
+    yi = jnp.clip((v * res).astype(jnp.int32), 0, res - 1)
+    tap = spot_esm.reshape(-1)[yi * res + xi]
+    lit = jnp.clip(tap * jnp.exp(jnp.clip(SPOT_ESM_C * ref, 0.0, 30.0)),
+                   0.0, 1.0)
+    return jnp.where(inside, lit, 1.0)
+
+
 def render_spot_maps(world_pos, tris, spotview, n_maps, *, res=256,
                      bin_capacity=128, big_capacity=32, use_pallas=False):
     """Depth maps for the first n_maps spot lights (reference:
@@ -306,14 +375,10 @@ def shadow_factor_esm_fast(worldpos, esm, zmax, zscale, splits, shadowview,
     for s in range(nslices - 1):
         s_sel = s_sel + (view_dist > splits[s] * 1.05).astype(jnp.int32)
 
-    # select per-pixel matrix rows (4 rows x 4) via where-chain
-    rows = shadowview[0]
-    rows = jnp.broadcast_to(rows, view_dist.shape + (4, 4))
-    m_sel = rows
-    for s in range(1, nslices):
-        m_sel = jnp.where((s_sel == s)[..., None, None], shadowview[s], m_sel)
     # per-slice scalars via where-chains, not gathers — gather cost is
-    # per-lookup regardless of table size, selects are free
+    # per-lookup regardless of table size, selects are free.  Matrix
+    # COEFFICIENTS select individually too: broadcasting (N, 4, 4)
+    # matrices puts 4 on the lane axis (124/128 lanes idle)
     xnorm = jnp.linalg.norm(shadowview[:, 0, :3], axis=-1)
     znorm = jnp.linalg.norm(shadowview[:, 2, :3], axis=-1)
 
@@ -323,6 +388,7 @@ def shadow_factor_esm_fast(worldpos, esm, zmax, zscale, splits, shadowview,
             out = jnp.where(s_sel == s, table[s], out)
         return out
 
+    m = [[sel(shadowview[:, r_, c_]) for c_ in range(4)] for r_ in range(3)]
     zmax_sel = sel(zmax)
     zscale_sel = sel(zscale)
     xnorm_sel = sel(xnorm)
@@ -330,10 +396,12 @@ def shadow_factor_esm_fast(worldpos, esm, zmax, zscale, splits, shadowview,
     wtexel = 2.0 / (res * xnorm_sel)
     pos = worldpos if normal is None else worldpos + normal * (1.5 * wtexel)[..., None]
 
-    clip = jnp.einsum("...ij,...j->...i", m_sel[..., :3, :3], pos) + m_sel[..., :3, 3]
-    u = clip[..., 0] * 0.5 + 0.5
-    v = clip[..., 1] * 0.5 + 0.5
-    ref = clip[..., 2]
+    px, py, pz = pos[..., 0], pos[..., 1], pos[..., 2]
+    cx = m[0][0] * px + m[0][1] * py + m[0][2] * pz + m[0][3]
+    cy = m[1][0] * px + m[1][1] * py + m[1][2] * pz + m[1][3]
+    ref = m[2][0] * px + m[2][1] * py + m[2][2] * pz + m[2][3]
+    u = cx * 0.5 + 0.5
+    v = cy * 0.5 + 0.5
     inside = (u > 0.01) & (u < 0.99) & (v > 0.01) & (v < 0.99) \
         & (ref > 0) & (ref < 1)
     xi = jnp.clip((u * res).astype(jnp.int32), 0, res - 1)

@@ -370,6 +370,18 @@ class RenderContext:
                                  base=jnp.asarray(base_full),
                                  size=jnp.asarray(size_full))
 
+    def expand_host(self, draws):
+        """Attach host-precomputed draw-expansion indices (numpy) so the
+        jitted frame skips its on-device index build (frame.py
+        expand_draws_host)."""
+        from .frame import expand_draws_host
+
+        draws.update(expand_draws_host(self.pool, draws["mesh"],
+                                       draws["count"],
+                                       self.config.max_vertices,
+                                       self.config.max_triangles))
+        return draws
+
     # --- frame ------------------------------------------------------------
     def render(self, camera, renderlist, params, sceneset=None):
         """Render one frame; returns a numpy uint8 (H, W, 3) image."""
@@ -385,6 +397,7 @@ class RenderContext:
             self.config.max_instances, self.default_material,
             max_palettes=self.config.max_palettes if self.config.enable_skinning else 0,
             max_bones=self.config.max_bones)
+        self.expand_host(draws)
         if self.config.max_particle_quads > 0:
             draws["forward"] = renderlist.forward_arrays(
                 self.config.max_particle_quads, camera)

@@ -28,6 +28,66 @@ from ..ops.geometry import transform_vertices_rigid
 from ..ops.common import FrameConfig
 
 
+def expand_draws_host(pool, draw_mesh, draw_count, max_v, max_t):
+    """Host-side (numpy) draw expansion — same contract as expand_draws.
+
+    The expansion indices depend only on the draw list topology (mesh
+    ids + counts), not on any per-frame device data, so computing them
+    on the CPU while the previous frame renders removes ~3.5 ms of
+    scalar-unit index fusions from the device graph (the reference
+    likewise builds its draw streams on the CPU render thread).
+    """
+    import numpy as np
+
+    draw_mesh = np.asarray(draw_mesh)
+    D = draw_mesh.shape[0]
+    n = int(draw_count)
+    dv = np.zeros(D, np.int64)
+    dt = np.zeros(D, np.int64)
+    dv[:n] = pool.mesh_vtx_count[draw_mesh[:n]]
+    dt[:n] = pool.mesh_tri_count[draw_mesh[:n]]
+    cv = np.cumsum(dv)
+    ct = np.cumsum(dt)
+    total_v = int(min(cv[-1], max_v))
+    total_t = int(min(ct[-1], max_t))
+
+    vtx_draw = np.full(max_v, D - 1, np.int32)
+    vd = np.repeat(np.arange(D, dtype=np.int32), dv)[:total_v]
+    vtx_draw[:total_v] = vd
+    av = np.arange(max_v, dtype=np.int64)
+    local_v = av[:total_v] - (cv - dv)[vd]
+    src_v = np.zeros(max_v, np.int32)
+    src_v[:total_v] = pool.mesh_vtx_offset[draw_mesh[vd]] + local_v
+    v_valid = av < total_v
+
+    tri_draw = np.full(max_t, D - 1, np.int32)
+    td = np.repeat(np.arange(D, dtype=np.int32), dt)[:total_t]
+    tri_draw[:total_t] = td
+    at = np.arange(max_t, dtype=np.int64)
+    local_t = at[:total_t] - (ct - dt)[td]
+    src_t = pool.mesh_tri_offset[draw_mesh[td]] + local_t
+    t_valid = at < total_t
+
+    tris = np.zeros((max_t, 3), np.int32)
+    startv = (cv - dv)[td].astype(np.int64)
+    tris[:total_t] = (pool.triangles[src_t] + startv[:, None]
+                      - pool.mesh_vtx_offset[draw_mesh[td]][:, None])
+
+    return dict(src_v=src_v, vtx_draw=vtx_draw, v_valid=v_valid,
+                tris=tris, tri_draw=tri_draw, t_valid=t_valid)
+
+
+def _bucketize(cum, n, dtype=jnp.int32):
+    """searchsorted(cum, arange(n), side='right') as a dense compare-sum.
+
+    XLA lowers searchsorted to a serial while-loop that measured ~4.8 ms
+    per call at n=32k on v5e (trace: while.50/51 + their body fusions);
+    the (n, D) broadcast-compare reduction is ~0.1 ms for D<=256.
+    """
+    a = jnp.arange(n, dtype=dtype)
+    return jnp.sum((a[:, None] >= cum[None, :]).astype(dtype), axis=1)
+
+
 def expand_draws(geom, draw_mesh, draw_count, max_v, max_t):
     """Expand the draw list into vertex/triangle streams (static shapes)."""
     D = draw_mesh.shape[0]
@@ -40,14 +100,14 @@ def expand_draws(geom, draw_mesh, draw_count, max_v, max_t):
     startt = ct - dt
 
     av = jnp.arange(max_v, dtype=jnp.int32)
-    vtx_draw = jnp.clip(jnp.searchsorted(cv, av, side="right"), 0, D - 1).astype(jnp.int32)
+    vtx_draw = jnp.clip(_bucketize(cv, max_v), 0, D - 1)
     local_v = av - startv[vtx_draw]
     v_valid = av < cv[-1]
     src_v = jnp.where(v_valid,
                       geom["mesh_vtx_offset"][draw_mesh[vtx_draw]] + local_v, 0)
 
     at = jnp.arange(max_t, dtype=jnp.int32)
-    tri_draw = jnp.clip(jnp.searchsorted(ct, at, side="right"), 0, D - 1).astype(jnp.int32)
+    tri_draw = jnp.clip(_bucketize(ct, max_t), 0, D - 1)
     local_t = at - startt[tri_draw]
     t_valid = at < ct[-1]
     src_t = jnp.where(t_valid,
@@ -61,6 +121,179 @@ def expand_draws(geom, draw_mesh, draw_count, max_v, max_t):
 
     return dict(src_v=src_v, vtx_draw=vtx_draw, v_valid=v_valid,
                 tris=tris, tri_draw=tri_draw, t_valid=t_valid)
+
+
+def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
+                       worldp, ex, w, h):
+    """Assemble full-res gbuffer/env planes and launch the deferred-
+    shade megakernel (ops/shade_pallas.py).  Returns (hdr, mask,
+    gbuffer-or-None)."""
+    from ..ops import brdf
+    from ..ops.blur import downsample_pool, resize_up_dense
+    from ..ops.lighting_pass import reconstruct_positions
+    from ..ops.sampling import sample_cubemap_lod_quad
+    from ..ops.shade import sample_matmaps
+    from ..ops.shade_pallas import shade_deferred_pallas
+    from ..ops.shadow import (build_spot_esm, render_spot_maps,
+                              spot_factor_quarter, sun_shadow_factor_quarter)
+
+    depth = planes["depth"]
+    mask = planes["visf"] >= 0.0
+    proj, invview = sceneset["proj"], sceneset["invview"]
+
+    # ---- half-res material taps + environment fields
+    p = 2
+    uv_h = jnp.stack([downsample_pool(planes["u"], p),
+                      downsample_pool(planes["v"], p)], -1)
+    base_h = jnp.round(downsample_pool(planes["mbase"], p,
+                                       reduce="first")).astype(jnp.int32)
+    size_h = jnp.round(downsample_pool(planes["msize"], p,
+                                       reduce="first")).astype(jnp.int32)
+    alb_h, srf_h, nmap_h = sample_matmaps(device["matmaps"]["table"],
+                                          base_h, size_h, uv_h, pool=p)
+
+    if ibl is not None:
+        mk = mask.astype(jnp.float32)
+        mk_h = jnp.maximum(downsample_pool(mk[..., None], p), 1e-6)
+        nrm_h3 = jnp.stack([downsample_pool(planes["nx"] * mk, p),
+                            downsample_pool(planes["ny"] * mk, p),
+                            downsample_pool(planes["nz"] * mk, p)], -1) / mk_h
+        nrm_h = brdf.normalize(nrm_h3)
+        d_h = downsample_pool(depth, p, reduce="first")
+        vp_h, wp_h = reconstruct_positions(d_h, proj, invview,
+                                           w // p, h // p)
+        eye_h = brdf.normalize(invview[:3, 3] - wp_h)
+        rough_h = (downsample_pool(planes["rgh"] * mk, p) / mk_h[..., 0]
+                   * srf_h[..., 3])
+        r_h = (2.0 * jnp.sum(nrm_h * eye_h, -1, keepdims=True) * nrm_h
+               - eye_h)
+        sdir_h = brdf.specular_dominant_direction(nrm_h, r_h, rough_h)
+        mips_n = len(ibl["mips"])
+        spec_h = sample_cubemap_lod_quad(ibl["flatq"], brdf.normalize(sdir_h),
+                                         rough_h * (mips_n - 1))[..., :3]
+        # envBRDF at quarter res: the split-sum integral field is smooth
+        # in (roughness, NdotV), so halve the lookups again
+        lut = ibl["envbrdf"]
+        s_ = lut.shape[0]
+        ndv_h = jnp.clip(jnp.sum(nrm_h * eye_h, -1), 0.0, 1.0)
+        rough_q = downsample_pool(rough_h, 2)
+        ndv_q = downsample_pool(ndv_h, 2)
+        bi = jnp.clip((rough_q * s_).astype(jnp.int32), 0, s_ - 1)
+        bj = jnp.clip((ndv_q * s_).astype(jnp.int32), 0, s_ - 1)
+        eb_h = resize_up_dense(lut.reshape(-1, lut.shape[-1])[bi * s_ + bj],
+                               h // p, w // p)
+    else:
+        # no environment: zero specular env; the constant-ambient
+        # fallback (amb * 0.2, matching shade_deferred) rides the SH DC
+        # coefficient with eb2 = 1
+        h2, w2 = h // p, w // p
+        spec_h = jnp.zeros((h2, w2, 3), jnp.float32)
+        eb_h = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+                                (h2, w2, 3))
+
+    # 15 half-res channels -> channel-first (one relayout) -> per-plane
+    # dense 2x upsample (lane interleaves are impossible inside Mosaic)
+    half = jnp.concatenate([
+        alb_h[..., :3],
+        srf_h[..., 0:2], srf_h[..., 3:4],
+        nmap_h[..., :3],
+        spec_h, eb_h,
+    ], axis=-1)                                        # (H/2, W/2, 15)
+    half = jnp.transpose(half, (2, 0, 1))              # channel-first
+    up = [resize_up_dense(half[k], h, w) for k in range(15)]
+    (alb_r, alb_g, alb_b, surf_m, surf_r, surf_rough,
+     nm_x, nm_y, nm_z, es_r, es_g, es_b, eb0, eb1, eb2) = up
+
+    # ---- full-res material derivation (gbuffer encode, elementwise)
+    metal = planes["met"] * surf_m
+    refl = planes["rfl"] * surf_r
+    rough = planes["rgh"] * surf_rough
+    albc = (alb_r * planes["cr"], alb_g * planes["cg"], alb_b * planes["cb"])
+    one_m = 1.0 - metal
+    s0 = 0.16 * refl * refl
+    gpl = dict(
+        depth=depth, visf=planes["visf"], em=planes["em"], rgh=rough,
+        dr=albc[0] * one_m, dg=albc[1] * one_m, db=albc[2] * one_m,
+        sr=s0 + (albc[0] - s0) * metal,
+        sg=s0 + (albc[1] - s0) * metal,
+        sb=s0 + (albc[2] - s0) * metal,
+        esr=es_r, esg=es_g, esb=es_b, eb0=eb0, eb1=eb1, eb2=eb2,
+    )
+    # TBN normal mapping (reference: geometry.frag)
+    nrm = brdf.normalize(jnp.stack([planes["nx"], planes["ny"],
+                                    planes["nz"]], -1))
+    tan = jnp.stack([planes["tanx"], planes["tany"], planes["tanz"]], -1)
+    tgt = brdf.normalize(tan - nrm * jnp.sum(tan * nrm, -1, keepdims=True))
+    btg = jnp.cross(nrm, tgt) * planes["tanw"][..., None]
+    sn = brdf.normalize(tgt * nm_x[..., None] * 2.0
+                        + btg * nm_y[..., None] * 2.0
+                        + nrm * nm_z[..., None] * 2.0
+                        - (tgt + btg + nrm))
+    gpl["nx"], gpl["ny"], gpl["nz"] = sn[..., 0], sn[..., 1], sn[..., 2]
+
+    # ---- sun shadow factor (quarter-res ESM, upsampled)
+    if cfg.enable_shadows and shadowmaps is not None:
+        sfq = sun_shadow_factor_quarter(
+            depth, (planes["nx"], planes["ny"], planes["nz"]), shadowmaps,
+            sceneset, proj=proj, invview=invview)
+        gpl["sf"] = resize_up_dense(sfq, h, w)
+    else:
+        gpl["sf"] = jnp.ones((h, w), jnp.float32)
+
+    # ---- optional SSAO feeding the kernel's ambient term
+    ao_img = None
+    if cfg.enable_ssao and cfg.ssao_scale > 0:
+        from ..ops.ssao import hbao, make_hbao_params
+        dec = max(int(round(1.0 / cfg.ssao_scale)), 1)
+        dd = downsample_pool(depth, dec, reduce="first")
+        nn = jnp.stack([downsample_pool(planes["nx"], dec, reduce="first"),
+                        downsample_pool(planes["ny"], dec, reduce="first"),
+                        downsample_pool(planes["nz"], dec, reduce="first")],
+                       -1)
+        nn = brdf.normalize(nn) * 0.5 + 0.5
+        ao = hbao(dd, nn, proj, sceneset["view"], params=make_hbao_params())
+        strength = sceneset["camera"].get("ssaostrength", jnp.float32(1.0))
+        ao_img = 1.0 + (resize_up_dense(ao[..., 0], h, w) - 1.0) * strength
+
+    # ---- spot shadow factors (quarter res, ESM-softened)
+    spotsf = None
+    if cfg.max_spot_shadows > 0:
+        spotmaps = render_spot_maps(
+            worldp, ex["tris"], sceneset["spotlights"]["shadowview"],
+            cfg.max_spot_shadows, res=cfg.spot_shadow_res,
+            bin_capacity=cfg.shadow_bin_capacity,
+            big_capacity=cfg.big_capacity, use_pallas=True)
+        sesm = build_spot_esm(spotmaps)
+        spotsf = jnp.stack([
+            resize_up_dense(
+                spot_factor_quarter(depth, sesm[i],
+                                    sceneset["spotlights"]["shadowview"][i],
+                                    proj=proj, invview=invview), h, w)
+            for i in range(cfg.max_spot_shadows)])
+
+    ss2 = dict(sceneset)
+    if ibl is not None:
+        ss2["_sh"] = ibl["sh"]
+    else:
+        # DC-only SH reproducing the constant-ambient fallback:
+        # basis0 * c0 / pi = 0.2  =>  c0 = 0.2 * pi / 0.886227
+        sh0 = jnp.zeros((9, 3), jnp.float32).at[0, :].set(0.70898)
+        ss2["_sh"] = sh0
+    hdr = shade_deferred_pallas(gpl, ss2, proj=proj, invview=invview,
+                                ao=ao_img, spotsf=spotsf)
+
+    gbuffer = None
+    if cfg.enable_ssr:
+        # minimal gbuffer for the SSR pass
+        gbuffer = dict(
+            normal=jnp.concatenate([sn * 0.5 + 0.5,
+                                    jnp.zeros_like(depth)[..., None]], -1),
+            specular=jnp.stack([gpl["sr"], gpl["sg"], gpl["sb"], rough], -1),
+            diffuse=jnp.stack([gpl["dr"], gpl["dg"], gpl["db"],
+                               planes["em"]], -1),
+            mask=mask,
+        )
+    return hdr, mask, gbuffer
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -92,8 +325,13 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
                 geom["texcoords"], jnp.where(mask, dyn["texcoords"], cur_t),
                 (dyn["offset"], 0))
 
-    ex = expand_draws(geom, draws["mesh"], draws["count"],
-                      cfg.max_vertices, cfg.max_triangles)
+    if "src_v" in draws:        # host-precomputed expansion (see
+        ex = dict(src_v=draws["src_v"], vtx_draw=draws["vtx_draw"],
+                  v_valid=draws["v_valid"], tris=draws["tris"],
+                  tri_draw=draws["tri_draw"], t_valid=draws["t_valid"])
+    else:                       # expand_draws_host) or on-device fallback
+        ex = expand_draws(geom, draws["mesh"], draws["count"],
+                          cfg.max_vertices, cfg.max_triangles)
 
     positions = geom["positions"][ex["src_v"]]
     uv = geom["texcoords"][ex["src_v"]]
@@ -168,7 +406,31 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
         max_span=cfg.bin_max_span, return_overflow=True, depth_prio=prio)
     fused_mip = (cfg.use_pallas and cfg.texture_filter.startswith("mip")
                  and cfg.raster_kernel != "mxu")
-    if cfg.use_pallas and (not cfg.enable_material_maps or fused_mip):
+    ibl = device.get("ibl")
+    # deferred-shade megakernel: material resolve + full lighting in ONE
+    # tile-resident kernel (ops/shade_pallas.py) — requires the plane
+    # raster, the quad/SH env path, ESM shadows, and no gbuffer-mutating
+    # passes (decals) or cluster lists (dense in-kernel loop instead)
+    use_shade_kernel = (
+        cfg.use_shade_kernel
+        and fused_mip and not cfg.use_light_clusters
+        and cfg.max_decals_active == 0
+        and (ibl is None or ("sh" in ibl and "flatq" in ibl
+                             and ibl.get("envprobes") is None))
+        and (not cfg.enable_shadows or cfg.shadow_mode == "esm"))
+    if use_shade_kernel:
+        from ..ops.raster_pallas import raster_shade_pallas
+        tri_mat = draws["material"][ex["tri_draw"]]
+        planes = raster_shade_pallas(
+            setup, bins, big_ids, counts, ex["tris"], uv, wnormal, tri_mat,
+            device["materials"], tx, ty, w, h, tangent=wtangent,
+            matmaps=device["matmaps"], planes_2d=True)
+        depth = planes["depth"]
+        vis = jnp.round(planes["visf"]).astype(jnp.int32)
+        hdr, mask, gbuffer = _shade_with_kernel(
+            cfg, planes, device, sceneset, draws, ibl, shadowmaps,
+            worldp, ex, w, h)
+    elif cfg.use_pallas and (not cfg.enable_material_maps or fused_mip):
         # fused raster + attribute/material interpolation: no per-pixel
         # attribute gathers at all (gather throughput is the TPU wall);
         # the 'mip' filters add tangent + matmap planes so the deferred
@@ -205,59 +467,63 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
             device["textures"], w, h, material_maps=cfg.enable_material_maps,
             lam=lam)
 
-    # deferred lighting
-    ibl = device.get("ibl")
-    cluster = None
-    if cfg.use_light_clusters:
-        from ..ops.cluster import bin_lights
-        pl = sceneset["pointlights"]
-        lists, ccounts = bin_lights(pl["position"], pl["attenuation"][:, 3],
-                                    pl["count"], sceneset["view"],
-                                    sceneset["proj"], tx, ty, w, h,
-                                    cfg.tile_light_capacity)
-        cluster = (lists, ccounts, tx, ty)
-    # deferred decals (reference: lighting.comp:136-164 decal loop)
-    if cfg.max_decals_active > 0:
-        from ..ops.decal import apply_decals
-        from ..ops.lighting_pass import reconstruct_positions
-        _, wpos = reconstruct_positions(depth, sceneset["proj"],
-                                        sceneset["invview"], w, h)
-        gbuffer = apply_decals(gbuffer, wpos, draws["decals"],
-                               textures=device.get("textures"))
+    # deferred lighting (XLA path; the megakernel branch above already
+    # produced hdr)
+    if not use_shade_kernel:
+        mask = gbuffer["mask"]
+        cluster = None
+        if cfg.use_light_clusters:
+            from ..ops.cluster import bin_lights
+            pl = sceneset["pointlights"]
+            lists, ccounts = bin_lights(pl["position"], pl["attenuation"][:, 3],
+                                        pl["count"], sceneset["view"],
+                                        sceneset["proj"], tx, ty, w, h,
+                                        cfg.tile_light_capacity)
+            cluster = (lists, ccounts, tx, ty)
+        # deferred decals (reference: lighting.comp:136-164 decal loop)
+        if cfg.max_decals_active > 0:
+            from ..ops.decal import apply_decals
+            from ..ops.lighting_pass import reconstruct_positions
+            _, wpos = reconstruct_positions(depth, sceneset["proj"],
+                                            sceneset["invview"], w, h)
+            gbuffer = apply_decals(gbuffer, wpos, draws["decals"],
+                                   textures=device.get("textures"))
 
-    # ambient occlusion (reference: hbao.comp) at cfg.ssao_scale of the
-    # fbo resolution (reference: ssaobuffer = fbo*ssaoscale,
-    # renderer.cpp:5841; ssaoscale==0 disables, :6558)
-    ssao_img = None
-    if cfg.enable_ssao and cfg.ssao_scale > 0:
-        from ..ops.ssao import hbao, make_hbao_params
-        dec = max(int(round(1.0 / cfg.ssao_scale)), 1)
-        pr = make_hbao_params()
-        # reshape-pool the inputs (strided reads are slow on TPU)
-        from ..ops.blur import downsample_pool
-        dd = downsample_pool(depth, dec, reduce="first")
-        nn = downsample_pool(gbuffer["normal"][..., :3], dec, reduce="first")
-        ao = hbao(dd, nn, sceneset["proj"], sceneset["view"], params=pr)
-        from ..ops.blur import resize_up_dense
-        # ssaostrength: intensity lerp toward unoccluded (our knob; the
-        # reference has no AO strength dial)
-        strength = sceneset["camera"].get("ssaostrength", jnp.float32(1.0))
-        ssao_img = 1.0 + (resize_up_dense(ao[..., 0], h, w) - 1.0) * strength
+        # ambient occlusion (reference: hbao.comp) at cfg.ssao_scale of
+        # the fbo resolution (reference: ssaobuffer = fbo*ssaoscale,
+        # renderer.cpp:5841; ssaoscale==0 disables, :6558)
+        ssao_img = None
+        if cfg.enable_ssao and cfg.ssao_scale > 0:
+            from ..ops.ssao import hbao, make_hbao_params
+            dec = max(int(round(1.0 / cfg.ssao_scale)), 1)
+            pr = make_hbao_params()
+            from ..ops.blur import downsample_pool
+            dd = downsample_pool(depth, dec, reduce="first")
+            nn = downsample_pool(gbuffer["normal"][..., :3], dec,
+                                 reduce="first")
+            ao = hbao(dd, nn, sceneset["proj"], sceneset["view"], params=pr)
+            from ..ops.blur import resize_up_dense
+            # ssaostrength: intensity lerp toward unoccluded (our knob;
+            # the reference has no AO strength dial)
+            strength = sceneset["camera"].get("ssaostrength",
+                                              jnp.float32(1.0))
+            ssao_img = 1.0 + (resize_up_dense(ao[..., 0], h, w) - 1.0) * strength
 
-    spotmaps = None
-    if cfg.max_spot_shadows > 0:
-        from ..ops.shadow import render_spot_maps
-        spotmaps = render_spot_maps(
-            worldp, ex["tris"], sceneset["spotlights"]["shadowview"],
-            cfg.max_spot_shadows, res=cfg.spot_shadow_res,
-            bin_capacity=cfg.shadow_bin_capacity, big_capacity=cfg.big_capacity,
-            use_pallas=cfg.use_pallas)
+        spotmaps = None
+        if cfg.max_spot_shadows > 0:
+            from ..ops.shadow import render_spot_maps
+            spotmaps = render_spot_maps(
+                worldp, ex["tris"], sceneset["spotlights"]["shadowview"],
+                cfg.max_spot_shadows, res=cfg.spot_shadow_res,
+                bin_capacity=cfg.shadow_bin_capacity,
+                big_capacity=cfg.big_capacity,
+                use_pallas=cfg.use_pallas)
 
-    hdr = lighting_pass.shade_deferred(
-        gbuffer, depth, sceneset,
-        proj=sceneset["proj"], invview=sceneset["invview"],
-        shadowmaps=shadowmaps, ibl=ibl, cluster=cluster, ssao=ssao_img,
-        spotmaps=spotmaps, shadow_factor_scale=cfg.shadow_factor_scale)
+        hdr = lighting_pass.shade_deferred(
+            gbuffer, depth, sceneset,
+            proj=sceneset["proj"], invview=sceneset["invview"],
+            shadowmaps=shadowmaps, ibl=ibl, cluster=cluster, ssao=ssao_img,
+            spotmaps=spotmaps, shadow_factor_scale=cfg.shadow_factor_scale)
 
     # skybox background (reference: forward pass skybox.vert/frag fills
     # uncovered pixels along the view ray)
@@ -274,12 +540,12 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
         lod = jnp.maximum(sceneset["camera"].get("skyboxlod",
                                                  jnp.float32(-1.0)), 0.0)
         if "flatq" in ibl:
-            # half-res sky tap (quad rows: 2 gathers/sample), dense
-            # upsample — the sky field is smooth; full-res gathers are
+            # quarter-res sky tap (quad rows: 2 gathers/sample), dense
+            # upsample — the sky field is smooth; per-pixel gathers are
             # the TPU wall (PERF.md lesson 1)
             from ..ops.blur import downsample_pool, resize_up_dense
             from ..ops.sampling import sample_cubemap_lod_quad
-            rays_h = downsample_pool(rays, 2)
+            rays_h = downsample_pool(rays, 4)
             sky_h = sample_cubemap_lod_quad(
                 ibl["flatq"], rays_h,
                 jnp.broadcast_to(lod, rays_h.shape[:-1]))[..., :3]
@@ -291,7 +557,7 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
         else:
             sky = sample_cubemap(ibl["mips"][0], rays)[..., :3]
         exposure = sceneset["camera"]["exposure"]
-        hdr = jnp.where(gbuffer["mask"][..., None], hdr, sky * exposure)
+        hdr = jnp.where(mask[..., None], hdr, sky * exposure)
 
     # volumetric fog (reference: fog.density/scatter.comp + lighting apply)
     if cfg.enable_fog:
@@ -336,9 +602,15 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
             tsetup, cfg.max_translucent_tris, tx, ty, cfg.bin_capacity,
             cfg.big_capacity)
         exposure_t = sceneset["camera"]["exposure"]
-        taccum, treveal = blend_ops.raster_blend(
-            tsetup, tbins, tbig, tuv, tcol, tex["tris"], depth, tx, ty, w, h,
-            soft=False)
+        if cfg.use_pallas:
+            from ..ops.raster_pallas import raster_blend_pallas
+            taccum, treveal = raster_blend_pallas(
+                tsetup, tbins, tbig, tcounts, tex["tris"], tuv, tcol, depth,
+                tx, ty, w, h, soft=False)
+        else:
+            taccum, treveal = blend_ops.raster_blend(
+                tsetup, tbins, tbig, tuv, tcol, tex["tris"], depth, tx, ty,
+                w, h, soft=False)
         hdr = blend_ops.resolve_oit(hdr, taccum * exposure_t, treveal)
 
     # forward OIT: particles / translucents (reference: renderer.cpp
@@ -357,25 +629,51 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
         fbins, fcounts, fbig = raster_ops.bin_triangles(
             fsetup, ftris.shape[0], tx, ty, cfg.bin_capacity, cfg.big_capacity)
         exposure = sceneset["camera"]["exposure"]
-        accum, reveal = blend_ops.raster_blend(
-            fsetup, fbins, fbig, fwd["uv"], fwd["color"], ftris, depth,
-            tx, ty, w, h)
+        if cfg.use_pallas:
+            from ..ops.raster_pallas import raster_blend_pallas
+            accum, reveal = raster_blend_pallas(
+                fsetup, fbins, fbig, fcounts, ftris, fwd["uv"], fwd["color"],
+                depth, tx, ty, w, h)
+        else:
+            accum, reveal = blend_ops.raster_blend(
+                fsetup, fbins, fbig, fwd["uv"], fwd["color"], ftris, depth,
+                tx, ty, w, h)
         hdr = blend_ops.resolve_oit(hdr, accum * exposure, reveal)
 
     # scene luminance (log-average, reference: data/luminance.comp)
     lum_w = jnp.array([0.2126, 0.7152, 0.0722], jnp.float32)
     lum = jnp.exp(jnp.mean(jnp.log(1e-4 + hdr[:cfg.height, :cfg.width] @ lum_w)))
 
-    # screen-space reflections at half res (reference: ssr.comp + Hi-Z)
+    # screen-space reflections (reference: ssr.comp + Hi-Z)
     ssr_img = None
-    if cfg.enable_ssr:
+    if cfg.enable_ssr and cfg.ssr_mode == "binned":
+        # direction-binned dense march at quarter res (ops/ssr2.py):
+        # every march sample is a uniform image shift — zero gathers
+        from ..ops.blur import downsample_pool, resize_up_dense
+        from ..ops.ssr2 import ssr_binned
+        q = 4
+        ssr_q = ssr_binned(
+            downsample_pool(hdr, q),
+            downsample_pool(depth, q, reduce="first"),
+            downsample_pool(gbuffer["normal"][..., :3], q, reduce="first"),
+            downsample_pool(gbuffer["specular"][..., :3], q),
+            downsample_pool(gbuffer["specular"][..., 3], q, reduce="first"),
+            downsample_pool(gbuffer["mask"].astype(jnp.float32), q) > 0.5,
+            sceneset["proj"], sceneset["view"],
+            envbrdf_lut=ibl["envbrdf"] if ibl else None)
+        ssr_img = resize_up_dense(ssr_q, h, w)
+        ssr_img = ssr_img * sceneset["camera"].get("ssrstrength",
+                                                   jnp.float32(1.0))
+    elif cfg.enable_ssr:
         from ..ops.ssr import ssr as ssr_op
-        gb_h = {k: (v[::2, ::2] if hasattr(v, "ndim") else v)
+        from ..ops.blur import downsample_pool, resize_up_dense
+        gb_h = {k: (downsample_pool(v, 2, reduce="first")
+                    if hasattr(v, "ndim") else v)
                 for k, v in gbuffer.items()}
-        ssr_h = ssr_op(hdr[::2, ::2], depth[::2, ::2], gb_h,
+        ssr_h = ssr_op(downsample_pool(hdr, 2),
+                       downsample_pool(depth, 2, reduce="first"), gb_h,
                        sceneset["proj"], sceneset["view"],
                        envbrdf_lut=ibl["envbrdf"] if ibl else None)
-        from ..ops.blur import resize_up_dense
         ssr_img = resize_up_dense(ssr_h, h, w)
         ssr_img = ssr_img * sceneset["camera"].get("ssrstrength",
                                                    jnp.float32(1.0))

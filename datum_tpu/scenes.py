@@ -16,11 +16,30 @@ from .render import Camera, RenderContext, RenderList, RenderParams
 from .render import primitives
 
 
+class _ParticleCloud:
+    """Minimal live-particle state for the scene's OIT pass (duck-typed
+    like render.particlesystem.ParticleInstance)."""
+
+    def __init__(self, positions, size=0.22, color=(1.0, 0.8, 0.45, 0.35)):
+        n = len(positions)
+        self.position = np.ascontiguousarray(positions, np.float32)
+        self.size = np.full((n, 2), size, np.float32)
+        self.rotation = np.zeros(n, np.float32)
+        self.color = np.tile(np.asarray(color, np.float32), (n, 1))
+        self.alive = np.ones(n, bool)
+
+
 def datumtest_scene(width=1920, height=1080, *, sphere_detail=24, grid=(7, 5),
-                    n_point_lights=8, **cfg_kw):
+                    n_point_lights=8, skybox=True, skybox_size=64, **cfg_kw):
     """Build the flagship scene; returns (ctx, camera, params, make_renderlist)."""
     cfg = FrameConfig(width=width, height=height, **cfg_kw)
     ctx = RenderContext(cfg)
+
+    if skybox:
+        # the reference datumtest lights with a real environment
+        # (test/datumtest.cpp skybox + envmap resources)
+        from .render.skybox import SkyBox
+        ctx.set_skybox(SkyBox(size=skybox_size, convolve_samples=16))
 
     verts, idx = primitives.unit_sphere(sphere_detail, sphere_detail // 2)
     sphere = ctx.add_mesh(verts, idx)
@@ -61,6 +80,13 @@ def datumtest_scene(width=1920, height=1080, *, sphere_detail=24, grid=(7, 5),
     light_pos = rng.uniform([-8, 0.5, -6], [8, 4.0, 6], (n_point_lights, 3))
     light_col = rng.uniform(0.5, 8.0, (n_point_lights, 3))
 
+    # particle cloud state for scenes that enable the OIT pass
+    # (reference: datumtest.cpp particles block)
+    n_particles = 256
+    part_base = rng.uniform([-6, 0.5, -3], [6, 5.0, 3],
+                            (n_particles, 3)).astype(np.float32)
+    part_phase = rng.uniform(0, 2 * np.pi, n_particles).astype(np.float32)
+
     def make_renderlist(t=0.0):
         rl = RenderList()
         rl.push_mesh(ground, Transform.identity(), floor_mat)
@@ -76,6 +102,19 @@ def datumtest_scene(width=1920, height=1080, *, sphere_detail=24, grid=(7, 5),
             p = light_pos[li].copy()
             p[0] += np.sin(t + li) * 1.5
             rl.push_pointlight(p, light_col[li], (1.0, 0.0, 1.0), range_=12.0)
+        # shadow-casting spot over the sphere wall (reference:
+        # datumtest.cpp spotlight + caster)
+        rl.push_spotlight(np.float32([4.0, 8.0, 6.0]),
+                          np.float32([-0.35, -0.75, -0.55]),
+                          np.float32([20.0, 19.0, 17.0]), cutoff=0.6,
+                          attenuation=(0.5, 0.0, 1.0), range_=30.0)
+        if cfg.max_particle_quads > 0:
+            pos = part_base + np.stack(
+                [np.sin(t * 0.7 + part_phase) * 0.8,
+                 np.cos(t * 0.4 + part_phase) * 0.4 + 0.2,
+                 np.cos(t * 0.6 + part_phase) * 0.8], -1).astype(np.float32)
+            inst = _ParticleCloud(pos)
+            rl.push_particles(inst, emissive=0.4)
         return rl
 
     return ctx, camera, params, make_renderlist

@@ -20,6 +20,10 @@ def setup_jax(force_cpu=False):
         os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
         import jax
         jax.config.update("jax_platforms", "cpu")
+    # persistent XLA executable cache — the PipelineCache equivalent
+    # (reference: renderer.cpp:512-520; SURVEY 5.4)
+    from datum_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
 
 
 def run_example(name, init, update, render, frames=8, width=640, height=352,

@@ -18,7 +18,8 @@ def _tiny_scene(n_rows):
         n_point_lights=2, max_vertices=2048, max_triangles=2048,
         max_instances=8, bin_capacity=32, big_capacity=8,
         enable_shadows=True, shadow_res=128, shadow_bin_capacity=32,
-        enable_bloom=False)  # post chain needs halo exchange on shards
+        enable_bloom=False,  # post chain needs halo exchange on shards
+        skybox=False)        # sharded frame lights without the env pass
 
 
 def test_sharded_matches_single_device():

@@ -127,13 +127,17 @@ def test_frame_with_mip_filter_runs():
     rl.push_mesh(plane, Transform.identity(), mat)
 
     import datum_tpu.ops.raster_pallas as rp
+    import datum_tpu.ops.shade_pallas as sp
     import functools
     orig = rp.raster_shade_pallas
+    orig_s = sp.shade_deferred_pallas
     rp.raster_shade_pallas = functools.partial(orig, interpret=True)
+    sp.shade_deferred_pallas = functools.partial(orig_s, interpret=True)
     try:
         img = ctx.render(cam, rl, params)
     finally:
         rp.raster_shade_pallas = orig
+        sp.shade_deferred_pallas = orig_s
     assert img.shape == (64, 128, 3)
     # the checkerboard must produce both dark and bright floor pixels
     band = img[40:, :, 0].astype(np.float32)
