@@ -59,18 +59,36 @@ def build_fog_volume(sceneset, *, proj, invview, shadow=None, normalquery=None,
                        * height_falloff))
     sigma_rgb = fogdensity[:3] * sigma[..., None]
 
-    # main-light in-scatter, shadowed when an ESM is available
-    # (single-gather arithmetic-cascade lookup: the per-slice version
-    # costs 4x the gathers over ~1M froxels)
+    # main-light in-scatter, shadowed when an ESM is available.  The
+    # factor field is sampled on a HALF-resolution froxel grid (8x fewer
+    # gathers — the full grid's ~1M lookups cost ~6.5 ms on v5e) and
+    # nearest-upsampled: volumetric shadowing is blurred by the
+    # scattering integral anyway.
     sun = ml["intensity"]
     if shadow is not None:
         from .shadow import shadow_factor_esm_fast
         esm, zmx, zsc = shadow
-        sf = shadow_factor_esm_fast(
-            worldpos.reshape(-1, 3), esm, zmx, zsc,
-            ml["splits"], ml["shadowview"],
-            jnp.broadcast_to(dist, (fog_d, fog_h, fog_w)).reshape(-1))
-        sf = sf.reshape(fog_d, fog_h, fog_w)
+        cd, ch, cw = fog_d // 2, fog_h // 2, fog_w // 2
+        # coarse grid world positions computed directly (cell centers)
+        xs_c = (jnp.arange(cw, dtype=jnp.float32) + 0.5) / cw * 2 - 1
+        ys_c = (jnp.arange(ch, dtype=jnp.float32) + 0.5) / ch * 2 - 1
+        ds_c = froxel_depths(cd, depth_range)
+        cshape = (cd, ch, cw)
+        cvx = jnp.broadcast_to(inv00 * xs_c[None, None, :]
+                               * ds_c[:, None, None], cshape)
+        cvy = jnp.broadcast_to(inv11 * ys_c[None, :, None]
+                               * ds_c[:, None, None], cshape)
+        cvz = jnp.broadcast_to(-ds_c[:, None, None], cshape)
+        cwx = iv[0, 0] * cvx + iv[0, 1] * cvy + iv[0, 2] * cvz + iv[0, 3]
+        cwy = iv[1, 0] * cvx + iv[1, 1] * cvy + iv[1, 2] * cvz + iv[1, 3]
+        cwz = iv[2, 0] * cvx + iv[2, 1] * cvy + iv[2, 2] * cvz + iv[2, 3]
+        wp_c = jnp.stack([cwx, cwy, cwz], -1)
+        dist_c = jnp.broadcast_to(ds_c[:, None, None], cshape)
+        sf_c = shadow_factor_esm_fast(
+            wp_c.reshape(-1, 3), esm, zmx, zsc,
+            ml["splits"], ml["shadowview"], dist_c.reshape(-1))
+        sf_c = sf_c.reshape(cd, ch, cw)
+        sf = jnp.repeat(jnp.repeat(jnp.repeat(sf_c, 2, 0), 2, 1), 2, 2)
     else:
         sf = 1.0
     light = sun * (sf[..., None] if shadow is not None else 1.0) + ambient

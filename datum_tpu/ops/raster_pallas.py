@@ -194,14 +194,21 @@ def pack_tile_setup_attrs(setup, bins, big_ids, tris, uv, normal, tri_material,
     uv_t = uv[tris].reshape(-1, 6)                    # (T, 6)
     n_t = normal[tris].reshape(-1, 9)                 # (T, 9)
     mat = tri_material                                 # (T,) int32
-    mrows = jnp.concatenate([
-        materials["color"][mat][:, :3],
-        materials["emissive"][mat][:, None],
-        materials["metalness"][mat][:, None],
-        materials["roughness"][mat][:, None],
-        materials["reflectivity"][mat][:, None],
-        materials["albedomap"][mat][:, None].astype(jnp.float32),
-    ], axis=-1)                                       # (T, 8)
+    pk = materials.get("packed10")
+    if pk is not None:
+        rows10 = pk[mat]                              # ONE material gather
+        mrows = rows10[:, 0:8]
+        mm = rows10[:, 8:10]
+    else:
+        mrows = jnp.concatenate([
+            materials["color"][mat][:, :3],
+            materials["emissive"][mat][:, None],
+            materials["metalness"][mat][:, None],
+            materials["roughness"][mat][:, None],
+            materials["reflectivity"][mat][:, None],
+            materials["albedomap"][mat][:, None].astype(jnp.float32),
+        ], axis=-1)                                   # (T, 8)
+        mm = None
 
     pieces = [
         row16,                                        # 0..12 setup, 13 id,
@@ -211,8 +218,9 @@ def pack_tile_setup_attrs(setup, bins, big_ids, tris, uv, normal, tri_material,
         mrows,                                        # 34..41
     ]
     if tangent is not None:
-        mm = jnp.stack([matmaps["base"][mat].astype(jnp.float32),
-                        matmaps["size"][mat].astype(jnp.float32)], -1)
+        if mm is None:
+            mm = jnp.stack([matmaps["base"][mat].astype(jnp.float32),
+                            matmaps["size"][mat].astype(jnp.float32)], -1)
         t_t = tangent[tris].reshape(-1, 12)           # (T, 12)
         pieces += [mm, t_t, jnp.zeros((T, 64 - 56), jnp.float32)]
     else:

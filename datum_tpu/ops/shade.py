@@ -97,7 +97,7 @@ def resolve_gbuffer(vis, setup, tris, tri_instance, attrs, instances, materials,
     )
 
 
-def sample_matmaps(table, base, size, uv, pool=1):
+def sample_matmaps(table, base, size, uv, pool=1, channel_first=False):
     """One-gather material sample from the combined mip table.
 
     table: (R, 48) u8 quad rows (render/texturepool.py layout); base,
@@ -140,7 +140,22 @@ def sample_matmaps(table, base, size, uv, pool=1):
     fy = (y - y0)[..., None]
     xi = jnp.mod(x0.astype(jnp.int32), jnp.maximum(s_l, 1))
     yi = jnp.mod(y0.astype(jnp.int32), jnp.maximum(s_l, 1))
-    rows = table[mip_base + yi * s_l + xi].astype(jnp.float32) * (1.0 / 255.0)
+    idx = mip_base + yi * s_l + xi
+    if channel_first:
+        # flat-row bilinear then ONE (P,12)->(12,P) transpose: the
+        # image-shaped formulation forced XLA into a ~1.2 ms col-major
+        # relayout of the (P,48) gather plus per-12ch copies
+        hh, ww = idx.shape
+        rows = table[idx.reshape(-1)].astype(jnp.float32) * (1.0 / 255.0)
+        fxf = fx.reshape(-1, 1)
+        fyf = fy.reshape(-1, 1)
+        t00, t01 = rows[:, 0:12], rows[:, 12:24]
+        t10, t11 = rows[:, 24:36], rows[:, 36:48]
+        top = t00 + (t01 - t00) * fxf
+        bot = t10 + (t11 - t10) * fxf
+        out = top + (bot - top) * fyf
+        return out.T.reshape(12, hh, ww)
+    rows = table[idx].astype(jnp.float32) * (1.0 / 255.0)
     t00, t01 = rows[..., 0:12], rows[..., 12:24]
     t10, t11 = rows[..., 24:36], rows[..., 36:48]
     out = (t00 + (t01 - t00) * fx) + ((t10 + (t11 - t10) * fx)

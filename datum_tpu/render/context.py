@@ -109,6 +109,12 @@ class GeometryPool:
             texcoords=jnp.asarray(self.texcoords),
             normals=jnp.asarray(self.normals),
             tangents=jnp.asarray(self.tangents),
+            # combined per-vertex attribute rows: ONE row gather per
+            # vertex instead of four (TPU gathers have a ~0.2 ms fixed
+            # cost per op and charge per lookup, not per byte)
+            attr12=jnp.asarray(np.concatenate(
+                [self.positions, self.texcoords, self.normals,
+                 self.tangents], axis=1)),
             bone_idx=jnp.asarray(self.bone_idx),
             bone_wt=jnp.asarray(self.bone_wt),
             triangles=jnp.asarray(self.triangles),
@@ -250,8 +256,6 @@ class RenderContext:
             getattr(self, f"mat_{k}")[i] = v
         if self._device is not None:
             self._device = dict(self._device)
-            if any(k.endswith("map") for k in fields):
-                self._rebuild_matmaps(self._device)
             self._device["materials"] = dict(
                 color=jnp.asarray(self.mat_color),
                 metalness=jnp.asarray(self.mat_metalness),
@@ -262,6 +266,8 @@ class RenderContext:
                 surfacemap=jnp.asarray(self.mat_surfacemap),
                 normalmap=jnp.asarray(self.mat_normalmap),
             )
+            # param edits change packed10; map edits change the table too
+            self._rebuild_matmaps(self._device)
 
     def update_texture(self, i, image):
         """Live-edit one texture slot (reference: Texture::update via a
@@ -369,18 +375,29 @@ class RenderContext:
         device["matmaps"] = dict(table=jnp.asarray(table),
                                  base=jnp.asarray(base_full),
                                  size=jnp.asarray(size_full))
+        # combined per-material row for the raster packer: ONE gather
+        # fetches color+params+map ids (per-op gather overhead dominates
+        # small lookups on TPU)
+        packed10 = np.concatenate([
+            self.mat_color[:, :3],
+            self.mat_emissive[:, None], self.mat_metalness[:, None],
+            self.mat_roughness[:, None], self.mat_reflectivity[:, None],
+            self.mat_albedomap[:, None].astype(np.float32),
+            base_full[:, None].astype(np.float32),
+            size_full[:, None].astype(np.float32)], axis=1)
+        mats = dict(device.get("materials", {}))
+        mats["packed10"] = jnp.asarray(packed10.astype(np.float32))
+        device["materials"] = mats
 
     def expand_host(self, draws):
         """Attach host-precomputed draw-expansion indices (numpy) so the
         jitted frame skips its on-device index build (frame.py
         expand_draws_host)."""
-        from .frame import expand_draws_host
+        from .frame import attach_host_expansion
 
-        draws.update(expand_draws_host(self.pool, draws["mesh"],
-                                       draws["count"],
-                                       self.config.max_vertices,
-                                       self.config.max_triangles))
-        return draws
+        return attach_host_expansion(self.pool, draws,
+                                     self.config.max_vertices,
+                                     self.config.max_triangles)
 
     # --- frame ------------------------------------------------------------
     def render(self, camera, renderlist, params, sceneset=None):

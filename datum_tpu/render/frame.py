@@ -77,6 +77,16 @@ def expand_draws_host(pool, draw_mesh, draw_count, max_v, max_t):
                 tris=tris, tri_draw=tri_draw, t_valid=t_valid)
 
 
+def attach_host_expansion(pool, draws, max_v, max_t):
+    """expand_draws_host + derived per-triangle lookups, attached in
+    place (called by RenderContext.expand_host)."""
+    draws.update(expand_draws_host(pool, draws["mesh"], draws["count"],
+                                   max_v, max_t))
+    import numpy as np
+    draws["tri_mat"] = np.asarray(draws["material"])[draws["tri_draw"]]
+    return draws
+
+
 def _bucketize(cum, n, dtype=jnp.int32):
     """searchsorted(cum, arange(n), side='right') as a dense compare-sum.
 
@@ -149,8 +159,8 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
                                        reduce="first")).astype(jnp.int32)
     size_h = jnp.round(downsample_pool(planes["msize"], p,
                                        reduce="first")).astype(jnp.int32)
-    alb_h, srf_h, nmap_h = sample_matmaps(device["matmaps"]["table"],
-                                          base_h, size_h, uv_h, pool=p)
+    mm12 = sample_matmaps(device["matmaps"]["table"], base_h, size_h, uv_h,
+                          pool=p, channel_first=True)   # (12, H/2, W/2)
 
     if ibl is not None:
         mk = mask.astype(jnp.float32)
@@ -164,7 +174,7 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
                                            w // p, h // p)
         eye_h = brdf.normalize(invview[:3, 3] - wp_h)
         rough_h = (downsample_pool(planes["rgh"] * mk, p) / mk_h[..., 0]
-                   * srf_h[..., 3])
+                   * mm12[7])
         r_h = (2.0 * jnp.sum(nrm_h * eye_h, -1, keepdims=True) * nrm_h
                - eye_h)
         sdir_h = brdf.specular_dominant_direction(nrm_h, r_h, rough_h)
@@ -191,15 +201,15 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
         eb_h = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
                                 (h2, w2, 3))
 
-    # 15 half-res channels -> channel-first (one relayout) -> per-plane
-    # dense 2x upsample (lane interleaves are impossible inside Mosaic)
+    # 15 half-res channel-first planes -> per-plane dense 2x upsample
+    # (lane interleaves are impossible inside Mosaic, so upsampling
+    # happens here; mm12 is already channel-first from the flat sampler)
     half = jnp.concatenate([
-        alb_h[..., :3],
-        srf_h[..., 0:2], srf_h[..., 3:4],
-        nmap_h[..., :3],
-        spec_h, eb_h,
-    ], axis=-1)                                        # (H/2, W/2, 15)
-    half = jnp.transpose(half, (2, 0, 1))              # channel-first
+        mm12[jnp.array([0, 1, 2, 4, 5, 7, 8, 9, 10])],   # alb rgb, surf
+                                                         # m/r/rough, nmap
+        jnp.transpose(spec_h, (2, 0, 1)),
+        jnp.transpose(eb_h, (2, 0, 1)),
+    ], axis=0)                                         # (15, H/2, W/2)
     up = [resize_up_dense(half[k], h, w) for k in range(15)]
     (alb_r, alb_g, alb_b, surf_m, surf_r, surf_rough,
      nm_x, nm_y, nm_z, es_r, es_g, es_b, eb0, eb1, eb2) = up
@@ -333,10 +343,18 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
         ex = expand_draws(geom, draws["mesh"], draws["count"],
                           cfg.max_vertices, cfg.max_triangles)
 
-    positions = geom["positions"][ex["src_v"]]
-    uv = geom["texcoords"][ex["src_v"]]
-    normals = geom["normals"][ex["src_v"]]
-    tangents = geom["tangents"][ex["src_v"]]
+    if cfg.max_dynamic_vertices == 0 and "attr12" in geom:
+        # ONE combined row gather (gathers have ~0.2 ms fixed cost each)
+        rows12 = geom["attr12"][ex["src_v"]]
+        positions = rows12[:, 0:3]
+        uv = rows12[:, 3:5]
+        normals = rows12[:, 5:8]
+        tangents = rows12[:, 8:12]
+    else:   # the dynamic-vertex slab patches the split pool arrays
+        positions = geom["positions"][ex["src_v"]]
+        uv = geom["texcoords"][ex["src_v"]]
+        normals = geom["normals"][ex["src_v"]]
+        tangents = geom["tangents"][ex["src_v"]]
 
     # foliage wind bend in local space (reference: foilage.geometry.vert
     # transform_detailbend + transform_bend with the wind rotated into
@@ -420,7 +438,9 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
         and (not cfg.enable_shadows or cfg.shadow_mode == "esm"))
     if use_shade_kernel:
         from ..ops.raster_pallas import raster_shade_pallas
-        tri_mat = draws["material"][ex["tri_draw"]]
+        tri_mat = draws.get("tri_mat")
+        if tri_mat is None:
+            tri_mat = draws["material"][ex["tri_draw"]]
         planes = raster_shade_pallas(
             setup, bins, big_ids, counts, ex["tris"], uv, wnormal, tri_mat,
             device["materials"], tx, ty, w, h, tangent=wtangent,
@@ -438,7 +458,9 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
         from ..ops.raster_pallas import raster_shade_pallas, raster_shade_mxu
         shade_fn = (raster_shade_mxu if cfg.raster_kernel == "mxu"
                     else raster_shade_pallas)
-        tri_mat = draws["material"][ex["tri_draw"]]
+        tri_mat = draws.get("tri_mat")
+        if tri_mat is None:
+            tri_mat = draws["material"][ex["tri_draw"]]
         kw = {}
         if fused_mip:
             kw = dict(tangent=wtangent, matmaps=device["matmaps"])
