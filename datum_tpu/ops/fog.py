@@ -102,21 +102,16 @@ def build_fog_volume(sceneset, *, proj, invview, shadow=None, normalquery=None,
     return jnp.concatenate([inscatter, transmit[..., None]], -1)
 
 
-def apply_fog(hdr, depth, fogvol, proj, *, depth_range=FOG_DEPTH_RANGE,
-              exponent=FOG_DEPTH_EXPONENT, sample_scale=4):
-    """Blend the fog volume over the HDR image.
+def _fog_sample(depth, fogvol, proj, *, depth_range, exponent, sample_scale):
+    """Reduced-res fog tap: (hq, wq, 4) [inscatter rgb, transmittance].
 
-    color' = color * transmittance + inscatter, slice chosen per pixel
-    from view depth (reference: lighting.comp fog apply + global_fog).
-
-    Sampled at 1/sample_scale res with TWO flat row-gathers per pixel
-    (quad-packed xy rows make each tap xy-bilinear; the z pair is
-    lerped), then densely upsampled — the per-slice dense-resize
+    TWO flat row-gathers per pixel (quad-packed xy rows make each tap
+    xy-bilinear; the z pair is lerped) — the per-slice dense-resize
     formulation cost ~200 ms/frame at 1080p.
     """
     import jax
 
-    from .blur import downsample_pool, resize_up_dense
+    from .blur import downsample_pool
     from .sampling import quad_pack
 
     h, w = depth.shape
@@ -153,9 +148,37 @@ def apply_fog(hdr, depth, fogvol, proj, *, depth_range=FOG_DEPTH_RANGE,
         return top + (bot - top) * fy
 
     fog_q = tap(k0)
-    fog_q = fog_q + (tap(k1) - fog_q) * fz
+    return fog_q + (tap(k1) - fog_q) * fz, q
+
+
+def apply_fog(hdr, depth, fogvol, proj, *, depth_range=FOG_DEPTH_RANGE,
+              exponent=FOG_DEPTH_EXPONENT, sample_scale=4):
+    """Blend the fog volume over the HDR image.
+
+    color' = color * transmittance + inscatter, slice chosen per pixel
+    from view depth (reference: lighting.comp fog apply + global_fog).
+    """
+    from .blur import resize_up_dense
+
+    h, w = depth.shape
+    fog_q, q = _fog_sample(depth, fogvol, proj, depth_range=depth_range,
+                           exponent=exponent, sample_scale=sample_scale)
     fog = resize_up_dense(fog_q, h, w) if q > 1 else fog_q
     return hdr * fog[..., 3:4] + fog[..., :3]
+
+
+def fog_planes(depth, fogvol, proj, *, depth_range=FOG_DEPTH_RANGE,
+               exponent=FOG_DEPTH_EXPONENT, sample_scale=4):
+    """Fog apply factors as 4 channel-first full-res planes
+    [inscatter r, g, b, transmittance] for the shade megakernel."""
+    from .blur import resize_up_dense
+
+    h, w = depth.shape
+    fog_q, q = _fog_sample(depth, fogvol, proj, depth_range=depth_range,
+                           exponent=exponent, sample_scale=sample_scale)
+    fq = jnp.transpose(fog_q, (2, 0, 1))
+    return [resize_up_dense(fq[c], h, w) if q > 1 else fq[c]
+            for c in range(4)]
 
 
 def apply_fog_planes(hdr, depth, planes, *, proj, invview, exposure=1.0,

@@ -593,8 +593,9 @@ def _blend_kernel(counts_ref, rows_ref, od_ref,
 
 def raster_blend_pallas(setup, bins, big_ids, counts, tris, uv, color,
                         opaque_depth, tiles_x, tiles_y, width, height,
-                        soft=True, interpret=False):
-    """Pallas WBOIT accumulation.  Returns (accum (H,W,4), reveal (H,W))."""
+                        soft=True, interpret=False, planes=False):
+    """Pallas WBOIT accumulation.  Returns (accum (H,W,4), reveal (H,W)),
+    or the five raw planes (ar, ag, ab, aw, reveal) with planes=True."""
     assert big_ids.shape[0] % BLEND_PACK == 0
     rows = pack_tile_blend(setup, bins, big_ids, tris, uv, color)
     n_groups = rows.shape[1]
@@ -626,6 +627,8 @@ def raster_blend_pallas(setup, bins, big_ids, counts, tris, uv, color,
     ar, ag, ab, aw, rv = pl.pallas_call(
         wrap, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
     )(trip, rows, opaque_depth)
+    if planes:
+        return ar, ag, ab, aw, rv
     return jnp.stack([ar, ag, ab, aw], axis=-1), rv
 
 

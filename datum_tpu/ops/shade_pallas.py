@@ -131,15 +131,21 @@ def _eval_light(worldp, nrm, eye, spec, alpha, lp, li, la):
 PLANE_NAMES = ["depth", "visf", "nx", "ny", "nz", "dr", "dg", "db", "em",
                "sr", "sg", "sb", "rgh",
                "esr", "esg", "esb", "eb0", "eb1", "eb2", "sf"]
+# optional epilogue planes (folds the sky composite, volumetric-fog
+# apply and WBOIT resolve into the same pass — each is ~10 full-res XLA
+# ops otherwise, and the frame is op-dispatch-bound)
+SKY_NAMES = ["sky_r", "sky_g", "sky_b"]
+FOG_NAMES = ["fog_r", "fog_g", "fog_b", "fog_t"]
+OIT_NAMES = ["oit_r", "oit_g", "oit_b", "oit_w", "oit_rev"]
 
 
 def _shade_kernel(counts_ref, params_ref, lights_ref, spots_ref, probes_ref,
                   plane_refs, ao_ref, spotsf_refs,
                   hr_ref, hg_ref, hb_ref,
-                  *, W, H, point_chunk, with_ao, n_probes):
+                  *, W, H, point_chunk, with_ao, n_probes, names):
     i = pl.program_id(0)
     P = params_ref
-    g = dict(zip(PLANE_NAMES, [r[...] for r in plane_refs]))
+    g = dict(zip(names, [r[...] for r in plane_refs]))
 
     rows = SHADE_ROWS
     yy = jax.lax.broadcasted_iota(jnp.int32, (rows, W), 0).astype(jnp.float32)
@@ -315,9 +321,22 @@ def _shade_kernel(counts_ref, params_ref, lights_ref, spots_ref, probes_ref,
     exposure = P[0, 24]
     emissive = g["em"]
     em_term = 128.0 * emissive * emissive * emissive
-    for c, out in enumerate((hr_ref, hg_ref, hb_ref)):
+    if "fog_t" in g:
+        fog_t = g["fog_t"]
+    if "oit_rev" in g:
+        inv_w = 1.0 / jnp.maximum(g["oit_w"], 1e-5)
+        oit_alpha = 1.0 - g["oit_rev"]
+    for c, (ch, out) in enumerate(zip("rgb", (hr_ref, hg_ref, hb_ref))):
         col = (diffuse_col[c] * (dif_acc[c] + em_term) + spc_acc[c])
-        out[...] = jnp.where(mask, col * exposure, 0.0)
+        col = jnp.where(mask, col * exposure, 0.0)
+        if f"sky_{ch}" in g:      # sky fills uncovered pixels
+            col = jnp.where(mask, col, g[f"sky_{ch}"] * exposure)
+        if "fog_t" in g:          # volumetric fog apply (matches the
+            col = col * fog_t + g[f"fog_{ch}"]       # XLA apply_fog)
+        if "oit_rev" in g:        # WBOIT resolve (weightblend.frag)
+            col = (col * g["oit_rev"]
+                   + g[f"oit_{ch}"] * inv_w * oit_alpha)
+        out[...] = col
 
 
 def shade_deferred_pallas(gplanes, sceneset, *, proj, invview,
@@ -396,7 +415,11 @@ def shade_deferred_pallas(gplanes, sceneset, *, proj, invview,
         pl.BlockSpec((spots.shape[0], 16), full, memory_space=pltpu.VMEM),
         pl.BlockSpec((probe_tab.shape[0], 32), full, memory_space=pltpu.VMEM),
     ]
-    plane_args = [gplanes[k] for k in PLANE_NAMES]
+    names = list(PLANE_NAMES)
+    for grp in (SKY_NAMES, FOG_NAMES, OIT_NAMES):
+        if grp[0] in gplanes:
+            names += grp
+    plane_args = [gplanes[k] for k in names]
     in_specs += [pl.BlockSpec((SHADE_ROWS, W), band, memory_space=pltpu.VMEM)
                  for _ in plane_args]
     if ao is None:
@@ -415,7 +438,8 @@ def shade_deferred_pallas(gplanes, sceneset, *, proj, invview,
                  for _ in range(3)]
     out_shape = [jax.ShapeDtypeStruct((H, W), jnp.float32)] * 3
 
-    NP = len(PLANE_NAMES)
+    NP = len(names)
+    names_t = tuple(names)
 
     def wrap(counts_ref, params_ref, lights_ref, spots_ref, probes_ref,
              *rest):
@@ -428,7 +452,7 @@ def shade_deferred_pallas(gplanes, sceneset, *, proj, invview,
                       [s.at[0] for s in ssf_refs],
                       *outs,
                       W=W, H=H, point_chunk=point_chunk,
-                      with_ao=with_ao, n_probes=n_probes)
+                      with_ao=with_ao, n_probes=n_probes, names=names_t)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

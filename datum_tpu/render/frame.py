@@ -281,6 +281,92 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
                                     proj=proj, invview=invview), h, w)
             for i in range(cfg.max_spot_shadows)])
 
+    # ---- epilogue inputs: sky, volumetric fog, WBOIT — folded into the
+    # kernel's final blend (each is ~10 separate full-res XLA ops
+    # otherwise, and the frame is op-dispatch-bound)
+    if ibl is not None and "flatq" in ibl:
+        from ..ops.lighting_pass import view_ray_grid, _inv_proj
+        from ..ops.sampling import sample_cubemap_lod_quad
+
+        rx, ry = view_ray_grid(_inv_proj(proj), w, h)
+        rays = jnp.stack([rx, ry, -jnp.ones_like(rx)], -1)
+        rays = rays @ invview[:3, :3].T
+        rays = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
+        lod = jnp.maximum(sceneset["camera"].get("skyboxlod",
+                                                 jnp.float32(-1.0)), 0.0)
+        rays_q = downsample_pool(rays, 4)
+        sky_q = sample_cubemap_lod_quad(
+            ibl["flatq"], rays_q,
+            jnp.broadcast_to(lod, rays_q.shape[:-1]))[..., :3]
+        sky_q = jnp.transpose(sky_q, (2, 0, 1))
+        for c, ch in enumerate("rgb"):
+            gpl[f"sky_{ch}"] = resize_up_dense(sky_q[c], h, w)
+
+    if cfg.enable_fog:
+        from ..ops import fog as fog_ops
+
+        fogvol = fog_ops.build_fog_volume(
+            sceneset, proj=proj, invview=invview,
+            shadow=shadowmaps if (cfg.enable_shadows
+                                  and cfg.shadow_mode == "esm") else None,
+            depth_range=cfg.fog_depth_range)
+        fr_, fg_, fb_, ft_ = fog_ops.fog_planes(
+            depth, fogvol, proj, depth_range=cfg.fog_depth_range)
+        gpl["fog_r"], gpl["fog_g"], gpl["fog_b"], gpl["fog_t"] = \
+            fr_, fg_, fb_, ft_
+
+    if cfg.max_translucent_draws > 0 or cfg.max_particle_quads > 0:
+        from ..ops.raster_pallas import raster_blend_pallas
+        from .renderlist import RenderList
+
+        viewproj = (proj @ sceneset["view"]).astype(jnp.float32)
+        zero = jnp.zeros((h, w), jnp.float32)
+        acc5 = [zero, zero, zero, zero, 1.0 - zero]
+        geom = device["geometry"]
+        if cfg.max_translucent_draws > 0:
+            td = draws["translucent"]
+            tex2 = expand_draws(geom, td["mesh"], td["count"],
+                                cfg.max_vertices, cfg.max_translucent_tris)
+            tpos = geom["positions"][tex2["src_v"]]
+            from ..ops.geometry import transform_vertices_rigid
+            tclip, _, _, _ = transform_vertices_rigid(
+                tpos, geom["normals"][tex2["src_v"]],
+                geom["tangents"][tex2["src_v"]], tex2["vtx_draw"],
+                td["world"], viewproj)
+            tcol = device["materials"]["color"][td["material"][tex2["vtx_draw"]]]
+            tuv = geom["texcoords"][tex2["src_v"]]
+            tx_, ty_ = cfg.tiles_x, cfg.tiles_y
+            tsetup = raster_ops.triangle_setup(tclip, tex2["tris"], w, h,
+                                               tx_, ty_,
+                                               tri_valid=tex2["t_valid"])
+            tbins, tcounts, tbig = raster_ops.bin_triangles(
+                tsetup, cfg.max_translucent_tris, tx_, ty_,
+                cfg.bin_capacity, cfg.big_capacity)
+            t5 = raster_blend_pallas(tsetup, tbins, tbig, tcounts,
+                                     tex2["tris"], tuv, tcol, depth,
+                                     tx_, ty_, w, h, soft=False, planes=True)
+            acc5 = [a + b for a, b in zip(acc5[:4], t5[:4])] + \
+                [acc5[4] * t5[4]]
+        if cfg.max_particle_quads > 0:
+            fwd = draws["forward"]
+            fclip = fwd["positions"] @ viewproj[:, :3].T + viewproj[:, 3]
+            ftris = jnp.asarray(RenderList.quad_triangles(
+                cfg.max_particle_quads))
+            tvalid = jnp.arange(ftris.shape[0]) < fwd["quad_count"] * 2
+            tx_, ty_ = cfg.tiles_x, cfg.tiles_y
+            fsetup = raster_ops.triangle_setup(fclip, ftris, w, h, tx_, ty_,
+                                               tri_valid=tvalid)
+            fbins, fcounts, fbig = raster_ops.bin_triangles(
+                fsetup, ftris.shape[0], tx_, ty_, cfg.bin_capacity,
+                cfg.big_capacity)
+            f5 = raster_blend_pallas(fsetup, fbins, fbig, fcounts,
+                                     ftris, fwd["uv"], fwd["color"],
+                                     depth, tx_, ty_, w, h, planes=True)
+            acc5 = [a + b for a, b in zip(acc5[:4], f5[:4])] + \
+                [acc5[4] * f5[4]]
+        (gpl["oit_r"], gpl["oit_g"], gpl["oit_b"], gpl["oit_w"],
+         gpl["oit_rev"]) = acc5
+
     ss2 = dict(sceneset)
     if ibl is not None:
         ss2["_sh"] = ibl["sh"]
@@ -549,7 +635,7 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
 
     # skybox background (reference: forward pass skybox.vert/frag fills
     # uncovered pixels along the view ray)
-    if ibl is not None:
+    if ibl is not None and not use_shade_kernel:
         from ..ops.sampling import sample_cubemap, sample_cubemap_lod_flat
         from ..ops.lighting_pass import view_ray_grid, _inv_proj
 
@@ -582,7 +668,7 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
         hdr = jnp.where(mask[..., None], hdr, sky * exposure)
 
     # volumetric fog (reference: fog.density/scatter.comp + lighting apply)
-    if cfg.enable_fog:
+    if cfg.enable_fog and not use_shade_kernel:
         from ..ops import fog as fog_ops
 
         fogvol = fog_ops.build_fog_volume(
@@ -604,7 +690,7 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
     # translucent meshes via weighted-blend OIT (reference:
     # renderer.cpp:6596-6684 translucent subpass; v1 shading = tinted
     # N.L-less blend, clustered forward shading on the backlog)
-    if cfg.max_translucent_draws > 0:
+    if cfg.max_translucent_draws > 0 and not use_shade_kernel:
         from ..ops import blend as blend_ops
 
         td = draws["translucent"]
@@ -637,7 +723,7 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
 
     # forward OIT: particles / translucents (reference: renderer.cpp
     # :6596-6684 weighted-blend subpasses + weightblend resolve)
-    if cfg.max_particle_quads > 0:
+    if cfg.max_particle_quads > 0 and not use_shade_kernel:
         from ..ops import blend as blend_ops
 
         from .renderlist import RenderList
