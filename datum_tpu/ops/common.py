@@ -88,11 +88,17 @@ class FrameConfig:
     max_particle_quads: int = 0      # forward OIT billboard capacity
     max_translucent_draws: int = 0   # translucent meshes via OIT
     max_translucent_tris: int = 4096
+    # full deferred shade on the nearest translucent layer (megakernel
+    # path only; reference translucent.frag clustered-forward parity)
+    translucent_lit: bool = True
     max_dynamic_vertices: int = 0    # per-frame vertex override slab (ocean)
     backface_cull: bool = True       # cull camera-facing-away triangles
     use_light_clusters: bool = False  # per-tile light lists vs dense loop
     max_spot_shadows: int = 0        # spot lights with shadow maps
     spot_shadow_res: int = 256
+    # 'parabolic' (reference map_parabolic — any cone angle) on the
+    # pallas path, or 'perspective' (cone angle <= ~160 deg)
+    spot_shadow_mode: str = "parabolic"
     max_decals_active: int = 0       # dense decal blend loop capacity
     max_fog_planes: int = 0          # analytic half-space fog planes
     enable_depth_of_field: bool = False

@@ -179,7 +179,8 @@ SHADE_PACK = 2        # triangles per 128-lane row (64 slots each)
 
 
 def pack_tile_setup_attrs(setup, bins, big_ids, tris, uv, normal, tri_material,
-                          materials, tangent=None, matmaps=None):
+                          materials, tangent=None, matmaps=None,
+                          alpha_in_alb=False):
     """Setup+attribute rows, 2 triangles packed per 128-lane row.
 
     Entry layout within its 64-lane half: [adj*sgn 0-8, zs 9-11, valid 12,
@@ -199,6 +200,11 @@ def pack_tile_setup_attrs(setup, bins, big_ids, tris, uv, normal, tri_material,
         rows10 = pk[mat]                              # ONE material gather
         mrows = rows10[:, 0:8]
         mm = rows10[:, 8:10]
+        if alpha_in_alb:
+            # translucent layer: the albedo-id slot carries the material
+            # alpha instead (the mip path never reads the id)
+            mrows = jnp.concatenate(
+                [mrows[:, 0:7], materials["color"][mat][:, 3:4]], axis=-1)
     else:
         mrows = jnp.concatenate([
             materials["color"][mat][:, :3],
@@ -222,7 +228,9 @@ def pack_tile_setup_attrs(setup, bins, big_ids, tris, uv, normal, tri_material,
             mm = jnp.stack([matmaps["base"][mat].astype(jnp.float32),
                             matmaps["size"][mat].astype(jnp.float32)], -1)
         t_t = tangent[tris].reshape(-1, 12)           # (T, 12)
-        pieces += [mm, t_t, jnp.zeros((T, 64 - 56), jnp.float32)]
+        absorb = (rows10[:, 10:11] if pk is not None
+                  else jnp.zeros((T, 1), jnp.float32))
+        pieces += [mm, t_t, absorb, jnp.zeros((T, 64 - 57), jnp.float32)]
     else:
         pieces += [jnp.zeros((T, 64 - 42), jnp.float32)]
     flat = jnp.concatenate(pieces, axis=-1)           # (T, 64)
@@ -249,8 +257,8 @@ def _raster_shade_kernel(tile_ids_ref, counts_ref, rows_all, out_refs,
     bin_group0 = counts_ref[1] // P
 
     # depth, vis, u, v, nx, ny, nz, r, g, b, em, met, rgh, rfl, alb
-    # (+ matmap base, matmap size, tangent xyzw when extended)
-    N_PLANES = 21 if extended else 15
+    # (+ matmap base, matmap size, tangent xyzw, absorb when extended)
+    N_PLANES = 22 if extended else 15
 
     for rstep in range(tiles_per_step):
         slot = i * tiles_per_step + rstep
@@ -296,7 +304,8 @@ def _raster_shade_kernel(tile_ids_ref, counts_ref, rows_all, out_refs,
                     tz_ = rows[g, o + 46] * l0 + rows[g, o + 50] * l1 \
                         + rows[g, o + 54] * l2
                     vals += [rows[g, o + 42], rows[g, o + 43],
-                             tx_, ty_, tz_, rows[g, o + 47]]
+                             tx_, ty_, tz_, rows[g, o + 47],
+                             rows[g, o + 56]]
                 carry = tuple(jnp.where(passed, vals[j], carry[j])
                               for j in range(N_PLANES))
             return carry
@@ -314,7 +323,7 @@ def _raster_shade_kernel(tile_ids_ref, counts_ref, rows_all, out_refs,
 def raster_shade_pallas(setup, bins, big_ids, counts, tris, uv, normal,
                         tri_material, materials, tiles_x, tiles_y, width, height,
                         tile_ids=None, interpret=False, tangent=None,
-                        matmaps=None, planes_2d=False):
+                        matmaps=None, planes_2d=False, alpha_in_alb=False):
     """Fused raster + attribute/material interpolation.
 
     Returns dict of full-res planes: depth, vis (int32), uv (H,W,2),
@@ -326,7 +335,7 @@ def raster_shade_pallas(setup, bins, big_ids, counts, tris, uv, normal,
     extended = tangent is not None
     rows = pack_tile_setup_attrs(setup, bins, big_ids, tris, uv, normal,
                                  tri_material, materials, tangent=tangent,
-                                 matmaps=matmaps)
+                                 matmaps=matmaps, alpha_in_alb=alpha_in_alb)
     n_groups = rows.shape[1]
     if tile_ids is None:
         tile_ids = jnp.arange(tiles_x * tiles_y, dtype=jnp.int32)
@@ -339,7 +348,7 @@ def raster_shade_pallas(setup, bins, big_ids, counts, tris, uv, normal,
     trip = jnp.concatenate([big_count[None], jnp.int32(B)[None],
                             counts.astype(jnp.int32)])
 
-    N_PLANES = 21 if extended else 15
+    N_PLANES = 22 if extended else 15
     # multi-tile grid steps amortize per-step dispatch/DMA latency
     R = next((r for r in (15, 10, 6, 5, 4, 3, 2) if n_tiles % r == 0), 1)
 
@@ -372,7 +381,8 @@ def raster_shade_pallas(setup, bins, big_ids, counts, tris, uv, normal,
         names = ["depth", "visf", "u", "v", "nx", "ny", "nz", "cr", "cg",
                  "cb", "em", "met", "rgh", "rfl", "alb"]
         if extended:
-            names += ["mbase", "msize", "tanx", "tany", "tanz", "tanw"]
+            names += ["mbase", "msize", "tanx", "tany", "tanz", "tanw",
+                      "absorb"]
         return dict(zip(names, u))
     out = dict(
         depth=u[0], vis=jnp.round(u[1]).astype(jnp.int32),
@@ -386,6 +396,7 @@ def raster_shade_pallas(setup, bins, big_ids, counts, tris, uv, normal,
         out["matmap_base"] = jnp.round(u[15]).astype(jnp.int32)
         out["matmap_size"] = jnp.round(u[16]).astype(jnp.int32)
         out["tangent"] = jnp.stack([u[17], u[18], u[19], u[20]], -1)
+        out["absorb"] = u[21]
     return out
 
 

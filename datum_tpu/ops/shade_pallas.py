@@ -135,6 +135,9 @@ PLANE_NAMES = ["depth", "visf", "nx", "ny", "nz", "dr", "dg", "db", "em",
 # apply and WBOIT resolve into the same pass — each is ~10 full-res XLA
 # ops otherwise, and the frame is op-dispatch-bound)
 SKY_NAMES = ["sky_r", "sky_g", "sky_b"]
+TR_NAMES = ["tr_r", "tr_g", "tr_b", "tr_a"]     # lit translucent layer
+REFR_NAMES = ["tr_ox", "tr_oy"]                 # refraction offsets (px)
+REFR_STEPS = (-8, -3, 0, 3, 8)                  # quantized shift ladder
 FOG_NAMES = ["fog_r", "fog_g", "fog_b", "fog_t"]
 OIT_NAMES = ["oit_r", "oit_g", "oit_b", "oit_w", "oit_rev"]
 
@@ -321,16 +324,54 @@ def _shade_kernel(counts_ref, params_ref, lights_ref, spots_ref, probes_ref,
     exposure = P[0, 24]
     emissive = g["em"]
     em_term = 128.0 * emissive * emissive * emissive
+    cols = []
+    for c in range(3):
+        col = (diffuse_col[c] * (dif_acc[c] + em_term) + spc_acc[c])
+        col = jnp.where(mask, col * exposure, 0.0)
+        if f"sky_{'rgb'[c]}" in g:    # sky fills uncovered pixels
+            col = jnp.where(mask, col, g[f"sky_{'rgb'[c]}"] * exposure)
+        cols.append(col)
+
+    if "tr_a" in g:               # lit translucent layer (pre-shaded)
+        bg = cols
+        if "tr_ox" in g:
+            # refraction: shift the background by the surface normal,
+            # quantized to a static ladder — dynamic per-pixel taps are
+            # gathers, but rolls + selects are dense VPU work.  Applied
+            # separably (x then y); band-local wrap is hidden under the
+            # translucent surface's own distortion.
+            def _shift_sel(planes_, off, axis):
+                n = planes_[0].shape[axis]
+                acc = [jnp.zeros_like(p) for p in planes_]
+                # nearest ladder step per pixel
+                best = jnp.full_like(off, 1e9)
+                pick = jnp.zeros_like(off)
+                for s in REFR_STEPS:
+                    d2 = jnp.abs(off - s)
+                    pick = jnp.where(d2 < best, jnp.float32(s), pick)
+                    best = jnp.minimum(best, d2)
+                for s in REFR_STEPS:
+                    m = pick == s
+                    sh = (-s) % n
+                    for j, p in enumerate(planes_):
+                        acc[j] = jnp.where(m, pltpu.roll(p, sh, axis),
+                                           acc[j])
+                return acc
+            bg = _shift_sel(bg, g["tr_ox"], 1)
+            bg = _shift_sel(bg, g["tr_oy"], 0)
+            # only refract where the translucent layer covers
+            bg = [jnp.where(g["tr_a"] > 0.0, b, c_)
+                  for b, c_ in zip(bg, cols)]
+        cols = [b * (1.0 - g["tr_a"]) + g[f"tr_{'rgb'[c]}"] * g["tr_a"]
+                for c, b in enumerate(bg)]
+
     if "fog_t" in g:
         fog_t = g["fog_t"]
     if "oit_rev" in g:
         inv_w = 1.0 / jnp.maximum(g["oit_w"], 1e-5)
         oit_alpha = 1.0 - g["oit_rev"]
     for c, (ch, out) in enumerate(zip("rgb", (hr_ref, hg_ref, hb_ref))):
-        col = (diffuse_col[c] * (dif_acc[c] + em_term) + spc_acc[c])
-        col = jnp.where(mask, col * exposure, 0.0)
-        if f"sky_{ch}" in g:      # sky fills uncovered pixels
-            col = jnp.where(mask, col, g[f"sky_{ch}"] * exposure)
+        col = cols[c]
         if "fog_t" in g:          # volumetric fog apply (matches the
             col = col * fog_t + g[f"fog_{ch}"]       # XLA apply_fog)
         if "oit_rev" in g:        # WBOIT resolve (weightblend.frag)
@@ -341,7 +382,7 @@ def _shade_kernel(counts_ref, params_ref, lights_ref, spots_ref, probes_ref,
 
 def shade_deferred_pallas(gplanes, sceneset, *, proj, invview,
                           ao=None, spotsf=None, point_chunk=8,
-                          interpret=False):
+                          interpret=False, planes_out=False):
     """Launch the deferred-shade megakernel.
 
     gplanes: dict of (H, W) f32 planes — gbuffer [depth, visf, nx..nz
@@ -416,7 +457,7 @@ def shade_deferred_pallas(gplanes, sceneset, *, proj, invview,
         pl.BlockSpec((probe_tab.shape[0], 32), full, memory_space=pltpu.VMEM),
     ]
     names = list(PLANE_NAMES)
-    for grp in (SKY_NAMES, FOG_NAMES, OIT_NAMES):
+    for grp in (SKY_NAMES, TR_NAMES, REFR_NAMES, FOG_NAMES, OIT_NAMES):
         if grp[0] in gplanes:
             names += grp
     plane_args = [gplanes[k] for k in names]
@@ -466,4 +507,6 @@ def shade_deferred_pallas(gplanes, sceneset, *, proj, invview,
     )(counts, params, lights, spots, probe_tab, *plane_args, ao,
       *([spotsf[k:k + 1] for k in range(n_maps)] if spotsf is not None
         else []))
+    if planes_out:
+        return hr, hg, hb
     return jnp.stack([hr, hg, hb], axis=-1)

@@ -264,6 +264,106 @@ def spot_factor_quarter(depth, spot_esm, shadowview, *, proj, invview,
     return jnp.where(inside, lit, 1.0)
 
 
+def render_spot_maps_parabolic(world_pos, tris, spotview_rigid, spot_far,
+                               n_maps, *, res=256, bin_capacity=128,
+                               big_capacity=32):
+    """Parabolic spot shadow maps (reference: data/transform.inc:187
+    map_parabolic + src/renderer/spotmap.cpp).
+
+    Each caster vertex maps through the paraboloid x' = vx/(L - vz),
+    y' = vy/(L - vz) with depth 1 - L/far (reverse), covering the whole
+    front hemisphere regardless of cone angle — triangle edges stay
+    linear between warped vertices exactly as the reference's
+    vertex-warp + hardware raster does.  All n_maps spots raster into
+    one vertically stacked virtual framebuffer (one binning + launch).
+    """
+    from .common import TILE_W
+    res = max(res, TILE_W)
+    n = n_maps
+    tiles_x = res // raster_ops.TILE_W
+    tiles_y = (res * n) // raster_ops.TILE_H
+    vh = res * n
+    T = tris.shape[0]
+
+    p0 = world_pos[tris[:, 0]].T                              # (3, T)
+    p1 = world_pos[tris[:, 1]].T
+    p2 = world_pos[tris[:, 2]].T
+    shared = ((tris[:, 0] == tris[:, 1]) | (tris[:, 1] == tris[:, 2])
+              | (tris[:, 0] == tris[:, 2]))
+
+    names = ("x", "y", "z", "w")
+    parts = {f"{nm}{j}": [] for nm in names for j in range(3)}
+    valid_parts = []
+    for s in range(n):
+        m = spotview_rigid[s]
+        far = jnp.maximum(spot_far[s], 1e-3)
+        off = (2.0 * s - (n - 1)) / n
+        corner_ok = []
+        for j, p in enumerate((p0, p1, p2)):
+            vx = m[0, 0] * p[0] + m[0, 1] * p[1] + m[0, 2] * p[2] + m[0, 3]
+            vy = m[1, 0] * p[0] + m[1, 1] * p[1] + m[1, 2] * p[2] + m[1, 3]
+            vz = m[2, 0] * p[0] + m[2, 1] * p[1] + m[2, 2] * p[2] + m[2, 3]
+            L = jnp.sqrt(jnp.maximum(vx * vx + vy * vy + vz * vz, 1e-12))
+            denom = jnp.maximum(L - vz, 1e-6)
+            px = vx / denom
+            py = vy / denom
+            parts[f"x{j}"].append(px)
+            parts[f"y{j}"].append(py * (1.0 / n) + off)
+            parts[f"z{j}"].append(1.0 - L / far)
+            parts[f"w{j}"].append(jnp.ones_like(px))
+            # reject corners near the paraboloid singularity (behind
+            # the light): the warp folds there
+            corner_ok.append(vz < 0.6 * L)
+        valid_parts.append(corner_ok[0] & corner_ok[1] & corner_ok[2])
+    comps = {k: jnp.concatenate(v) for k, v in parts.items()}
+    shared_all = jnp.tile(shared, n)
+    tri_valid = jnp.concatenate(valid_parts)
+
+    band = jnp.arange(n * T, dtype=jnp.int32) // T
+    band_lo = -1.0 + band.astype(jnp.float32) * (2.0 / n)
+    setup = raster_ops.triangle_setup_comps(
+        comps, shared_all, res, vh, tiles_x, tiles_y, cull=0, max_span=4,
+        tri_valid=tri_valid, ylim=(band_lo, band_lo + 2.0 / n))
+    bins, counts, big = raster_ops.bin_triangles(
+        setup, n * T, tiles_x, tiles_y, bin_capacity, big_capacity,
+        max_span=4, depth_prio=jnp.clip(setup["zmax"], 0.0, 1.0))
+    from .raster_pallas import raster_depth_pallas
+    depth = raster_depth_pallas(setup, bins, big, counts, tiles_x, tiles_y,
+                                res, vh)
+    return depth.reshape(n, res, res)
+
+
+def spot_factor_quarter_parabolic(depth, spot_esm, view_rigid, far, *,
+                                  proj, invview, scale=4):
+    """Quarter-res parabolic spot factor from its ESM map."""
+    from .blur import downsample_pool
+    from .lighting_pass import reconstruct_positions
+
+    res = spot_esm.shape[0]
+    dq = downsample_pool(depth, scale, reduce="first")
+    h4, w4 = dq.shape
+    _, wpos = reconstruct_positions(dq, proj, invview, w4, h4)
+    m = view_rigid
+    vx = wpos @ m[0, :3] + m[0, 3]
+    vy = wpos @ m[1, :3] + m[1, 3]
+    vz = wpos @ m[2, :3] + m[2, 3]
+    L = jnp.sqrt(jnp.maximum(vx * vx + vy * vy + vz * vz, 1e-12))
+    denom = jnp.maximum(L - vz, 1e-6)
+    px = vx / denom
+    py = vy / denom
+    ref = 1.0 - L / jnp.maximum(far, 1e-3)
+    inside = (px * px + py * py < 0.96) & (ref > 0) & (ref < 1) \
+        & (vz < 0.6 * L)
+    u = px * 0.5 + 0.5
+    v = py * 0.5 + 0.5
+    xi = jnp.clip((u * res).astype(jnp.int32), 0, res - 1)
+    yi = jnp.clip((v * res).astype(jnp.int32), 0, res - 1)
+    tap = spot_esm.reshape(-1)[yi * res + xi]
+    lit = jnp.clip(tap * jnp.exp(jnp.clip(SPOT_ESM_C * ref, 0.0, 30.0)),
+                   0.0, 1.0)
+    return jnp.where(inside, lit, 1.0)
+
+
 def render_spot_maps(world_pos, tris, spotview, n_maps, *, res=256,
                      bin_capacity=128, big_capacity=32, use_pallas=False):
     """Depth maps for the first n_maps spot lights (reference:

@@ -145,6 +145,7 @@ class RenderContext:
         self.mat_roughness = np.ones(max_materials, np.float32)
         self.mat_reflectivity = np.full(max_materials, 0.5, np.float32)
         self.mat_emissive = np.zeros(max_materials, np.float32)
+        self.mat_absorb = np.zeros(max_materials, np.float32)
         self.mat_albedomap = np.zeros(max_materials, np.int32)
         self.mat_surfacemap = np.full(max_materials, TEX_UNIT_SURFACE, np.int32)
         self.mat_normalmap = np.full(max_materials, TEX_FLAT_NORMAL, np.int32)
@@ -215,8 +216,10 @@ class RenderContext:
     # --- resources --------------------------------------------------------
     def add_material(self, color=(1, 1, 1, 1), metalness=0.0, roughness=1.0,
                      reflectivity=0.5, emissive=0.0, albedomap=TEX_WHITE,
-                     surfacemap=TEX_UNIT_SURFACE, normalmap=TEX_FLAT_NORMAL) -> int:
+                     surfacemap=TEX_UNIT_SURFACE, normalmap=TEX_FLAT_NORMAL,
+                     absorb=0.0) -> int:
         i = self.n_materials
+        self.mat_absorb[i] = absorb
         self.mat_color[i] = color
         self.mat_metalness[i] = metalness
         self.mat_roughness[i] = roughness
@@ -293,14 +296,15 @@ class RenderContext:
                 self._rebuild_matmaps(self._device)
 
     def add_water_material(self, color=(1, 1, 1, 1), metalness=0.0,
-                           roughness=0.08, reflectivity=0.9, **lut_kw) -> int:
+                           roughness=0.08, reflectivity=0.9, absorb=0.35,
+                           **lut_kw) -> int:
         """Water material: procedural (depth, facing) color LUT as the
         albedo map; ocean vertices carry LUT coords (reference:
         data/ocean.frag albedo lookup + core Ocean material asset)."""
         from ..ops.ocean import water_color_lut
         tex = self.add_texture(water_color_lut(**lut_kw))
         return self.add_material(color=color, metalness=metalness,
-                                 roughness=roughness,
+                                 roughness=roughness, absorb=absorb,
                                  reflectivity=reflectivity, albedomap=tex)
 
     # --- device state -----------------------------------------------------
@@ -378,15 +382,17 @@ class RenderContext:
         # combined per-material row for the raster packer: ONE gather
         # fetches color+params+map ids (per-op gather overhead dominates
         # small lookups on TPU)
-        packed10 = np.concatenate([
+        packed12 = np.concatenate([
             self.mat_color[:, :3],
             self.mat_emissive[:, None], self.mat_metalness[:, None],
             self.mat_roughness[:, None], self.mat_reflectivity[:, None],
             self.mat_albedomap[:, None].astype(np.float32),
             base_full[:, None].astype(np.float32),
-            size_full[:, None].astype(np.float32)], axis=1)
+            size_full[:, None].astype(np.float32),
+            self.mat_absorb[:, None],
+            np.zeros((len(base_full), 1), np.float32)], axis=1)
         mats = dict(device.get("materials", {}))
-        mats["packed10"] = jnp.asarray(packed10.astype(np.float32))
+        mats["packed10"] = jnp.asarray(packed12.astype(np.float32))
         device["materials"] = mats
 
     def expand_host(self, draws):

@@ -133,19 +133,16 @@ def expand_draws(geom, draw_mesh, draw_count, max_v, max_t):
                 tris=tris, tri_draw=tri_draw, t_valid=t_valid)
 
 
-def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
-                       worldp, ex, w, h):
-    """Assemble full-res gbuffer/env planes and launch the deferred-
-    shade megakernel (ops/shade_pallas.py).  Returns (hdr, mask,
-    gbuffer-or-None)."""
+def _assemble_gplanes(cfg, planes, device, sceneset, ibl, shadowmaps, w, h):
+    """Material + environment + sun-shadow plane assembly for ONE layer
+    of raster output (opaque or the lit translucent layer).  Returns
+    (gpl dict for the shade megakernel, coverage mask)."""
     from ..ops import brdf
     from ..ops.blur import downsample_pool, resize_up_dense
     from ..ops.lighting_pass import reconstruct_positions
     from ..ops.sampling import sample_cubemap_lod_quad
     from ..ops.shade import sample_matmaps
-    from ..ops.shade_pallas import shade_deferred_pallas
-    from ..ops.shadow import (build_spot_esm, render_spot_maps,
-                              spot_factor_quarter, sun_shadow_factor_quarter)
+    from ..ops.shadow import sun_shadow_factor_quarter
 
     depth = planes["depth"]
     mask = planes["visf"] >= 0.0
@@ -249,6 +246,24 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
         gpl["sf"] = resize_up_dense(sfq, h, w)
     else:
         gpl["sf"] = jnp.ones((h, w), jnp.float32)
+    return gpl, mask
+
+
+def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
+                       worldp, ex, w, h, geom=None):
+    """Assemble per-layer planes and launch the deferred-shade
+    megakernel (ops/shade_pallas.py).  Returns (hdr, mask,
+    gbuffer-or-None)."""
+    from ..ops import brdf
+    from ..ops.blur import downsample_pool, resize_up_dense
+    from ..ops.shade_pallas import shade_deferred_pallas
+    from ..ops.shadow import (build_spot_esm, render_spot_maps,
+                              spot_factor_quarter)
+
+    depth = planes["depth"]
+    proj, invview = sceneset["proj"], sceneset["invview"]
+    gpl, mask = _assemble_gplanes(cfg, planes, device, sceneset, ibl,
+                                  shadowmaps, w, h)
 
     # ---- optional SSAO feeding the kernel's ambient term
     ao_img = None
@@ -268,18 +283,45 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
     # ---- spot shadow factors (quarter res, ESM-softened)
     spotsf = None
     if cfg.max_spot_shadows > 0:
-        spotmaps = render_spot_maps(
-            worldp, ex["tris"], sceneset["spotlights"]["shadowview"],
-            cfg.max_spot_shadows, res=cfg.spot_shadow_res,
-            bin_capacity=cfg.shadow_bin_capacity,
-            big_capacity=cfg.big_capacity, use_pallas=True)
-        sesm = build_spot_esm(spotmaps)
-        spotsf = jnp.stack([
-            resize_up_dense(
-                spot_factor_quarter(depth, sesm[i],
-                                    sceneset["spotlights"]["shadowview"][i],
-                                    proj=proj, invview=invview), h, w)
-            for i in range(cfg.max_spot_shadows)])
+        sl_ = sceneset["spotlights"]
+        if cfg.spot_shadow_mode == "parabolic":
+            from ..ops.shadow import (render_spot_maps_parabolic,
+                                      spot_factor_quarter_parabolic)
+            spotmaps = render_spot_maps_parabolic(
+                worldp, ex["tris"], sl_["view"], sl_["attenuation"][:, 3],
+                cfg.max_spot_shadows, res=cfg.spot_shadow_res,
+                bin_capacity=cfg.shadow_bin_capacity,
+                big_capacity=cfg.big_capacity)
+            sesm = build_spot_esm(spotmaps)
+            spotsf = jnp.stack([
+                resize_up_dense(
+                    spot_factor_quarter_parabolic(
+                        depth, sesm[i], sl_["view"][i],
+                        sl_["attenuation"][i, 3], proj=proj,
+                        invview=invview), h, w)
+                for i in range(cfg.max_spot_shadows)])
+        else:
+            spotmaps = render_spot_maps(
+                worldp, ex["tris"], sl_["shadowview"],
+                cfg.max_spot_shadows, res=cfg.spot_shadow_res,
+                bin_capacity=cfg.shadow_bin_capacity,
+                big_capacity=cfg.big_capacity, use_pallas=True)
+            sesm = build_spot_esm(spotmaps)
+            spotsf = jnp.stack([
+                resize_up_dense(
+                    spot_factor_quarter(depth, sesm[i],
+                                        sl_["shadowview"][i],
+                                        proj=proj, invview=invview), h, w)
+                for i in range(cfg.max_spot_shadows)])
+
+    ss2 = dict(sceneset)
+    if ibl is not None:
+        ss2["_sh"] = ibl["sh"]
+    else:
+        # DC-only SH reproducing the constant-ambient fallback:
+        # basis0 * c0 / pi = 0.2  =>  c0 = 0.2 * pi / 0.886227
+        sh0 = jnp.zeros((9, 3), jnp.float32).at[0, :].set(0.70898)
+        ss2["_sh"] = sh0
 
     # ---- epilogue inputs: sky, volumetric fog, WBOIT — folded into the
     # kernel's final blend (each is ~10 separate full-res XLA ops
@@ -315,6 +357,76 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
         gpl["fog_r"], gpl["fog_g"], gpl["fog_b"], gpl["fog_t"] = \
             fr_, fg_, fb_, ft_
 
+    # ---- lit translucent layer: the nearest translucent surface gets
+    # the FULL deferred shade (env + SH + shadowed sun + light loops) via
+    # a second raster + megakernel invocation, composited in the main
+    # kernel's epilogue between sky and fog (reference:
+    # data/translucent.frag — clustered-forward shading; our divergence:
+    # layers beyond the nearest blend without per-layer lighting)
+    if cfg.max_translucent_draws > 0 and cfg.translucent_lit:
+        from ..ops.geometry import transform_vertices_rigid
+        from ..ops.raster_pallas import raster_shade_pallas
+
+        if geom is None:
+            geom = device["geometry"]
+        viewproj_t = (proj @ sceneset["view"]).astype(jnp.float32)
+        td = draws["translucent"]
+        tex2 = expand_draws(geom, td["mesh"], td["count"],
+                            cfg.max_vertices, cfg.max_translucent_tris)
+        tpos = geom["positions"][tex2["src_v"]]
+        tclip, twn, twt, _ = transform_vertices_rigid(
+            tpos, geom["normals"][tex2["src_v"]],
+            geom["tangents"][tex2["src_v"]], tex2["vtx_draw"],
+            td["world"], viewproj_t)
+        tuv = geom["texcoords"][tex2["src_v"]]
+        tmat = td["material"][tex2["tri_draw"]]
+        tx_, ty_ = cfg.tiles_x, cfg.tiles_y
+        tsetup = raster_ops.triangle_setup(tclip, tex2["tris"], w, h,
+                                           tx_, ty_, cull=0,
+                                           tri_valid=tex2["t_valid"])
+        tbins, tcounts, tbig = raster_ops.bin_triangles(
+            tsetup, cfg.max_translucent_tris, tx_, ty_, cfg.bin_capacity,
+            cfg.big_capacity)
+        planes_t = raster_shade_pallas(
+            tsetup, tbins, tbig, tcounts, tex2["tris"], tuv, twn, tmat,
+            device["materials"], tx_, ty_, w, h, tangent=twt,
+            matmaps=device["matmaps"], planes_2d=True, alpha_in_alb=True)
+        # only keep fragments nearer than the opaque surface
+        visf_t = jnp.where(planes_t["depth"] > depth, planes_t["visf"], -1.0)
+        planes_t = dict(planes_t, visf=visf_t)
+        gpl_t, mask_t = _assemble_gplanes(cfg, planes_t, device, sceneset,
+                                          ibl, shadowmaps, w, h)
+        tr = shade_deferred_pallas(gpl_t, ss2, proj=proj, invview=invview,
+                                   planes_out=True)
+        # depth-aware transmission (reference: data/water.frag shallow
+        # fade): absorb > 0 materials blend by the water column between
+        # the surface and the opaque floor along the view ray
+        def _dist(d):
+            dn = d + proj[2, 2]
+            return proj[2, 3] / jnp.where(jnp.abs(dn) < 1e-7, 1e-7, dn)
+
+        mkt = mask_t.astype(jnp.float32)
+        a_mat = jnp.clip(planes_t["alb"], 0.0, 1.0)
+        absorb = planes_t["absorb"]
+        column = jnp.maximum(_dist(depth) - _dist(planes_t["depth"]), 0.0)
+        a_depth = 1.0 - (1.0 - a_mat) * jnp.exp(-absorb * column)
+        alpha_t = jnp.where(absorb > 0, a_depth, a_mat) * mkt
+        gpl["tr_r"], gpl["tr_g"], gpl["tr_b"] = tr
+        gpl["tr_a"] = alpha_t
+        # refraction offsets (pixels): view-space normal xy scaled by
+        # the surface distance; only absorbing (water-like) surfaces
+        v_ = sceneset["view"]
+        nvx = (v_[0, 0] * gpl_t["nx"] + v_[0, 1] * gpl_t["ny"]
+               + v_[0, 2] * gpl_t["nz"])
+        nvy = (v_[1, 0] * gpl_t["nx"] + v_[1, 1] * gpl_t["ny"]
+               + v_[1, 2] * gpl_t["nz"])
+        refr_k = 90.0 / jnp.maximum(_dist(planes_t["depth"]), 1.0)
+        on_refr = (absorb > 0) & mask_t
+        gpl["tr_ox"] = jnp.where(on_refr,
+                                 jnp.clip(nvx * refr_k, -9.0, 9.0), 0.0)
+        gpl["tr_oy"] = jnp.where(on_refr,
+                                 jnp.clip(nvy * refr_k, -9.0, 9.0), 0.0)
+
     if cfg.max_translucent_draws > 0 or cfg.max_particle_quads > 0:
         from ..ops.raster_pallas import raster_blend_pallas
         from .renderlist import RenderList
@@ -322,8 +434,9 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
         viewproj = (proj @ sceneset["view"]).astype(jnp.float32)
         zero = jnp.zeros((h, w), jnp.float32)
         acc5 = [zero, zero, zero, zero, 1.0 - zero]
-        geom = device["geometry"]
-        if cfg.max_translucent_draws > 0:
+        if geom is None:
+            geom = device["geometry"]
+        if cfg.max_translucent_draws > 0 and not cfg.translucent_lit:
             td = draws["translucent"]
             tex2 = expand_draws(geom, td["mesh"], td["count"],
                                 cfg.max_vertices, cfg.max_translucent_tris)
@@ -367,26 +480,20 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
         (gpl["oit_r"], gpl["oit_g"], gpl["oit_b"], gpl["oit_w"],
          gpl["oit_rev"]) = acc5
 
-    ss2 = dict(sceneset)
-    if ibl is not None:
-        ss2["_sh"] = ibl["sh"]
-    else:
-        # DC-only SH reproducing the constant-ambient fallback:
-        # basis0 * c0 / pi = 0.2  =>  c0 = 0.2 * pi / 0.886227
-        sh0 = jnp.zeros((9, 3), jnp.float32).at[0, :].set(0.70898)
-        ss2["_sh"] = sh0
     hdr = shade_deferred_pallas(gpl, ss2, proj=proj, invview=invview,
                                 ao=ao_img, spotsf=spotsf)
 
     gbuffer = None
     if cfg.enable_ssr:
         # minimal gbuffer for the SSR pass
+        sn3 = jnp.stack([gpl["nx"], gpl["ny"], gpl["nz"]], -1)
         gbuffer = dict(
-            normal=jnp.concatenate([sn * 0.5 + 0.5,
+            normal=jnp.concatenate([sn3 * 0.5 + 0.5,
                                     jnp.zeros_like(depth)[..., None]], -1),
-            specular=jnp.stack([gpl["sr"], gpl["sg"], gpl["sb"], rough], -1),
+            specular=jnp.stack([gpl["sr"], gpl["sg"], gpl["sb"],
+                                gpl["rgh"]], -1),
             diffuse=jnp.stack([gpl["dr"], gpl["dg"], gpl["db"],
-                               planes["em"]], -1),
+                               gpl["em"]], -1),
             mask=mask,
         )
     return hdr, mask, gbuffer
@@ -535,7 +642,7 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
         vis = jnp.round(planes["visf"]).astype(jnp.int32)
         hdr, mask, gbuffer = _shade_with_kernel(
             cfg, planes, device, sceneset, draws, ibl, shadowmaps,
-            worldp, ex, w, h)
+            worldp, ex, w, h, geom=geom)
     elif cfg.use_pallas and (not cfg.enable_material_maps or fused_mip):
         # fused raster + attribute/material interpolation: no per-pixel
         # attribute gathers at all (gather throughput is the TPU wall);

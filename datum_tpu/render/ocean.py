@@ -119,8 +119,15 @@ class Ocean:
                     count=np.int32(self.vertexcount))
 
 
-def render_ocean_surface(ocean: Ocean, renderlist, transform, material):
+def render_ocean_surface(ocean: Ocean, renderlist, transform, material,
+                         translucent=False):
     """Queue the ocean for this frame (reference: render_ocean_surface +
-    geometrylist push_ocean)."""
-    renderlist.push_mesh(ocean.mesh, transform, material)
+    geometrylist push_ocean).  translucent routes the surface through
+    the lit-translucent layer (full shade + depth-aware transmission +
+    refraction — reference data/water.frag); opaque is the deep-ocean
+    path."""
+    if translucent:
+        renderlist.push_translucent(ocean.mesh, transform, material)
+    else:
+        renderlist.push_mesh(ocean.mesh, transform, material)
     renderlist.oceans.append(ocean)

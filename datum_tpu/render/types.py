@@ -18,17 +18,9 @@ from ..ops.common import (
 )
 
 
-def _spot_shadowview(light):
-    """Perspective shadow matrix for one spot light.
-
-    The reference warps vertices parabolically to fit wide cones in one
-    map (reference: spotmap.*.vert + data/transform.inc:187
-    map_parabolic); a perspective projection with fov matched to the
-    cone keeps edge functions linear for the TPU raster and covers the
-    same cutoff range.
-    """
+def _spot_view(light):
+    """World -> light-space rigid view for one spot (forward = -z)."""
     from ..math import Transform
-    from ..math.matrix import perspective_proj
 
     pos = np.asarray(light["position"], np.float32)
     d = np.asarray(light["direction"], np.float32)
@@ -36,7 +28,18 @@ def _spot_shadowview(light):
     up = np.array([0.0, 1.0, 0.0], np.float32)
     if abs(float(np.dot(d, up))) > 0.99:
         up = np.array([1.0, 0.0, 0.0], np.float32)
-    view = Transform.lookat(pos, pos + d, up).inverse().matrix()
+    return Transform.lookat(pos, pos + d, up).inverse().matrix().astype(
+        np.float32)
+
+
+def _spot_shadowview(light):
+    """Perspective shadow matrix for one spot light (legacy XLA path;
+    the pallas path uses the parabolic warp from the rigid view —
+    reference: spotmap.*.vert + data/transform.inc:187 map_parabolic).
+    """
+    from ..math.matrix import perspective_proj
+
+    view = _spot_view(light)
     half = np.arccos(np.clip(light["cutoff"], -0.999, 0.999))
     fov = np.clip(2.2 * half, 0.2, 2.8)
     zfar = float(light["attenuation"][3]) or 50.0
@@ -125,6 +128,7 @@ def make_sceneset(camera, params: RenderParams, *, point_lights=(), spot_lights=
     sl_dir[:, 1] = -1
     sl_cut = np.zeros((n_spot,), np.float32)
     sl_view = np.tile(np.eye(4, dtype=np.float32), (n_spot, 1, 1))
+    sl_rigid = np.tile(np.eye(4, dtype=np.float32), (n_spot, 1, 1))
     for i, l in enumerate(spot_lights[:n_spot]):
         sl_pos[i] = l["position"]
         sl_int[i] = l["intensity"]
@@ -132,6 +136,7 @@ def make_sceneset(camera, params: RenderParams, *, point_lights=(), spot_lights=
         sl_dir[i] = l["direction"]
         sl_cut[i] = l["cutoff"]
         sl_view[i] = _spot_shadowview(l)
+        sl_rigid[i] = _spot_view(l)
 
     return dict(
         proj=proj.astype(np.float32),
@@ -159,6 +164,7 @@ def make_sceneset(camera, params: RenderParams, *, point_lights=(), spot_lights=
         spotlights=dict(
             position=sl_pos, intensity=sl_int, attenuation=sl_att,
             direction=sl_dir, cutoff=sl_cut, shadowview=sl_view,
+            view=sl_rigid,
             count=np.int32(min(len(spot_lights), n_spot)),
         ),
         probes=_probes(probes, n_probe),

@@ -33,6 +33,14 @@ class Water(Ocean):
                          params=params, material=material)
 
 
-def push_water(renderlist, water: Water, transform, material):
-    """Queue a water surface (reference: forwardlist.h:65-67)."""
-    render_ocean_surface(water, renderlist, transform, material)
+def push_water(renderlist, water: Water, transform, material,
+               translucent=False):
+    """Queue a water surface (reference: forwardlist.h:65-67).
+
+    With translucent=True the surface goes through the lit-translucent
+    layer: full deferred shade + depth-aware transmission + quantized
+    refraction of the background (the megakernel path; reference:
+    data/water.frag).  Requires FrameConfig.max_translucent_draws > 0.
+    """
+    render_ocean_surface(water, renderlist, transform, material,
+                         translucent=translucent)

@@ -229,3 +229,79 @@ def test_frame_with_megakernel_matches_xla_frame():
 
     rmse = float(np.sqrt(np.mean((imgs[True] - imgs[False]) ** 2)))
     assert rmse < 0.02, f"megakernel vs XLA frame RMSE {rmse}"
+
+
+def test_lit_translucent_layer_and_water_absorb():
+    """The megakernel path shades the nearest translucent layer with the
+    full BRDF and applies depth-aware transmission for absorbing
+    (water-like) materials."""
+    import functools
+    import datum_tpu.ops.raster_pallas as rp
+    import datum_tpu.ops.shade_pallas as sp
+    from datum_tpu.ops.common import FrameConfig
+    from datum_tpu.render import (Camera, RenderContext, RenderList,
+                                  RenderParams, primitives)
+    from datum_tpu.math import Transform
+
+    orig_r = rp.raster_shade_pallas
+    orig_s = sp.shade_deferred_pallas
+    orig_b = rp.raster_blend_pallas
+    orig_d = rp.raster_depth_pallas
+    rp.raster_shade_pallas = functools.partial(orig_r, interpret=True)
+    sp.shade_deferred_pallas = functools.partial(orig_s, interpret=True)
+    rp.raster_blend_pallas = functools.partial(orig_b, interpret=True)
+    rp.raster_depth_pallas = functools.partial(orig_d, interpret=True)
+    try:
+        imgs = {}
+        for lit in (True, False):
+            cfg = FrameConfig(width=256, height=128, max_vertices=8192,
+                              max_triangles=8192, max_instances=8,
+                              bin_capacity=128, big_capacity=16,
+                              enable_shadows=False,
+                              enable_material_maps=True,
+                              texture_filter="mip_half", use_pallas=True,
+                              max_translucent_draws=4,
+                              translucent_lit=lit)
+            ctx = RenderContext(cfg)
+            pv, pi = primitives.plane(20.0, 4.0)
+            floor = ctx.add_mesh(pv, pi)
+            sv, si = primitives.unit_sphere(12, 6)
+            sphere = ctx.add_mesh(sv, si)
+            red = ctx.add_material(color=(0.8, 0.1, 0.1, 1), roughness=0.7)
+            water = ctx.add_material(color=(0.2, 0.5, 0.7, 0.15),
+                                     roughness=0.1, reflectivity=0.8,
+                                     absorb=0.5)
+            cam = Camera()
+            cam.set_projection(np.radians(60), 2.0)
+            cam.lookat(np.array([0.0, 3.5, 8.0]), np.array([0.0, 0.5, 0.0]),
+                       np.array([0.0, 1.0, 0.0]))
+            params = RenderParams(width=256, height=128)
+            params.sunintensity = np.array([4.0, 4.0, 3.8], np.float32)
+            rl = RenderList()
+            rl.push_mesh(floor, Transform.identity(), red)
+            rl.push_translucent(sphere,
+                                Transform.translation([0.0, 1.2, 2.0]),
+                                water)
+            draws = rl.draw_arrays(cfg.max_instances, ctx.default_material)
+            ctx.expand_host(draws)
+            draws["translucent"] = rl.translucent_arrays(
+                cfg.max_translucent_draws, ctx.default_material)
+            from datum_tpu.render import frame as frame_mod
+            from datum_tpu.render.types import make_sceneset
+            ss = make_sceneset(cam, params)
+            out = frame_mod.render_frame(cfg, ctx.device_state(), draws, ss)
+            imgs[lit] = np.asarray(out["image"]).astype(np.float32)
+    finally:
+        rp.raster_shade_pallas = orig_r
+        sp.shade_deferred_pallas = orig_s
+        rp.raster_blend_pallas = orig_b
+        rp.raster_depth_pallas = orig_d
+
+    a, b = imgs[True], imgs[False]
+    assert np.isfinite(a).all()
+    # the translucent sphere region must be shaded differently by the
+    # lit layer (specular/sun variation vs flat unlit tint)
+    diff = np.abs(a - b).mean(-1)
+    assert (diff > 8).mean() > 0.005, f"lit layer changed {(diff>8).mean()}"
+    # the sphere must not vanish in either mode
+    assert a[40:90, 100:160].std() > 4
