@@ -66,10 +66,35 @@ def tile_frustum_planes(view, proj, tiles_x, tiles_y, width, height):
     return jnp.concatenate([n_w, d[..., None]], -1)           # (T, 4, 4)
 
 
+def tile_depth_bounds(depth, proj, tiles_x, tiles_y):
+    """Per-tile view-distance interval from the depth plane.
+
+    The practical equivalent of the reference's 24-way cluster z-slicing
+    (reference: data/lighting.inc:127-137): instead of pre-slicing depth
+    into fixed bins, each screen tile culls lights against its ACTUAL
+    depth range — tighter than fixed slices for the same purpose
+    (skipping lights that only overlap the tile's 2D footprint).
+    Returns (zmin (n_tiles,), zmax (n_tiles,)) distances along forward.
+    """
+    from jax import lax
+
+    denom = depth + proj[2, 2]
+    dist = proj[2, 3] / jnp.where(jnp.abs(denom) < 1e-7, 1e-7, denom)
+    dist = jnp.clip(dist, 0.0, 1e7)          # background -> huge
+    zmin = -lax.reduce_window(-dist, -jnp.inf, lax.max,
+                              (TILE_H, TILE_W), (TILE_H, TILE_W), "VALID")
+    zmax = lax.reduce_window(dist, -jnp.inf, lax.max,
+                             (TILE_H, TILE_W), (TILE_H, TILE_W), "VALID")
+    return zmin.reshape(-1), zmax.reshape(-1)
+
+
 def bin_lights(light_pos, light_range, count, view, proj, tiles_x, tiles_y,
-               width, height, capacity):
+               width, height, capacity, tile_zrange=None):
     """Per-tile light lists.
 
+    tile_zrange: optional (zmin, zmax) per-tile view-distance bounds
+    (tile_depth_bounds) — lights outside a tile's depth interval are
+    culled (the z-refinement the reference gets from cluster z-slices).
     Returns (lists (n_tiles, capacity) int32 light ids (-1 pad),
     counts (n_tiles,)).
     """
@@ -81,6 +106,13 @@ def bin_lights(light_pos, light_range, count, view, proj, tiles_x, tiles_y,
     hit = jnp.all(dist >= -light_range[None, None, :], axis=1)     # (T, L)
     active = jnp.arange(n_lights) < count
     hit = hit & active[None, :]
+
+    if tile_zrange is not None:
+        zmin, zmax = tile_zrange
+        # light distance along the camera forward axis (-view z)
+        dl = -(light_pos @ view[2, :3] + view[2, 3])               # (L,)
+        hit = hit & (dl[None, :] + light_range[None, :] >= zmin[:, None]) \
+            & (dl[None, :] - light_range[None, :] <= zmax[:, None])
 
     order = jnp.argsort(~hit, axis=1, stable=True)                 # hits first
     lists = jnp.where(

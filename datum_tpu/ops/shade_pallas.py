@@ -143,9 +143,10 @@ OIT_NAMES = ["oit_r", "oit_g", "oit_b", "oit_w", "oit_rev"]
 
 
 def _shade_kernel(counts_ref, params_ref, lights_ref, spots_ref, probes_ref,
-                  plane_refs, ao_ref, spotsf_refs,
+                  plane_refs, ao_ref, spotsf_refs, cluster_refs,
                   hr_ref, hg_ref, hb_ref,
-                  *, W, H, point_chunk, with_ao, n_probes, names):
+                  *, W, H, point_chunk, with_ao, n_probes, names,
+                  n_subtiles=0):
     i = pl.program_id(0)
     P = params_ref
     g = dict(zip(names, [r[...] for r in plane_refs]))
@@ -265,27 +266,70 @@ def _shade_kernel(counts_ref, params_ref, lights_ref, spots_ref, probes_ref,
     spc_acc = tuple(s + wsun * INV_PI * fi * si
                     for s, fi, si in zip(spc_acc, fr, sun_i))
 
-    # ---- point lights: chunked loop, VMEM accumulators
-    n_point = counts_ref[0]
+    # ---- point lights
+    if n_subtiles > 0:
+        # clustered: each 128-lane sub-tile walks ITS binned light list
+        # (depth-bounds-culled outside) — cost scales with actual
+        # overlap, not the global light count (reference: lighting.comp
+        # cluster-mask loops)
+        lists_ref, ccounts_ref = cluster_refs
+        dparts = [[], [], []]
+        sparts = [[], [], []]
+        for k in range(n_subtiles):
+            sl = slice(k * 128, (k + 1) * 128)
+            wp_k = tuple(v[:, sl] for v in worldp)
+            nr_k = tuple(v[:, sl] for v in nrm)
+            eye_k = tuple(v[:, sl] for v in eye)
+            spec_k = tuple(v[:, sl] for v in spec_col)
+            alpha_k = alpha[:, sl]
+            da0 = tuple(v[:, sl] for v in dif_acc)
+            sa0 = tuple(v[:, sl] for v in spc_acc)
 
-    def chunk_body(c, acc):
-        da, sa = acc
-        for j in range(point_chunk):
-            idx = c * point_chunk + j
-            lp = (lights_ref[idx, 0], lights_ref[idx, 1], lights_ref[idx, 2])
-            li = (lights_ref[idx, 3], lights_ref[idx, 4], lights_ref[idx, 5])
-            la = (lights_ref[idx, 6], lights_ref[idx, 7], lights_ref[idx, 8],
-                  lights_ref[idx, 9])
-            on = (idx < n_point).astype(jnp.float32)
-            d_i, s_i = _eval_light(worldp, nrm, eye, spec_col, alpha,
-                                   lp, li, la)
-            da = tuple(a + on * d for a, d in zip(da, d_i))
-            sa = tuple(a + on * s for a, s in zip(sa, s_i))
-        return (da, sa)
+            def cbody(j, acc, _k=k, _wp=wp_k, _nr=nr_k, _eye=eye_k,
+                      _spec=spec_k, _alpha=alpha_k):
+                da_, sa_ = acc
+                li_ = lists_ref[0, j, _k]
+                lp = (lights_ref[li_, 0], lights_ref[li_, 1],
+                      lights_ref[li_, 2])
+                lint = (lights_ref[li_, 3], lights_ref[li_, 4],
+                        lights_ref[li_, 5])
+                la = (lights_ref[li_, 6], lights_ref[li_, 7],
+                      lights_ref[li_, 8], lights_ref[li_, 9])
+                d_i, s_i = _eval_light(_wp, _nr, _eye, _spec, _alpha,
+                                       lp, lint, la)
+                return (tuple(a + d for a, d in zip(da_, d_i)),
+                        tuple(a + s for a, s in zip(sa_, s_i)))
 
-    nchunks = (n_point + point_chunk - 1) // point_chunk
-    dif_acc, spc_acc = jax.lax.fori_loop(0, nchunks, chunk_body,
-                                         (dif_acc, spc_acc))
+            da_k, sa_k = jax.lax.fori_loop(0, ccounts_ref[0, 0, k], cbody,
+                                           (da0, sa0))
+            for c in range(3):
+                dparts[c].append(da_k[c])
+                sparts[c].append(sa_k[c])
+        dif_acc = tuple(jnp.concatenate(dparts[c], axis=1) for c in range(3))
+        spc_acc = tuple(jnp.concatenate(sparts[c], axis=1) for c in range(3))
+    else:
+        n_point = counts_ref[0]
+
+        def chunk_body(c, acc):
+            da, sa = acc
+            for j in range(point_chunk):
+                idx = c * point_chunk + j
+                lp = (lights_ref[idx, 0], lights_ref[idx, 1],
+                      lights_ref[idx, 2])
+                li = (lights_ref[idx, 3], lights_ref[idx, 4],
+                      lights_ref[idx, 5])
+                la = (lights_ref[idx, 6], lights_ref[idx, 7],
+                      lights_ref[idx, 8], lights_ref[idx, 9])
+                on = (idx < n_point).astype(jnp.float32)
+                d_i, s_i = _eval_light(worldp, nrm, eye, spec_col, alpha,
+                                       lp, li, la)
+                da = tuple(a + on * d for a, d in zip(da, d_i))
+                sa = tuple(a + on * s for a, s in zip(sa, s_i))
+            return (da, sa)
+
+        nchunks = (n_point + point_chunk - 1) // point_chunk
+        dif_acc, spc_acc = jax.lax.fori_loop(0, nchunks, chunk_body,
+                                             (dif_acc, spc_acc))
 
     # ---- spot lights: static shadowed slots (factor planes) + dynamic
     # unshadowed remainder
@@ -382,7 +426,7 @@ def _shade_kernel(counts_ref, params_ref, lights_ref, spots_ref, probes_ref,
 
 def shade_deferred_pallas(gplanes, sceneset, *, proj, invview,
                           ao=None, spotsf=None, point_chunk=8,
-                          interpret=False, planes_out=False):
+                          interpret=False, planes_out=False, clusters=None):
     """Launch the deferred-shade megakernel.
 
     gplanes: dict of (H, W) f32 planes — gbuffer [depth, visf, nx..nz
@@ -474,6 +518,31 @@ def shade_deferred_pallas(gplanes, sceneset, *, proj, invview,
     in_specs += [pl.BlockSpec((1, SHADE_ROWS, W), lambda i, *_: (0, i, 0),
                               memory_space=pltpu.VMEM)
                  for _ in range(n_maps)]
+    n_subtiles = 0
+    cluster_args = []
+    if clusters is not None:
+        from .common import round_up
+
+        band_lists, band_counts = clusters
+        n_subtiles = band_lists.shape[1]
+        assert n_subtiles * 128 == W, (n_subtiles, W)
+        # layout (band, cap, subtile): the per-light loop index must
+        # ride the SUBLANE axis (Mosaic scalar loads need static lane
+        # positions); pad to (sublane % 8, lane % 128)
+        cap = round_up(band_lists.shape[2], 8)
+        band_lists = jnp.pad(band_lists,
+                             ((0, 0), (0, 128 - n_subtiles),
+                              (0, cap - band_lists.shape[2])))
+        band_lists = jnp.transpose(band_lists, (0, 2, 1))
+        band_counts = jnp.pad(band_counts,
+                              ((0, 0), (0, 128 - n_subtiles)))[:, None, :]
+        in_specs += [
+            pl.BlockSpec((1, cap, 128), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        cluster_args = [band_lists, band_counts]
 
     out_specs = [pl.BlockSpec((SHADE_ROWS, W), band, memory_space=pltpu.VMEM)
                  for _ in range(3)]
@@ -487,13 +556,16 @@ def shade_deferred_pallas(gplanes, sceneset, *, proj, invview,
         plane_refs = rest[:NP]
         ao_ref = rest[NP]
         ssf_refs = rest[NP + 1:NP + 1 + n_maps]
-        outs = rest[NP + 1 + n_maps:]
+        ncl = 2 if n_subtiles else 0
+        cl_refs = rest[NP + 1 + n_maps:NP + 1 + n_maps + ncl] or None
+        outs = rest[NP + 1 + n_maps + ncl:]
         _shade_kernel(counts_ref, params_ref, lights_ref, spots_ref,
                       probes_ref, plane_refs, ao_ref,
-                      [s.at[0] for s in ssf_refs],
+                      [s.at[0] for s in ssf_refs], cl_refs,
                       *outs,
                       W=W, H=H, point_chunk=point_chunk,
-                      with_ao=with_ao, n_probes=n_probes, names=names_t)
+                      with_ao=with_ao, n_probes=n_probes, names=names_t,
+                      n_subtiles=n_subtiles)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -506,7 +578,7 @@ def shade_deferred_pallas(gplanes, sceneset, *, proj, invview,
         interpret=interpret,
     )(counts, params, lights, spots, probe_tab, *plane_args, ao,
       *([spotsf[k:k + 1] for k in range(n_maps)] if spotsf is not None
-        else []))
+        else []), *cluster_args)
     if planes_out:
         return hr, hg, hb
     return jnp.stack([hr, hg, hb], axis=-1)

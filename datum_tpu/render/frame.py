@@ -480,8 +480,27 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
         (gpl["oit_r"], gpl["oit_g"], gpl["oit_b"], gpl["oit_w"],
          gpl["oit_rev"]) = acc5
 
+    clusters = None
+    if cfg.use_light_clusters:
+        # per-tile light lists with depth-bounds culling, consumed by
+        # the kernel's per-sub-tile loops (the reference's cluster
+        # z-slice refinement; ops/cluster.py tile_depth_bounds)
+        from ..ops.cluster import bin_lights, tile_depth_bounds
+        pl_ = sceneset["pointlights"]
+        zb = tile_depth_bounds(depth, proj, cfg.tiles_x, cfg.tiles_y)
+        lists, ccounts = bin_lights(
+            pl_["position"], pl_["attenuation"][:, 3], pl_["count"],
+            sceneset["view"], proj, cfg.tiles_x, cfg.tiles_y, w, h,
+            cfg.tile_light_capacity, tile_zrange=zb)
+        # 16-row shade bands: band b shares tile row b//2's lists
+        tl = lists.reshape(cfg.tiles_y, cfg.tiles_x,
+                           cfg.tile_light_capacity)
+        tc = ccounts.reshape(cfg.tiles_y, cfg.tiles_x)
+        band_lists = jnp.repeat(tl, 2, axis=0)
+        band_counts = jnp.repeat(tc, 2, axis=0)
+        clusters = (band_lists, band_counts)
     hdr = shade_deferred_pallas(gpl, ss2, proj=proj, invview=invview,
-                                ao=ao_img, spotsf=spotsf)
+                                ao=ao_img, spotsf=spotsf, clusters=clusters)
 
     gbuffer = None
     if cfg.enable_ssr:
@@ -624,7 +643,7 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
     # passes (decals) or cluster lists (dense in-kernel loop instead)
     use_shade_kernel = (
         cfg.use_shade_kernel
-        and fused_mip and not cfg.use_light_clusters
+        and fused_mip
         and cfg.max_decals_active == 0
         and (ibl is None or ("sh" in ibl and "flatq" in ibl
                              and ibl.get("envprobes") is None))

@@ -76,3 +76,51 @@ def test_clustered_frame_matches_dense():
     assert a.max() > 5
     diff = np.abs(a - b)
     assert diff.max() <= 2, f"cluster path diverges: max diff {diff.max()}"
+
+
+def test_kernel_clustered_matches_dense_128_lights():
+    """Megakernel clustered lighting (per-sub-tile lists, depth-bounds
+    culled) matches the dense in-kernel loop on a 128-light scene: the
+    range falloff zeroes every culled light exactly."""
+    import functools
+    import numpy as np
+    import datum_tpu.ops.raster_pallas as rp
+    import datum_tpu.ops.shade_pallas as sp
+    from datum_tpu.scenes import datumtest_scene
+    from datum_tpu.render import frame as frame_mod
+    from datum_tpu.render.types import make_sceneset
+
+    orig = (rp.raster_shade_pallas, sp.shade_deferred_pallas,
+            rp.raster_depth_pallas)
+    rp.raster_shade_pallas = functools.partial(orig[0], interpret=True)
+    sp.shade_deferred_pallas = functools.partial(orig[1], interpret=True)
+    rp.raster_depth_pallas = functools.partial(orig[2], interpret=True)
+    try:
+        imgs = {}
+        for clustered in (True, False):
+            ctx, camera, params, make_rl = datumtest_scene(
+                width=256, height=128, sphere_detail=8, grid=(4, 3),
+                n_point_lights=128, max_vertices=8192, max_triangles=8192,
+                max_instances=32, bin_capacity=64, big_capacity=16,
+                use_pallas=True, enable_material_maps=True,
+                texture_filter="mip_half", skybox=False,
+                enable_shadows=False,
+                use_light_clusters=clustered, tile_light_capacity=128)
+            rl = make_rl(0.0)
+            ss = make_sceneset(camera, params,
+                               point_lights=rl.point_lights,
+                               spot_lights=rl.spot_lights)
+            draws = rl.draw_arrays(ctx.config.max_instances,
+                                   ctx.default_material)
+            ctx.expand_host(draws)
+            out = frame_mod.render_frame(ctx.config, ctx.device_state(),
+                                         draws, ss)
+            imgs[clustered] = np.asarray(out["image"]).astype(np.float32)
+    finally:
+        rp.raster_shade_pallas, sp.shade_deferred_pallas, \
+            rp.raster_depth_pallas = orig
+
+    d = np.abs(imgs[True] - imgs[False])
+    assert d.mean() < 0.5 and d.max() <= 2.0, (d.mean(), d.max())
+    # the lights must actually contribute (not a black-frame vacuous pass)
+    assert imgs[True].mean() > 10
