@@ -112,9 +112,14 @@ def _untile4(tiled, tiles_x, tiles_y):
             .transpose(0, 2, 1, 3, 4).reshape(tiles_y * th, tiles_x * tw, c))
 
 
-def resolve_oit(hdr, accum, revealage):
+def resolve_oit(hdr, accum, revealage, exposure=1.0):
     """Composite WBOIT over the opaque HDR image (reference:
-    data/weightblend.frag resolve)."""
-    avg = accum[..., :3] / jnp.maximum(accum[..., 3:4], 1e-5)
+    data/weightblend.frag resolve).
+
+    exposure scales the resolved average color — the reference's forward
+    shaders multiply by scene.exposure before blending into the HDR
+    target.  (Scaling the whole accum would cancel in rgb/weight.)
+    """
+    avg = accum[..., :3] / jnp.maximum(accum[..., 3:4], 1e-5) * exposure
     alpha = 1.0 - revealage
     return hdr * revealage[..., None] + avg * alpha[..., None]

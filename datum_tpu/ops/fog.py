@@ -135,8 +135,13 @@ def _fog_sample(depth, fogvol, proj, *, depth_range, exponent, sample_scale):
     yf = (jnp.arange(hq, dtype=jnp.float32) + 0.5) / hq * fog_h - 0.5
     x0 = jnp.clip(jnp.floor(xf), 0, fog_w - 1).astype(jnp.int32)[None, :]
     y0 = jnp.clip(jnp.floor(yf), 0, fog_h - 1).astype(jnp.int32)[:, None]
-    fx = jnp.clip(xf - jnp.floor(xf), 0.0, 1.0)[None, :, None]
-    fy = jnp.clip(yf - jnp.floor(yf), 0.0, 1.0)[:, None, None]
+    # zero the fraction where the floor was clamped at the low edge, so
+    # border pixels clamp to texel 0 instead of extrapolating toward
+    # texel 1 (same fix as sampling._quad_bilinear)
+    fx = jnp.where(jnp.floor(xf) < 0, 0.0,
+                   jnp.clip(xf - jnp.floor(xf), 0.0, 1.0))[None, :, None]
+    fy = jnp.where(jnp.floor(yf) < 0, 0.0,
+                   jnp.clip(yf - jnp.floor(yf), 0.0, 1.0))[:, None, None]
     cell = y0 * fog_w + x0                               # (hq, wq)
 
     def tap(k):

@@ -137,7 +137,11 @@ PLANE_NAMES = ["depth", "visf", "nx", "ny", "nz", "dr", "dg", "db", "em",
 SKY_NAMES = ["sky_r", "sky_g", "sky_b"]
 TR_NAMES = ["tr_r", "tr_g", "tr_b", "tr_a"]     # lit translucent layer
 REFR_NAMES = ["tr_ox", "tr_oy"]                 # refraction offsets (px)
-REFR_STEPS = (-8, -3, 0, 3, 8)                  # quantized shift ladder
+REFR_STEPS = (-8, -3, 0, 3, 8)                  # quantized shift ladder (x)
+# vertical shifts roll within the 16-row band, so the ladder stays at
+# <= SHADE_ROWS/4: a +-8 step wrapped half the band and fetched color
+# from the opposite band edge on strongly tilted normals
+REFR_STEPS_Y = (-4, -2, 0, 2, 4)
 FOG_NAMES = ["fog_r", "fog_g", "fog_b", "fog_t"]
 OIT_NAMES = ["oit_r", "oit_g", "oit_b", "oit_w", "oit_rev"]
 
@@ -384,25 +388,25 @@ def _shade_kernel(counts_ref, params_ref, lights_ref, spots_ref, probes_ref,
             # gathers, but rolls + selects are dense VPU work.  Applied
             # separably (x then y); band-local wrap is hidden under the
             # translucent surface's own distortion.
-            def _shift_sel(planes_, off, axis):
+            def _shift_sel(planes_, off, axis, steps):
                 n = planes_[0].shape[axis]
                 acc = [jnp.zeros_like(p) for p in planes_]
                 # nearest ladder step per pixel
                 best = jnp.full_like(off, 1e9)
                 pick = jnp.zeros_like(off)
-                for s in REFR_STEPS:
+                for s in steps:
                     d2 = jnp.abs(off - s)
                     pick = jnp.where(d2 < best, jnp.float32(s), pick)
                     best = jnp.minimum(best, d2)
-                for s in REFR_STEPS:
+                for s in steps:
                     m = pick == s
                     sh = (-s) % n
                     for j, p in enumerate(planes_):
                         acc[j] = jnp.where(m, pltpu.roll(p, sh, axis),
                                            acc[j])
                 return acc
-            bg = _shift_sel(bg, g["tr_ox"], 1)
-            bg = _shift_sel(bg, g["tr_oy"], 0)
+            bg = _shift_sel(bg, g["tr_ox"], 1, REFR_STEPS)
+            bg = _shift_sel(bg, g["tr_oy"], 0, REFR_STEPS_Y)
             # only refract where the translucent layer covers
             bg = [jnp.where(g["tr_a"] > 0.0, b, c_)
                   for b, c_ in zip(bg, cols)]

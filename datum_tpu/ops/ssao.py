@@ -87,11 +87,14 @@ def hbao(depth, normal_enc, proj, view, *, params, prev_ao=None, prevview=None,
             hy = jnp.roll(py, (-dy, -dx), axis=(0, 1)) - py
             hz = jnp.roll(pz, (-dy, -dx), axis=(0, 1)) - pz
             hlen = jnp.sqrt(jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-12))
-            occl = (nx * hx + ny * hy + nz * hz) / hlen
+            # out-of-bounds taps wrap via roll; neutralize them entirely
+            # (occl = top -> zero diff, horizon unchanged) so a wrapped
+            # garbage sample can't raise the horizon near borders
+            occl = jnp.where(inb, (nx * hx + ny * hy + nz * hz) / hlen, top)
             diff = jnp.maximum(occl - top, 0.0)
             top = jnp.maximum(occl, top)
             dist = jnp.minimum(hlen / FALLOFF, 1.0)
-            occ_sum = occ_sum + diff * (1.0 - dist * dist) * inb
+            occ_sum = occ_sum + diff * (1.0 - dist * dist)
 
     ao = 1.0 - jnp.minimum(STRENGTH * occ_sum, 1.0)
     ao = jnp.where(covered, ao, 1.0)

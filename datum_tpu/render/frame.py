@@ -424,8 +424,10 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
         on_refr = (absorb > 0) & mask_t
         gpl["tr_ox"] = jnp.where(on_refr,
                                  jnp.clip(nvx * refr_k, -9.0, 9.0), 0.0)
+        # vertical shifts are band-local rolls in the kernel; keep them
+        # within REFR_STEPS_Y's +-4 px range (see shade_pallas)
         gpl["tr_oy"] = jnp.where(on_refr,
-                                 jnp.clip(nvy * refr_k, -9.0, 9.0), 0.0)
+                                 jnp.clip(nvy * refr_k, -4.0, 4.0), 0.0)
 
     if cfg.max_translucent_draws > 0 or cfg.max_particle_quads > 0:
         from ..ops.raster_pallas import raster_blend_pallas
@@ -477,8 +479,14 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
                                      depth, tx_, ty_, w, h, planes=True)
             acc5 = [a + b for a, b in zip(acc5[:4], f5[:4])] + \
                 [acc5[4] * f5[4]]
-        (gpl["oit_r"], gpl["oit_g"], gpl["oit_b"], gpl["oit_w"],
-         gpl["oit_rev"]) = acc5
+        # exposure on the color accumulators only (not the weight): the
+        # kernel's resolve is rgb/weight — matching resolve_oit's
+        # exposed average (reference forward shaders multiply by
+        # scene.exposure before blending)
+        exp_ = sceneset["camera"]["exposure"]
+        (gpl["oit_r"], gpl["oit_g"], gpl["oit_b"]) = \
+            (acc5[0] * exp_, acc5[1] * exp_, acc5[2] * exp_)
+        gpl["oit_w"], gpl["oit_rev"] = acc5[3], acc5[4]
 
     clusters = None
     if cfg.use_light_clusters:
@@ -845,7 +853,8 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
             taccum, treveal = blend_ops.raster_blend(
                 tsetup, tbins, tbig, tuv, tcol, tex["tris"], depth, tx, ty,
                 w, h, soft=False)
-        hdr = blend_ops.resolve_oit(hdr, taccum * exposure_t, treveal)
+        hdr = blend_ops.resolve_oit(hdr, taccum, treveal,
+                                    exposure=exposure_t)
 
     # forward OIT: particles / translucents (reference: renderer.cpp
     # :6596-6684 weighted-blend subpasses + weightblend resolve)
@@ -872,7 +881,7 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
             accum, reveal = blend_ops.raster_blend(
                 fsetup, fbins, fbig, fwd["uv"], fwd["color"], ftris, depth,
                 tx, ty, w, h)
-        hdr = blend_ops.resolve_oit(hdr, accum * exposure, reveal)
+        hdr = blend_ops.resolve_oit(hdr, accum, reveal, exposure=exposure)
 
     # scene luminance (log-average, reference: data/luminance.comp)
     lum_w = jnp.array([0.2126, 0.7152, 0.0722], jnp.float32)

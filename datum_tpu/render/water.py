@@ -7,10 +7,13 @@ specular, clustered lights, and a transmission term that fades the
 surface out over shallow water.  The TPU build routes water through the
 ocean path — a dynamic grid with per-vertex LUT coords and flow, shaded
 by the deferred pipeline (env probes supply the box-projected
-reflection; see ops/envprobe.py).  Transmission differs: the deferred
-surface is opaque, so shallow-water see-through is approximated by the
-LUT's shallow columns rather than per-pixel blending with the sea floor
-(a depth-aware refraction pass is on the backlog).
+reflection; see ops/envprobe.py).  With translucent=True (see
+push_water below) the surface instead goes through the lit-translucent
+layer: full deferred shade on the surface, depth-aware transmission by
+the water column between surface and floor, and in-kernel refraction of
+the background (reference data/water.frag parity; render/frame.py
+_shade_with_kernel).  The opaque route remains for material-LUT ocean
+shading without a translucent budget.
 """
 
 from __future__ import annotations

@@ -34,7 +34,9 @@ KERNEL_REGISTRY = {
     CoreAsset.ssao_comp: "datum_tpu.ops.ssao.hbao",
     CoreAsset.ssr_comp: "datum_tpu.ops.ssr.ssr",
     CoreAsset.depth_blit_comp: "datum_tpu.ops.raster_pallas.raster_pallas",
-    CoreAsset.depth_mip_comp: "datum_tpu.ops.depth_pyramid.build_depth_pyramid",
+    # the Hi-Z pyramid (reference data/depth.mip.comp) has no TPU
+    # equivalent: ssr2's direction-binned dense march needs no mip walk
+    CoreAsset.depth_mip_comp: "datum_tpu.ops.ssr2.ssr_binned",
     CoreAsset.esm_gen_comp: "datum_tpu.ops.shadow.build_esm",
     CoreAsset.esm_hblur_comp: "datum_tpu.ops.blur.gaussian_blur",
     CoreAsset.esm_vblur_comp: "datum_tpu.ops.blur.gaussian_blur",

@@ -108,8 +108,12 @@ def test_fog_apply_matches_direct_trilinear():
     y0 = np.clip(np.floor(yf), 0, fog_h - 1).astype(int)
     x1 = np.minimum(x0 + 1, fog_w - 1)
     y1 = np.minimum(y0 + 1, fog_h - 1)
-    fx = np.clip(xf - np.floor(xf), 0, 1)[None, :, None]
-    fy = np.clip(yf - np.floor(yf), 0, 1)[:, None, None]
+    # low-edge clamp: pixels below texel-0's center take texel 0 exactly
+    # (matches _fog_sample's clamped fraction)
+    fx = np.where(np.floor(xf) < 0, 0.0,
+                  np.clip(xf - np.floor(xf), 0, 1))[None, :, None]
+    fy = np.where(np.floor(yf) < 0, 0.0,
+                  np.clip(yf - np.floor(yf), 0, 1))[:, None, None]
 
     def bil(k):
         t00 = vol[k, y0[:, None], x0[None, :]]
