@@ -7,7 +7,9 @@ vs_baseline = 16ms / measured (>1 means faster than the target).
 FULL pipeline, matching the reference's unconditional per-frame dispatch
 list (reference: renderer.cpp:6548-6752): environment IBL, 4-cascade ESM
 sun shadows, 8 point lights, one shadowed spot, SSAO, volumetric fog,
-SSR, particles (OIT), material maps with mipped filtering, bloom,
+SSR, particles (OIT), a lit glass sphere + shallow water pool
+(translucent layer with depth-aware transmission + refraction), two
+floor decals, material maps with mipped filtering, bloom,
 tonemap + grading.  Asserts zero raster bin overflow.
 """
 
@@ -35,7 +37,9 @@ def main():
         use_pallas=True, shadow_factor_scale=4,
         enable_material_maps=True, texture_filter="mip_half",
         enable_ssao=True, enable_fog=True, enable_ssr=True,
-        max_spot_shadows=1, max_particle_quads=512)
+        max_spot_shadows=1, max_particle_quads=512,
+        max_translucent_draws=2, max_translucent_tris=2048,
+        max_decals_active=2, decal_textures=False)
     device = jax.device_put(ctx.device_state())
 
     def frame_inputs(t):
@@ -46,6 +50,9 @@ def main():
         ctx.expand_host(draws)
         draws["forward"] = rl.forward_arrays(ctx.config.max_particle_quads,
                                              camera)
+        draws["translucent"] = rl.translucent_arrays(
+            ctx.config.max_translucent_draws, ctx.default_material)
+        draws["decals"] = rl.decal_arrays(ctx.config.max_decals_active)
         return draws, sceneset
 
     draws, sceneset = frame_inputs(0.0)

@@ -81,6 +81,10 @@ class FrameConfig:
     matmap_max_size: int = 256       # material-map entry resolution cap
     use_shade_kernel: bool = True    # deferred-shade Pallas megakernel
                                      # (requires use_pallas + mip filter)
+    # run every Pallas kernel in interpret mode — lets the FULL fast
+    # path (megakernel + fused raster) execute on CPU for golden-image
+    # tests; never set on TPU
+    pallas_interpret: bool = False
     enable_skinning: bool = False    # dual-quat skinned vertex path
     enable_foliage: bool = False     # per-draw wind bend vertex modifier
     max_palettes: int = 16
@@ -100,6 +104,9 @@ class FrameConfig:
     # pallas path, or 'perspective' (cone angle <= ~160 deg)
     spot_shadow_mode: str = "parabolic"
     max_decals_active: int = 0       # dense decal blend loop capacity
+    # decal albedo/normal texture taps (reduced-res gathers) on the
+    # megakernel path; False = flat-color decals only (zero gathers)
+    decal_textures: bool = True
     max_fog_planes: int = 0          # analytic half-space fog planes
     enable_depth_of_field: bool = False
     enable_color_grading: bool = True
@@ -116,6 +123,11 @@ class FrameConfig:
     enable_bloom: bool = True        # dense conv chain - cheap
     enable_fog: bool = False
     fog_depth_range: float = FOG_DEPTH_RANGE
+    # per-tile capacity for the forward/OIT rasters (particles +
+    # translucent meshes) — far fewer triangles than the opaque pass, so
+    # walking the opaque-sized bins wasted row DMA on every tile
+    forward_bin_capacity: int = 64
+    forward_big_capacity: int = 16
 
     def __post_init__(self):
         if self.bin_capacity is None:

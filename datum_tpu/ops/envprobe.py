@@ -68,3 +68,45 @@ def env_probe_lookup(worldpos, sdir, ddir, roughness, envs,
         env_diffuse = jnp.where(m, diff, env_diffuse)
         taken = taken | hit
     return env_specular, env_diffuse
+
+
+def env_probe_fields(worldpos, sdir, ddir, roughness, envs):
+    """Reduced-res probe override fields for the megakernel fast path.
+
+    All inputs are low-res (h, w[, 3]) arrays; envs must carry "flatqs"
+    (per-probe quad-packed mip tables, built by
+    RenderContext.device_state).  Returns (spec (h,w,3), dif (h,w,3),
+    hit (h,w) float) — the caller upsamples and blends spec into the
+    half-res env specular field and ships dif/hit to the shade kernel
+    as the env-diffuse override planes (reference:
+    data/lighting.comp:187-207 environment loop; earliest box wins).
+    """
+    from .sampling import sample_cubemap_lod_quad, sample_cubemap_quad
+
+    n_env = envs["position"].shape[0]
+    flatqs = envs["flatqs"]
+    n_lod = len(envs["mips"])
+    spec_o = jnp.zeros(worldpos.shape[:-1] + (3,), jnp.float32)
+    dif_o = jnp.zeros_like(spec_o)
+    taken = jnp.zeros(worldpos.shape[:-1], bool)
+    for i in range(n_env):
+        rot = envs["inv_rot"][i]
+        localpos = (worldpos - envs["position"][i]) @ rot.T
+        localspec = sdir @ rot.T
+        localdiff = ddir @ rot.T
+        t_in, t_out = ray_box_exit(localpos, localspec, envs["halfdim"][i])
+        hit = (t_out > jnp.maximum(t_in, 0.0)) & (t_in < 0.0) \
+            & (i < envs["count"]) & ~taken
+
+        localray = localpos + t_out[..., None] * localspec
+        raylen = jnp.maximum(jnp.linalg.norm(localray, axis=-1), 1e-6)
+        localrough = jnp.clip(roughness * t_out / raylen, 0.0, roughness)
+        spec = sample_cubemap_lod_quad(flatqs[i], localray / raylen[..., None],
+                                       localrough * (n_lod - 1))[..., :3]
+        dif = sample_cubemap_quad(flatqs[i], localdiff,
+                                  level=n_lod - 1)[..., :3]
+        m = hit[..., None]
+        spec_o = jnp.where(m, spec, spec_o)
+        dif_o = jnp.where(m, dif, dif_o)
+        taken = taken | hit
+    return spec_o, dif_o, taken.astype(jnp.float32)

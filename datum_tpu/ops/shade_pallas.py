@@ -135,6 +135,11 @@ PLANE_NAMES = ["depth", "visf", "nx", "ny", "nz", "dr", "dg", "db", "em",
 # apply and WBOIT resolve into the same pass — each is ~10 full-res XLA
 # ops otherwise, and the frame is op-dispatch-bound)
 SKY_NAMES = ["sky_r", "sky_g", "sky_b"]
+# box env-probe diffuse override (reference: lighting.comp:187-207 —
+# pixels inside an environment box take its cubemap's deep-mip diffuse
+# instead of the global SH; specular override rides the esr/esg/esb
+# fields assembled outside)
+ENVD_NAMES = ["edr", "edg", "edb", "edm"]
 TR_NAMES = ["tr_r", "tr_g", "tr_b", "tr_a"]     # lit translucent layer
 REFR_NAMES = ["tr_ox", "tr_oy"]                 # refraction offsets (px)
 REFR_STEPS = (-8, -3, 0, 3, 8)                  # quantized shift ladder (x)
@@ -209,6 +214,12 @@ def _shade_kernel(counts_ref, params_ref, lights_ref, spots_ref, probes_ref,
         for k in range(1, 9):
             acc = acc + basis[k] * P[0, 27 + 3 * k + c]
         env_dif.append(jnp.maximum(acc, 0.0) * INV_PI)
+
+    # box env-probe diffuse override (before SH-probe blending, matching
+    # the XLA path's env_probe_lookup -> SH probe order)
+    if "edm" in g:
+        env_dif = [jnp.where(g["edm"] > 0.5, g["ed" + ch], e)
+                   for ch, e in zip("rgb", env_dif)]
 
     # local SH irradiance probes blended by radial falloff (reference:
     # lighting.comp:210-221; matches lighting_pass's probe block, which
@@ -505,7 +516,8 @@ def shade_deferred_pallas(gplanes, sceneset, *, proj, invview,
         pl.BlockSpec((probe_tab.shape[0], 32), full, memory_space=pltpu.VMEM),
     ]
     names = list(PLANE_NAMES)
-    for grp in (SKY_NAMES, TR_NAMES, REFR_NAMES, FOG_NAMES, OIT_NAMES):
+    for grp in (SKY_NAMES, ENVD_NAMES, TR_NAMES, REFR_NAMES, FOG_NAMES,
+                OIT_NAMES):
         if grp[0] in gplanes:
             names += grp
     plane_args = [gplanes[k] for k in names]

@@ -26,7 +26,8 @@ POISSON = np.stack([_r * np.cos(_a), _r * np.sin(_a)], -1).astype(np.float32)
 
 
 def render_shadow_cascades(world_pos, tris, shadowview, *, res=1024,
-                           bin_capacity=128, big_capacity=32, use_pallas=False):
+                           bin_capacity=128, big_capacity=32, use_pallas=False,
+                           interpret=False):
     """Rasterize depth-only cascades in ONE pass.
 
     All S slices render into a vertically stacked virtual framebuffer
@@ -90,7 +91,8 @@ def render_shadow_cascades(world_pos, tris, shadowview, *, res=1024,
     if use_pallas:
         from .raster_pallas import raster_depth_pallas
         depth = raster_depth_pallas(setup, bins, big, counts,
-                                    tiles_x, tiles_y, res, vh)
+                                    tiles_x, tiles_y, res, vh,
+                                    interpret=interpret)
     else:
         depth, _ = raster_ops.raster(setup, bins, big, tiles_x, tiles_y,
                                      res, vh)
@@ -266,7 +268,7 @@ def spot_factor_quarter(depth, spot_esm, shadowview, *, proj, invview,
 
 def render_spot_maps_parabolic(world_pos, tris, spotview_rigid, spot_far,
                                n_maps, *, res=256, bin_capacity=128,
-                               big_capacity=32):
+                               big_capacity=32, interpret=False):
     """Parabolic spot shadow maps (reference: data/transform.inc:187
     map_parabolic + src/renderer/spotmap.cpp).
 
@@ -329,7 +331,7 @@ def render_spot_maps_parabolic(world_pos, tris, spotview_rigid, spot_far,
         max_span=4, depth_prio=jnp.clip(setup["zmax"], 0.0, 1.0))
     from .raster_pallas import raster_depth_pallas
     depth = raster_depth_pallas(setup, bins, big, counts, tiles_x, tiles_y,
-                                res, vh)
+                                res, vh, interpret=interpret)
     return depth.reshape(n, res, res)
 
 
@@ -365,7 +367,8 @@ def spot_factor_quarter_parabolic(depth, spot_esm, view_rigid, far, *,
 
 
 def render_spot_maps(world_pos, tris, spotview, n_maps, *, res=256,
-                     bin_capacity=128, big_capacity=32, use_pallas=False):
+                     bin_capacity=128, big_capacity=32, use_pallas=False,
+                     interpret=False):
     """Depth maps for the first n_maps spot lights (reference:
     src/renderer/spotmap.cpp render_spotmaps — one D32 target per spot,
     parabolic in the reference, perspective here)."""
@@ -374,7 +377,7 @@ def render_spot_maps(world_pos, tris, spotview, n_maps, *, res=256,
     return render_shadow_cascades(world_pos, tris, spotview[:n_maps],
                                   res=res, bin_capacity=bin_capacity,
                                   big_capacity=big_capacity,
-                                  use_pallas=use_pallas)
+                                  use_pallas=use_pallas, interpret=interpret)
 
 
 def spot_shadow_factor(worldpos, spotmap, shadowview, bias=2e-3):

@@ -354,6 +354,11 @@ class RenderContext:
                         mips=[jnp.asarray(
                             np.stack([e["mips"][l] for e in eps]))
                             for l in range(n_lod)],
+                        # per-probe quad-packed mip tables for the
+                        # megakernel fast path (ops/envprobe.py
+                        # env_probe_fields)
+                        flatqs=[flatten_cube_mips_quad(e["mips"])
+                                for e in eps],
                         count=jnp.int32(len(eps)))
             if self.colorlut is not None:
                 self._device["colorlut"] = jnp.asarray(self.colorlut)

@@ -159,6 +159,7 @@ def _assemble_gplanes(cfg, planes, device, sceneset, ibl, shadowmaps, w, h):
     mm12 = sample_matmaps(device["matmaps"]["table"], base_h, size_h, uv_h,
                           pool=p, channel_first=True)   # (12, H/2, W/2)
 
+    probe_dif = None
     if ibl is not None:
         mk = mask.astype(jnp.float32)
         mk_h = jnp.maximum(downsample_pool(mk[..., None], p), 1e-6)
@@ -178,6 +179,27 @@ def _assemble_gplanes(cfg, planes, device, sceneset, ibl, shadowmaps, w, h):
         mips_n = len(ibl["mips"])
         spec_h = sample_cubemap_lod_quad(ibl["flatq"], brdf.normalize(sdir_h),
                                          rough_h * (mips_n - 1))[..., :3]
+
+        # box-projected env probes (reference: lighting.comp:187-207):
+        # quarter-res override fields — specular blends into the
+        # half-res env field here, diffuse ships to the kernel as
+        # override planes (edr/edg/edb/edm)
+        envs = ibl.get("envprobes")
+        if envs is not None and "flatqs" in envs:
+            from ..ops.envprobe import env_probe_fields
+            wp_q = downsample_pool(wp_h, 2)
+            sdir_q = brdf.normalize(downsample_pool(sdir_h, 2))
+            rough_q2 = downsample_pool(rough_h, 2)
+            nrm_q = brdf.normalize(downsample_pool(nrm_h, 2))
+            eye_q = brdf.normalize(downsample_pool(eye_h, 2))
+            ddir_q = brdf.diffuse_dominant_direction(nrm_q, eye_q, rough_q2)
+            spec_o, dif_o, hitm = env_probe_fields(wp_q, sdir_q, ddir_q,
+                                                   rough_q2, envs)
+            hit_h = resize_up_dense(hitm, h // p, w // p)
+            spec_h = jnp.where(hit_h[..., None] > 0.5,
+                               resize_up_dense(spec_o, h // p, w // p),
+                               spec_h)
+            probe_dif = (dif_o, hitm)
         # envBRDF at quarter res: the split-sum integral field is smooth
         # in (roughness, NdotV), so halve the lookups again
         lut = ibl["envbrdf"]
@@ -238,6 +260,14 @@ def _assemble_gplanes(cfg, planes, device, sceneset, ibl, shadowmaps, w, h):
                         - (tgt + btg + nrm))
     gpl["nx"], gpl["ny"], gpl["nz"] = sn[..., 0], sn[..., 1], sn[..., 2]
 
+    # ---- box env-probe diffuse override planes (see above)
+    if probe_dif is not None:
+        dif_o, hitm = probe_dif
+        dif_f = resize_up_dense(dif_o, h, w)
+        gpl["edr"], gpl["edg"], gpl["edb"] = \
+            dif_f[..., 0], dif_f[..., 1], dif_f[..., 2]
+        gpl["edm"] = resize_up_dense(hitm, h, w)
+
     # ---- sun shadow factor (quarter-res ESM, upsampled)
     if cfg.enable_shadows and shadowmaps is not None:
         sfq = sun_shadow_factor_quarter(
@@ -265,6 +295,19 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
     gpl, mask = _assemble_gplanes(cfg, planes, device, sceneset, ibl,
                                   shadowmaps, w, h)
 
+    # ---- deferred decals on the fast path: dense blend over the shade
+    # planes before lighting (reference: lighting.comp:136-164 — the
+    # lighting kernel blends decals unconditionally)
+    if cfg.max_decals_active > 0:
+        from ..ops.decal import apply_decals_planes
+        from ..ops.lighting_pass import reconstruct_positions
+        _, wpos = reconstruct_positions(depth, proj, invview, w, h)
+        gpl = apply_decals_planes(
+            gpl, (wpos[..., 0], wpos[..., 1], wpos[..., 2]),
+            draws["decals"], mask,
+            textures=(device.get("textures") if cfg.decal_textures
+                      else None))
+
     # ---- optional SSAO feeding the kernel's ambient term
     ao_img = None
     if cfg.enable_ssao and cfg.ssao_scale > 0:
@@ -291,7 +334,8 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
                 worldp, ex["tris"], sl_["view"], sl_["attenuation"][:, 3],
                 cfg.max_spot_shadows, res=cfg.spot_shadow_res,
                 bin_capacity=cfg.shadow_bin_capacity,
-                big_capacity=cfg.big_capacity)
+                big_capacity=cfg.big_capacity,
+                interpret=cfg.pallas_interpret)
             sesm = build_spot_esm(spotmaps)
             spotsf = jnp.stack([
                 resize_up_dense(
@@ -305,7 +349,8 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
                 worldp, ex["tris"], sl_["shadowview"],
                 cfg.max_spot_shadows, res=cfg.spot_shadow_res,
                 bin_capacity=cfg.shadow_bin_capacity,
-                big_capacity=cfg.big_capacity, use_pallas=True)
+                big_capacity=cfg.big_capacity, use_pallas=True,
+                interpret=cfg.pallas_interpret)
             sesm = build_spot_esm(spotmaps)
             spotsf = jnp.stack([
                 resize_up_dense(
@@ -385,19 +430,21 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
                                            tx_, ty_, cull=0,
                                            tri_valid=tex2["t_valid"])
         tbins, tcounts, tbig = raster_ops.bin_triangles(
-            tsetup, cfg.max_translucent_tris, tx_, ty_, cfg.bin_capacity,
-            cfg.big_capacity)
+            tsetup, cfg.max_translucent_tris, tx_, ty_,
+            cfg.forward_bin_capacity, cfg.forward_big_capacity)
         planes_t = raster_shade_pallas(
             tsetup, tbins, tbig, tcounts, tex2["tris"], tuv, twn, tmat,
             device["materials"], tx_, ty_, w, h, tangent=twt,
-            matmaps=device["matmaps"], planes_2d=True, alpha_in_alb=True)
+            matmaps=device["matmaps"], planes_2d=True, alpha_in_alb=True,
+            interpret=cfg.pallas_interpret)
         # only keep fragments nearer than the opaque surface
         visf_t = jnp.where(planes_t["depth"] > depth, planes_t["visf"], -1.0)
         planes_t = dict(planes_t, visf=visf_t)
         gpl_t, mask_t = _assemble_gplanes(cfg, planes_t, device, sceneset,
                                           ibl, shadowmaps, w, h)
         tr = shade_deferred_pallas(gpl_t, ss2, proj=proj, invview=invview,
-                                   planes_out=True)
+                                   planes_out=True,
+                                   interpret=cfg.pallas_interpret)
         # depth-aware transmission (reference: data/water.frag shallow
         # fade): absorb > 0 materials blend by the water column between
         # the surface and the opaque floor along the view ray
@@ -456,10 +503,11 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
                                                tri_valid=tex2["t_valid"])
             tbins, tcounts, tbig = raster_ops.bin_triangles(
                 tsetup, cfg.max_translucent_tris, tx_, ty_,
-                cfg.bin_capacity, cfg.big_capacity)
+                cfg.forward_bin_capacity, cfg.forward_big_capacity)
             t5 = raster_blend_pallas(tsetup, tbins, tbig, tcounts,
                                      tex2["tris"], tuv, tcol, depth,
-                                     tx_, ty_, w, h, soft=False, planes=True)
+                                     tx_, ty_, w, h, soft=False, planes=True,
+                                     interpret=cfg.pallas_interpret)
             acc5 = [a + b for a, b in zip(acc5[:4], t5[:4])] + \
                 [acc5[4] * t5[4]]
         if cfg.max_particle_quads > 0:
@@ -472,11 +520,12 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
             fsetup = raster_ops.triangle_setup(fclip, ftris, w, h, tx_, ty_,
                                                tri_valid=tvalid)
             fbins, fcounts, fbig = raster_ops.bin_triangles(
-                fsetup, ftris.shape[0], tx_, ty_, cfg.bin_capacity,
-                cfg.big_capacity)
+                fsetup, ftris.shape[0], tx_, ty_, cfg.forward_bin_capacity,
+                cfg.forward_big_capacity)
             f5 = raster_blend_pallas(fsetup, fbins, fbig, fcounts,
                                      ftris, fwd["uv"], fwd["color"],
-                                     depth, tx_, ty_, w, h, planes=True)
+                                     depth, tx_, ty_, w, h, planes=True,
+                                     interpret=cfg.pallas_interpret)
             acc5 = [a + b for a, b in zip(acc5[:4], f5[:4])] + \
                 [acc5[4] * f5[4]]
         # exposure on the color accumulators only (not the weight): the
@@ -508,7 +557,8 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
         band_counts = jnp.repeat(tc, 2, axis=0)
         clusters = (band_lists, band_counts)
     hdr = shade_deferred_pallas(gpl, ss2, proj=proj, invview=invview,
-                                ao=ao_img, spotsf=spotsf, clusters=clusters)
+                                ao=ao_img, spotsf=spotsf, clusters=clusters,
+                                interpret=cfg.pallas_interpret)
 
     gbuffer = None
     if cfg.enable_ssr:
@@ -623,7 +673,8 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
         raw = render_shadow_cascades(
             worldp, ex["tris"], sceneset["mainlight"]["shadowview"],
             res=cfg.shadow_res, bin_capacity=cfg.shadow_bin_capacity,
-            big_capacity=cfg.big_capacity, use_pallas=cfg.use_pallas)
+            big_capacity=cfg.big_capacity, use_pallas=cfg.use_pallas,
+            interpret=cfg.pallas_interpret)
         if cfg.shadow_mode == "esm":
             shadowmaps = build_esm(raw, sceneset["mainlight"]["shadowview"])
         else:
@@ -647,14 +698,15 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
     ibl = device.get("ibl")
     # deferred-shade megakernel: material resolve + full lighting in ONE
     # tile-resident kernel (ops/shade_pallas.py) — requires the plane
-    # raster, the quad/SH env path, ESM shadows, and no gbuffer-mutating
-    # passes (decals) or cluster lists (dense in-kernel loop instead)
+    # raster, the quad/SH env path, and ESM shadows.  Decals blend into
+    # the shade planes (apply_decals_planes) and box env probes ride the
+    # quarter-res override fields, so neither forces the slow path
     use_shade_kernel = (
         cfg.use_shade_kernel
         and fused_mip
-        and cfg.max_decals_active == 0
         and (ibl is None or ("sh" in ibl and "flatq" in ibl
-                             and ibl.get("envprobes") is None))
+                             and (ibl.get("envprobes") is None
+                                  or "flatqs" in ibl["envprobes"])))
         and (not cfg.enable_shadows or cfg.shadow_mode == "esm"))
     if use_shade_kernel:
         from ..ops.raster_pallas import raster_shade_pallas
@@ -664,7 +716,8 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
         planes = raster_shade_pallas(
             setup, bins, big_ids, counts, ex["tris"], uv, wnormal, tri_mat,
             device["materials"], tx, ty, w, h, tangent=wtangent,
-            matmaps=device["matmaps"], planes_2d=True)
+            matmaps=device["matmaps"], planes_2d=True,
+            interpret=cfg.pallas_interpret)
         depth = planes["depth"]
         vis = jnp.round(planes["visf"]).astype(jnp.int32)
         hdr, mask, gbuffer = _shade_with_kernel(
@@ -686,7 +739,8 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
             kw = dict(tangent=wtangent, matmaps=device["matmaps"])
         planes = shade_fn(
             setup, bins, big_ids, counts, ex["tris"], uv, wnormal, tri_mat,
-            device["materials"], tx, ty, w, h, **kw)
+            device["materials"], tx, ty, w, h,
+            interpret=cfg.pallas_interpret, **kw)
         depth, vis = planes["depth"], planes["vis"]
         gbuffer = shade_ops.gbuffer_from_planes(planes, device["textures"],
                                                 texture_filter=cfg.texture_filter,
@@ -695,7 +749,8 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
         if cfg.use_pallas:
             from ..ops.raster_pallas import raster_pallas
             depth, vis, l0, l1 = raster_pallas(setup, bins, big_ids, counts,
-                                               tx, ty, w, h)
+                                               tx, ty, w, h,
+                                               interpret=cfg.pallas_interpret)
             lam = jnp.stack([l0, l1, 1.0 - l0 - l1], axis=-1)
         else:
             depth, vis = raster_ops.raster(setup, bins, big_ids, tx, ty, w, h)
@@ -759,7 +814,8 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
                 cfg.max_spot_shadows, res=cfg.spot_shadow_res,
                 bin_capacity=cfg.shadow_bin_capacity,
                 big_capacity=cfg.big_capacity,
-                use_pallas=cfg.use_pallas)
+                use_pallas=cfg.use_pallas,
+                interpret=cfg.pallas_interpret)
 
         hdr = lighting_pass.shade_deferred(
             gbuffer, depth, sceneset,
@@ -841,14 +897,14 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
         tsetup = raster_ops.triangle_setup(tclip, tex["tris"], w, h, tx, ty,
                                            tri_valid=tex["t_valid"])
         tbins, tcounts, tbig = raster_ops.bin_triangles(
-            tsetup, cfg.max_translucent_tris, tx, ty, cfg.bin_capacity,
-            cfg.big_capacity)
+            tsetup, cfg.max_translucent_tris, tx, ty,
+            cfg.forward_bin_capacity, cfg.forward_big_capacity)
         exposure_t = sceneset["camera"]["exposure"]
         if cfg.use_pallas:
             from ..ops.raster_pallas import raster_blend_pallas
             taccum, treveal = raster_blend_pallas(
                 tsetup, tbins, tbig, tcounts, tex["tris"], tuv, tcol, depth,
-                tx, ty, w, h, soft=False)
+                tx, ty, w, h, soft=False, interpret=cfg.pallas_interpret)
         else:
             taccum, treveal = blend_ops.raster_blend(
                 tsetup, tbins, tbig, tuv, tcol, tex["tris"], depth, tx, ty,
@@ -870,13 +926,14 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
         fsetup = raster_ops.triangle_setup(fclip, ftris, w, h, tx, ty,
                                            tri_valid=tvalid)
         fbins, fcounts, fbig = raster_ops.bin_triangles(
-            fsetup, ftris.shape[0], tx, ty, cfg.bin_capacity, cfg.big_capacity)
+            fsetup, ftris.shape[0], tx, ty, cfg.forward_bin_capacity,
+            cfg.forward_big_capacity)
         exposure = sceneset["camera"]["exposure"]
         if cfg.use_pallas:
             from ..ops.raster_pallas import raster_blend_pallas
             accum, reveal = raster_blend_pallas(
                 fsetup, fbins, fbig, fcounts, ftris, fwd["uv"], fwd["color"],
-                depth, tx, ty, w, h)
+                depth, tx, ty, w, h, interpret=cfg.pallas_interpret)
         else:
             accum, reveal = blend_ops.raster_blend(
                 fsetup, fbins, fbig, fwd["uv"], fwd["color"], ftris, depth,

@@ -55,6 +55,19 @@ def datumtest_scene(width=1920, height=1080, *, sphere_detail=24, grid=(7, 5),
     floor_mat = ctx.add_material(color=(1, 1, 1, 1), metalness=0.0, roughness=0.8,
                                  albedomap=checker_tex)
 
+    # forward/OIT content (reference: datumtest.cpp:579-673 always
+    # renders its translucent + water + decal set): a glass sphere, a
+    # shallow water pool and two floor decals, active whenever the
+    # config carries the capacity
+    glass_mat = ctx.add_material(color=(0.35, 0.55, 2.0, 0.42),
+                                 metalness=0.0, roughness=0.12,
+                                 reflectivity=0.9)
+    water_mat = ctx.add_material(color=(0.12, 0.3, 0.42, 0.10),
+                                 metalness=0.0, roughness=0.06,
+                                 reflectivity=0.9, absorb=0.55)
+    wverts, widx = primitives.plane(3.2, 1.0)
+    water_patch = ctx.add_mesh(wverts, widx)
+
     gx, gy = grid
     sphere_mats = []
     for j in range(gy):
@@ -108,6 +121,23 @@ def datumtest_scene(width=1920, height=1080, *, sphere_detail=24, grid=(7, 5),
                           np.float32([-0.35, -0.75, -0.55]),
                           np.float32([20.0, 19.0, 17.0]), cutoff=0.6,
                           attenuation=(0.5, 0.0, 1.0), range_=30.0)
+        if cfg.max_translucent_draws > 0:
+            # glass sphere front-right; shallow water pool front-left
+            # (absorb > 0 routes it through the depth-aware water
+            # transmission + refraction path)
+            rl.push_translucent(sphere,
+                                Transform.translation([4.2, 1.1, 5.0]),
+                                glass_mat)
+            rl.push_translucent(water_patch,
+                                Transform.translation([-4.5, 0.35, 5.0]),
+                                water_mat)
+        if cfg.max_decals_active > 0:
+            rl.push_decal(Transform.translation([-1.5, 0.0, 6.0]),
+                          [1.4, 0.8, 1.4], color=(0.75, 0.1, 0.05, 0.85),
+                          roughness=0.35)
+            rl.push_decal(Transform.translation([1.8, 0.0, 7.0]),
+                          [1.0, 0.8, 1.0], color=(0.05, 0.05, 0.06, 0.9),
+                          roughness=0.9)
         if cfg.max_particle_quads > 0:
             pos = part_base + np.stack(
                 [np.sin(t * 0.7 + part_phase) * 0.8,

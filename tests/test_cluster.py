@@ -90,13 +90,8 @@ def test_kernel_clustered_matches_dense_128_lights():
     from datum_tpu.render import frame as frame_mod
     from datum_tpu.render.types import make_sceneset
 
-    orig = (rp.raster_shade_pallas, sp.shade_deferred_pallas,
-            rp.raster_depth_pallas)
-    rp.raster_shade_pallas = functools.partial(orig[0], interpret=True)
-    sp.shade_deferred_pallas = functools.partial(orig[1], interpret=True)
-    rp.raster_depth_pallas = functools.partial(orig[2], interpret=True)
-    try:
-        imgs = {}
+    imgs = {}
+    if True:
         for clustered in (True, False):
             ctx, camera, params, make_rl = datumtest_scene(
                 width=256, height=128, sphere_detail=8, grid=(4, 3),
@@ -105,7 +100,8 @@ def test_kernel_clustered_matches_dense_128_lights():
                 use_pallas=True, enable_material_maps=True,
                 texture_filter="mip_half", skybox=False,
                 enable_shadows=False,
-                use_light_clusters=clustered, tile_light_capacity=128)
+                use_light_clusters=clustered, tile_light_capacity=128,
+                pallas_interpret=True)
             rl = make_rl(0.0)
             ss = make_sceneset(camera, params,
                                point_lights=rl.point_lights,
@@ -116,9 +112,6 @@ def test_kernel_clustered_matches_dense_128_lights():
             out = frame_mod.render_frame(ctx.config, ctx.device_state(),
                                          draws, ss)
             imgs[clustered] = np.asarray(out["image"]).astype(np.float32)
-    finally:
-        rp.raster_shade_pallas, sp.shade_deferred_pallas, \
-            rp.raster_depth_pallas = orig
 
     d = np.abs(imgs[True] - imgs[False])
     assert d.mean() < 0.5 and d.max() <= 2.0, (d.mean(), d.max())

@@ -189,43 +189,27 @@ def test_megakernel_spot_shadow_planes():
 def test_frame_with_megakernel_matches_xla_frame():
     """End-to-end: the megakernel frame vs the XLA-lighting frame on the
     flagship scene (interpret mode, CPU)."""
-    import functools
-    import datum_tpu.ops.raster_pallas as rp
-    import datum_tpu.ops.shade_pallas as sp
     from datum_tpu.scenes import datumtest_scene
     from datum_tpu.render import frame as frame_mod
     from datum_tpu.render.types import make_sceneset
 
-    orig_r = rp.raster_shade_pallas
-    orig_s = sp.shade_deferred_pallas
-    orig_d = rp.raster_depth_pallas
-    rp.raster_shade_pallas = functools.partial(orig_r, interpret=True)
-    sp.shade_deferred_pallas = functools.partial(orig_s, interpret=True)
-    rp.raster_depth_pallas = functools.partial(orig_d, interpret=True)
-    import datum_tpu.ops.shadow as shadow_mod
-    shadow_mod.raster_depth_pallas = rp.raster_depth_pallas
-    try:
-        imgs = {}
-        for use_k in (True, False):
-            ctx, camera, params, make_rl = datumtest_scene(
-                width=256, height=128, sphere_detail=8, n_point_lights=4,
-                max_vertices=4096, max_triangles=4096, bin_capacity=64,
-                big_capacity=16, use_pallas=True,
-                enable_material_maps=True, texture_filter="mip_half",
-                use_shade_kernel=use_k)
-            rl = make_rl(0.0)
-            ss = make_sceneset(camera, params, point_lights=rl.point_lights,
-                               spot_lights=rl.spot_lights)
-            draws = rl.draw_arrays(ctx.config.max_instances,
-                                   ctx.default_material)
-            ctx.expand_host(draws)
-            out = frame_mod.render_frame(ctx.config, ctx.device_state(),
-                                         draws, ss)
-            imgs[use_k] = np.asarray(out["image"]).astype(np.float32) / 255.0
-    finally:
-        rp.raster_shade_pallas = orig_r
-        sp.shade_deferred_pallas = orig_s
-        rp.raster_depth_pallas = orig_d
+    imgs = {}
+    for use_k in (True, False):
+        ctx, camera, params, make_rl = datumtest_scene(
+            width=256, height=128, sphere_detail=8, n_point_lights=4,
+            max_vertices=4096, max_triangles=4096, bin_capacity=64,
+            big_capacity=16, use_pallas=True,
+            enable_material_maps=True, texture_filter="mip_half",
+            use_shade_kernel=use_k, pallas_interpret=True)
+        rl = make_rl(0.0)
+        ss = make_sceneset(camera, params, point_lights=rl.point_lights,
+                           spot_lights=rl.spot_lights)
+        draws = rl.draw_arrays(ctx.config.max_instances,
+                               ctx.default_material)
+        ctx.expand_host(draws)
+        out = frame_mod.render_frame(ctx.config, ctx.device_state(),
+                                     draws, ss)
+        imgs[use_k] = np.asarray(out["image"]).astype(np.float32) / 255.0
 
     rmse = float(np.sqrt(np.mean((imgs[True] - imgs[False]) ** 2)))
     assert rmse < 0.02, f"megakernel vs XLA frame RMSE {rmse}"
@@ -235,24 +219,13 @@ def test_lit_translucent_layer_and_water_absorb():
     """The megakernel path shades the nearest translucent layer with the
     full BRDF and applies depth-aware transmission for absorbing
     (water-like) materials."""
-    import functools
-    import datum_tpu.ops.raster_pallas as rp
-    import datum_tpu.ops.shade_pallas as sp
     from datum_tpu.ops.common import FrameConfig
     from datum_tpu.render import (Camera, RenderContext, RenderList,
                                   RenderParams, primitives)
     from datum_tpu.math import Transform
 
-    orig_r = rp.raster_shade_pallas
-    orig_s = sp.shade_deferred_pallas
-    orig_b = rp.raster_blend_pallas
-    orig_d = rp.raster_depth_pallas
-    rp.raster_shade_pallas = functools.partial(orig_r, interpret=True)
-    sp.shade_deferred_pallas = functools.partial(orig_s, interpret=True)
-    rp.raster_blend_pallas = functools.partial(orig_b, interpret=True)
-    rp.raster_depth_pallas = functools.partial(orig_d, interpret=True)
-    try:
-        imgs = {}
+    imgs = {}
+    if True:
         for lit in (True, False):
             cfg = FrameConfig(width=256, height=128, max_vertices=8192,
                               max_triangles=8192, max_instances=8,
@@ -261,7 +234,7 @@ def test_lit_translucent_layer_and_water_absorb():
                               enable_material_maps=True,
                               texture_filter="mip_half", use_pallas=True,
                               max_translucent_draws=4,
-                              translucent_lit=lit)
+                              translucent_lit=lit, pallas_interpret=True)
             ctx = RenderContext(cfg)
             pv, pi = primitives.plane(20.0, 4.0)
             floor = ctx.add_mesh(pv, pi)
@@ -291,11 +264,6 @@ def test_lit_translucent_layer_and_water_absorb():
             ss = make_sceneset(cam, params)
             out = frame_mod.render_frame(cfg, ctx.device_state(), draws, ss)
             imgs[lit] = np.asarray(out["image"]).astype(np.float32)
-    finally:
-        rp.raster_shade_pallas = orig_r
-        sp.shade_deferred_pallas = orig_s
-        rp.raster_blend_pallas = orig_b
-        rp.raster_depth_pallas = orig_d
 
     a, b = imgs[True], imgs[False]
     assert np.isfinite(a).all()

@@ -17,19 +17,14 @@ def _render(cutoff, mode):
     from datum_tpu.render.types import make_sceneset
     from datum_tpu.math import Transform
 
-    orig = (rp.raster_shade_pallas, sp.shade_deferred_pallas,
-            rp.raster_depth_pallas)
-    rp.raster_shade_pallas = functools.partial(orig[0], interpret=True)
-    sp.shade_deferred_pallas = functools.partial(orig[1], interpret=True)
-    rp.raster_depth_pallas = functools.partial(orig[2], interpret=True)
-    try:
+    if True:
         cfg = FrameConfig(width=256, height=128, max_vertices=4096,
                           max_triangles=4096, max_instances=8,
                           bin_capacity=128, big_capacity=16,
                           enable_shadows=False, enable_material_maps=True,
                           texture_filter="mip_half", use_pallas=True,
                           max_spot_shadows=1, spot_shadow_res=256,
-                          spot_shadow_mode=mode)
+                          spot_shadow_mode=mode, pallas_interpret=True)
         ctx = RenderContext(cfg)
         pv, pi = primitives.plane(24.0, 4.0)
         floor = ctx.add_mesh(pv, pi)
@@ -56,9 +51,6 @@ def _render(cutoff, mode):
         ctx.expand_host(draws)
         out = frame_mod.render_frame(cfg, ctx.device_state(), draws, ss)
         return np.asarray(out["image"]).astype(np.float32)
-    finally:
-        rp.raster_shade_pallas, sp.shade_deferred_pallas, \
-            rp.raster_depth_pallas = orig
 
 
 def test_parabolic_wide_cone_casts_shadow():

@@ -112,7 +112,7 @@ def test_frame_with_mip_filter_runs():
                       max_triangles=512, max_instances=4, bin_capacity=64,
                       big_capacity=8, enable_shadows=False,
                       enable_material_maps=True, texture_filter="mip_half",
-                      use_pallas=True)
+                      use_pallas=True, pallas_interpret=True)
     ctx = RenderContext(cfg)
     tex = ctx.add_texture(_checker(64))
     mat = ctx.add_material(color=(1, 1, 1, 1), albedomap=tex, roughness=0.6)
@@ -126,18 +126,7 @@ def test_frame_with_mip_filter_runs():
     rl = RenderList()
     rl.push_mesh(plane, Transform.identity(), mat)
 
-    import datum_tpu.ops.raster_pallas as rp
-    import datum_tpu.ops.shade_pallas as sp
-    import functools
-    orig = rp.raster_shade_pallas
-    orig_s = sp.shade_deferred_pallas
-    rp.raster_shade_pallas = functools.partial(orig, interpret=True)
-    sp.shade_deferred_pallas = functools.partial(orig_s, interpret=True)
-    try:
-        img = ctx.render(cam, rl, params)
-    finally:
-        rp.raster_shade_pallas = orig
-        sp.shade_deferred_pallas = orig_s
+    img = ctx.render(cam, rl, params)
     assert img.shape == (64, 128, 3)
     # the checkerboard must produce both dark and bright floor pixels
     band = img[40:, :, 0].astype(np.float32)
