@@ -14,5 +14,6 @@ from .components import (
     ActorComponent, PointLightComponent, SpotLightComponent,
     ParticleSystemComponent,
 )
-from .systems import update_meshes, update_actors, update_particlesystems
+from .systems import (MESH_FLAG_OCCLUDER, fill_occlusion, update_meshes,
+                      update_actors, update_particlesystems)
 from .model import Model

@@ -16,20 +16,63 @@ from .components import (
     SpotLightComponent, TransformComponent,
 )
 
+# MeshComponent.flags bit: this mesh is a software occluder — it is
+# rasterized into the OcclusionBuffer by fill_occlusion and hides
+# meshes fully behind it (reference: OcclusionBuffer::fill_elements
+# consumers fill with large static geometry, occlusion.h:33)
+MESH_FLAG_OCCLUDER = 1
 
-def update_meshes(scene, camera, renderlist=None):
-    """Refresh world bounds, frustum-cull, push visible meshes."""
+
+def fill_occlusion(scene, camera, geometry, buffer):
+    """Rasterize occluder-flagged meshes into the software occlusion
+    buffer (host-side, conservative).  geometry is the RenderContext's
+    GeometryPool (host mirror).  Reference: occlusion.cpp fill_elements
+    scanline fill; the native path (native/occlusion.cpp) is used when
+    the runtime library is built."""
+    buffer.clear()
+    viewproj = np.asarray(camera.viewproj(), np.float32)
+    for comp in scene.storage(MeshComponent).rows():
+        if not (comp.flags & MESH_FLAG_OCCLUDER) or comp.mesh is None:
+            continue
+        tc = scene.get_component(comp.entity, TransformComponent)
+        m = comp.mesh
+        v0 = int(geometry.mesh_vtx_offset[m.mesh_id])
+        nv = int(geometry.mesh_vtx_count[m.mesh_id])
+        t0 = int(geometry.mesh_tri_offset[m.mesh_id])
+        nt = int(geometry.mesh_tri_count[m.mesh_id])
+        pos = geometry.positions[v0:v0 + nv]
+        tris = geometry.triangles[t0:t0 + nt] - v0
+        buffer.fill_elements(viewproj @ np.asarray(tc.world.matrix(),
+                                                   np.float32), pos, tris)
+    return buffer
+
+
+def update_meshes(scene, camera, renderlist=None, occlusion=None):
+    """Refresh world bounds, frustum-cull (+ optional software
+    occlusion-cull), push visible meshes.
+
+    occlusion: an OcclusionBuffer already filled via fill_occlusion;
+    meshes whose screen rect lies fully behind the occluder depth are
+    skipped (reference: renderer/occlusion.h:49 visible())."""
     storage = scene.storage(MeshComponent)
     frustum = camera.frustum()
+    viewproj = (np.asarray(camera.viewproj(), np.float32)
+                if occlusion is not None else None)
     visible = []
     for comp in storage.rows():
         tc = scene.get_component(comp.entity, TransformComponent)
         world = tc.world
         comp.world_bound = comp.mesh.bound().transformed(world)
-        if frustum.intersects_bound(comp.world_bound):
-            visible.append(comp)
-            if renderlist is not None:
-                renderlist.push_mesh(comp.mesh, world, comp.material)
+        if not frustum.intersects_bound(comp.world_bound):
+            continue
+        if (occlusion is not None
+                and not (comp.flags & MESH_FLAG_OCCLUDER)
+                and not occlusion.visible(comp.world_bound.min,
+                                          comp.world_bound.max, viewproj)):
+            continue
+        visible.append(comp)
+        if renderlist is not None:
+            renderlist.push_mesh(comp.mesh, world, comp.material)
     return visible
 
 

@@ -268,6 +268,58 @@ class TestOcclusion:
         vp = perspective_proj(np.radians(60), 16 / 9, 0.1)
         assert buf.visible([-1, -1, -6], [1, 1, -4], vp)
 
+    def test_scene_mesh_system_occlusion_culls(self):
+        """fill_occlusion + update_meshes(occlusion=...): a mesh fully
+        behind an occluder-flagged wall is culled; the wall and a mesh
+        in front survive (reference: the datumtest update flow filling
+        OcclusionBuffer then testing visible())."""
+        from datum_tpu.ops.common import FrameConfig
+        from datum_tpu.render import RenderContext, primitives
+        from datum_tpu.render.occlusion import OcclusionBuffer
+        from datum_tpu.scene import MESH_FLAG_OCCLUDER, fill_occlusion
+
+        cfg = FrameConfig(width=128, height=64, max_vertices=4096,
+                          max_triangles=4096, max_instances=8,
+                          bin_capacity=32, big_capacity=8)
+        ctx = RenderContext(cfg)
+        pv, pi = primitives.plane(20.0)      # XZ plane; rotate to face cam
+        wall = ctx.add_mesh(pv, pi)
+        sv, si = primitives.unit_sphere(8, 4)
+        ball = ctx.add_mesh(sv, si)
+
+        s = Scene()
+        cam = Camera()
+        cam.set_projection(np.radians(60), 16 / 9)
+        cam.lookat(np.array([0.0, 0, 10]), np.array([0.0, 0, 0]),
+                   np.array([0.0, 1, 0]))
+
+        def make(mesh, pos, flags=0, rot=None):
+            e = s.create_entity()
+            t = Transform.translation(pos)
+            if rot is not None:
+                t = t * rot
+            s.add_component(e, TransformComponent, t)
+            return s.add_component(e, MeshComponent, mesh=mesh,
+                                   material=0, flags=flags)
+
+        face_cam = Transform.rotation([1.0, 0.0, 0.0], np.radians(90))
+        wall_c = make(wall, [0, 0, 0], flags=MESH_FLAG_OCCLUDER,
+                      rot=face_cam)
+        hidden = make(ball, [0, 0, -6])      # behind the wall
+        front = make(ball, [0, 0, 5])        # in front
+
+        buf = OcclusionBuffer()
+        fill_occlusion(s, cam, ctx.pool, buf)
+        assert buf.depth.max() > 0.0         # the wall rasterized
+
+        vis = update_meshes(s, cam, occlusion=buf)
+        ents = {c.entity for c in vis}
+        assert front.entity in ents
+        assert wall_c.entity in ents         # occluders are never self-culled
+        assert hidden.entity not in ents
+        # without the buffer all three are frustum-visible
+        assert len(update_meshes(s, cam)) == 3
+
 
 class TestDecals:
     def test_decal_recolors_floor(self):
