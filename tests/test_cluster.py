@@ -1,12 +1,15 @@
 """Clustered light binning: lists match brute-force containment, and the
 clustered frame matches the dense-loop frame."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
 from datum_tpu.ops.cluster import bin_lights, tile_frustum_planes
 from datum_tpu.math.matrix import perspective_proj
 from datum_tpu.render import Camera
+
+pytestmark = pytest.mark.slow
 
 
 def _setup(n_lights=32, seed=0):

@@ -5,6 +5,7 @@ at once (shadows+spots, skinning, clusters, fog+fogplane, decals,
 translucents, particles, ocean dynamic verts, foliage, SSAO, SSR,
 bloom, DoF, grading, env probes, skybox IBL)."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -17,6 +18,8 @@ from datum_tpu.render.ocean import Ocean, OceanParams, render_ocean_surface
 from datum_tpu.render.particlesystem import (
     Distribution, ParticleEmitter, ParticleSystem,
 )
+
+pytestmark = pytest.mark.slow
 
 
 def test_everything_on_composes():

@@ -2,6 +2,7 @@
 the tile-sharded frame must produce the same image as the single-device
 frame graph."""
 
+import pytest
 import numpy as np
 import jax
 
@@ -10,6 +11,8 @@ from datum_tpu.parallel import make_device_mesh, render_frame_sharded
 from datum_tpu.render import frame as frame_mod
 from datum_tpu.render.types import make_sceneset
 from datum_tpu.scenes import datumtest_scene
+
+pytestmark = pytest.mark.slow
 
 
 def _tiny_scene(n_rows):

@@ -6,6 +6,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 def _render(cutoff, mode):
     import datum_tpu.ops.raster_pallas as rp
