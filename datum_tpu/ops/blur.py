@@ -205,3 +205,37 @@ def resize_up_dense(img, out_h, out_w):
         img = jax.image.resize(img, (out_h, out_w) + img.shape[2:],
                                method="linear")
     return img
+
+
+def _resample_matrix(n_in: int, n_out: int, nearest: bool = False):
+    """(n_in, n_out) static interpolation matrix: out = in @ M.  Pixel
+    centers of both grids span the same NDC range (align_corners=False);
+    bilinear weights, or one-hot rows for nearest.  Resampling as a
+    matmul keeps arbitrary-ratio resizes on the MXU with zero gathers."""
+    src = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+    i0 = np.clip(np.floor(src).astype(np.int64), 0, n_in - 1)
+    i1 = np.minimum(i0 + 1, n_in - 1)
+    f = np.clip(src - np.floor(src), 0.0, 1.0)
+    f = np.where(src < 0, 0.0, np.where(src > n_in - 1, 1.0, f))
+    m = np.zeros((n_in, n_out), np.float32)
+    if nearest:
+        nn = np.where(f < 0.5, i0, i1)
+        m[nn, np.arange(n_out)] = 1.0
+    else:
+        m[i0, np.arange(n_out)] += (1.0 - f).astype(np.float32)
+        m[i1, np.arange(n_out)] += f.astype(np.float32)
+    return m
+
+
+def resize_matmul(img, out_h, out_w, nearest: bool = False):
+    """Dense (h, w) -> (out_h, out_w) resample via two static-matrix
+    matmuls (MXU work, no gathers); handles any up/down ratio per axis."""
+    h, w = img.shape[:2]
+    if (h, w) == (out_h, out_w):
+        return img
+    my = jnp.asarray(_resample_matrix(h, out_h, nearest).T)   # (out_h, h)
+    mx = jnp.asarray(_resample_matrix(w, out_w, nearest))     # (w, out_w)
+    if img.ndim == 2:
+        return (my @ img) @ mx
+    out = jnp.einsum("Oh,hwc->Owc", my, img)
+    return jnp.einsum("Owc,wW->OWc", out, mx)

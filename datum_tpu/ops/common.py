@@ -95,6 +95,10 @@ class FrameConfig:
     # full deferred shade on the nearest translucent layer (megakernel
     # path only; reference translucent.frag clustered-forward parity)
     translucent_lit: bool = True
+    # shade the lit translucent layer at 1/N resolution (glass/water is
+    # smooth; its raster + plane assembly + second megakernel shrink by
+    # ~N^2) and composite via matmul-resampled planes.  1 = full res.
+    translucent_lit_scale: int = 1
     max_dynamic_vertices: int = 0    # per-frame vertex override slab (ocean)
     backface_cull: bool = True       # cull camera-facing-away triangles
     use_light_clusters: bool = False  # per-tile light lists vs dense loop

@@ -102,7 +102,8 @@ def build_fog_volume(sceneset, *, proj, invview, shadow=None, normalquery=None,
     return jnp.concatenate([inscatter, transmit[..., None]], -1)
 
 
-def _fog_sample(depth, fogvol, proj, *, depth_range, exponent, sample_scale):
+def _fog_sample(depth, fogvol, proj, *, depth_range, exponent, sample_scale,
+                band_y0=0, full_height=None):
     """Reduced-res fog tap: (hq, wq, 4) [inscatter rgb, transmittance].
 
     TWO flat row-gathers per pixel (quad-packed xy rows make each tap
@@ -131,8 +132,10 @@ def _fog_sample(depth, fogvol, proj, *, depth_range, exponent, sample_scale):
     k1 = jnp.minimum(k0 + 1, fog_d - 1)
     fz = jnp.clip(slice_f - k0, 0.0, 1.0)[..., None]
 
+    fhq = (full_height // q) if full_height is not None else hq
     xf = (jnp.arange(wq, dtype=jnp.float32) + 0.5) / wq * fog_w - 0.5
-    yf = (jnp.arange(hq, dtype=jnp.float32) + 0.5) / hq * fog_h - 0.5
+    yf = ((jnp.arange(hq, dtype=jnp.float32) + band_y0 // q + 0.5) / fhq
+          * fog_h - 0.5)
     x0 = jnp.clip(jnp.floor(xf), 0, fog_w - 1).astype(jnp.int32)[None, :]
     y0 = jnp.clip(jnp.floor(yf), 0, fog_h - 1).astype(jnp.int32)[:, None]
     # zero the fraction where the floor was clamped at the low edge, so
@@ -173,14 +176,18 @@ def apply_fog(hdr, depth, fogvol, proj, *, depth_range=FOG_DEPTH_RANGE,
 
 
 def fog_planes(depth, fogvol, proj, *, depth_range=FOG_DEPTH_RANGE,
-               exponent=FOG_DEPTH_EXPONENT, sample_scale=4):
+               exponent=FOG_DEPTH_EXPONENT, sample_scale=4, y0=0,
+               full_height=None):
     """Fog apply factors as 4 channel-first full-res planes
-    [inscatter r, g, b, transmittance] for the shade megakernel."""
+    [inscatter r, g, b, transmittance] for the shade megakernel.
+    y0/full_height (full-res units) globalize the screen mapping for
+    tile-sharded bands."""
     from .blur import resize_up_dense
 
     h, w = depth.shape
     fog_q, q = _fog_sample(depth, fogvol, proj, depth_range=depth_range,
-                           exponent=exponent, sample_scale=sample_scale)
+                           exponent=exponent, sample_scale=sample_scale,
+                           band_y0=y0, full_height=full_height)
     fq = jnp.transpose(fog_q, (2, 0, 1))
     return [resize_up_dense(fq[c], h, w) if q > 1 else fq[c]
             for c in range(4)]

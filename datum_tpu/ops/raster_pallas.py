@@ -109,12 +109,13 @@ def raster_pallas(setup, bins, big_ids, counts, tiles_x, tiles_y, width, height,
     """Pallas raster.  Returns (depth, vis int32, lam0, lam1) images."""
     rows = pack_tile_setup(setup, bins, big_ids)
     n_entries = rows.shape[1]
+    # tile_ids names the GLOBAL tile of each bins row (1:1, same
+    # contract as raster.raster) — the tile-sharded path passes its
+    # band's ids with band-local bins; may be traced (shard_map)
     if tile_ids is None:
         tile_ids = jnp.arange(tiles_x * tiles_y, dtype=jnp.int32)
-    else:
-        rows = rows[tile_ids]
-        counts = counts[tile_ids]
     n_tiles = tile_ids.shape[0]
+    assert rows.shape[0] == n_tiles, (rows.shape, n_tiles)
     B = big_ids.shape[0]
     # scalar-prefetch layout: [n_valid_bigs, B, per-tile bin counts...]
     big_count = jnp.sum(big_ids >= 0).astype(jnp.int32)
@@ -337,12 +338,11 @@ def raster_shade_pallas(setup, bins, big_ids, counts, tris, uv, normal,
                                  tri_material, materials, tangent=tangent,
                                  matmaps=matmaps, alpha_in_alb=alpha_in_alb)
     n_groups = rows.shape[1]
+    # tile_ids: global tile of each bins row (1:1, see raster_pallas)
     if tile_ids is None:
         tile_ids = jnp.arange(tiles_x * tiles_y, dtype=jnp.int32)
-    else:
-        rows = rows[tile_ids]
-        counts = counts[tile_ids]
     n_tiles = tile_ids.shape[0]
+    assert rows.shape[0] == n_tiles, (rows.shape, n_tiles)
     B = big_ids.shape[0]
     big_count = jnp.sum(big_ids >= 0).astype(jnp.int32)
     trip = jnp.concatenate([big_count[None], jnp.int32(B)[None],
@@ -540,12 +540,13 @@ def pack_tile_blend(setup, bins, big_ids, tris, uv, color):
     return rows.reshape(ids.shape[0], E // BLEND_PACK, BLEND_PACK * 64)
 
 
-def _blend_kernel(counts_ref, rows_ref, od_ref,
+def _blend_kernel(tile_ids_ref, counts_ref, rows_ref, od_ref,
                   ar_ref, ag_ref, ab_ref, aw_ref, rv_ref,
                   *, tiles_x, width, height, soft):
     i = pl.program_id(0)
-    ty = i // tiles_x
-    tx = i % tiles_x
+    tile = tile_ids_ref[i]             # global tile id (sharded bands)
+    ty = tile // tiles_x
+    tx = tile % tiles_x
     yy = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
     xx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
     yn = (ty * TILE_H + yy + 0.5) * (2.0 / height) - 1.0
@@ -604,24 +605,35 @@ def _blend_kernel(counts_ref, rows_ref, od_ref,
 
 def raster_blend_pallas(setup, bins, big_ids, counts, tris, uv, color,
                         opaque_depth, tiles_x, tiles_y, width, height,
-                        soft=True, interpret=False, planes=False):
+                        soft=True, interpret=False, planes=False,
+                        tile_ids=None):
     """Pallas WBOIT accumulation.  Returns (accum (H,W,4), reveal (H,W)),
-    or the five raw planes (ar, ag, ab, aw, reveal) with planes=True."""
+    or the five raw planes (ar, ag, ab, aw, reveal) with planes=True.
+
+    tile_ids: global tile of each bins row (1:1); the sharded path
+    passes its band's ids, band-local bins and a band-local
+    opaque_depth — outputs are band-local too.
+    """
     assert big_ids.shape[0] % BLEND_PACK == 0
     rows = pack_tile_blend(setup, bins, big_ids, tris, uv, color)
     n_groups = rows.shape[1]
-    n_tiles = tiles_x * tiles_y
+    if tile_ids is None:
+        tile_ids = jnp.arange(tiles_x * tiles_y, dtype=jnp.int32)
+    n_tiles = tile_ids.shape[0]
+    assert rows.shape[0] == n_tiles, (rows.shape, n_tiles)
+    local_ty = n_tiles // tiles_x
     big_count = jnp.sum(big_ids >= 0).astype(jnp.int32)
     trip = jnp.concatenate([big_count[None],
                             jnp.int32(big_ids.shape[0])[None],
                             counts.astype(jnp.int32)])
 
-    def wrap(counts_ref, rows_ref, od_ref, *outs):
-        _blend_kernel(counts_ref, rows_ref.at[0], od_ref, *outs,
+    def wrap(tile_ids_ref, counts_ref, rows_ref, od_ref, *outs):
+        _blend_kernel(tile_ids_ref, counts_ref, rows_ref.at[0], od_ref,
+                      *outs,
                       tiles_x=tiles_x, width=width, height=height, soft=soft)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((1, n_groups, BLEND_PACK * 64),
@@ -633,11 +645,11 @@ def raster_blend_pallas(setup, bins, big_ids, counts, tris, uv, color,
                                 lambda i, *_: (i // tiles_x, i % tiles_x))
                    for _ in range(5)],
     )
-    out_shape = [jax.ShapeDtypeStruct((tiles_y * TILE_H, tiles_x * TILE_W),
+    out_shape = [jax.ShapeDtypeStruct((local_ty * TILE_H, tiles_x * TILE_W),
                                       jnp.float32) for _ in range(5)]
     ar, ag, ab, aw, rv = pl.pallas_call(
         wrap, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
-    )(trip, rows, opaque_depth)
+    )(tile_ids, trip, rows, opaque_depth)
     if planes:
         return ar, ag, ab, aw, rv
     return jnp.stack([ar, ag, ab, aw], axis=-1), rv

@@ -158,12 +158,17 @@ def _shade_kernel(counts_ref, params_ref, lights_ref, spots_ref, probes_ref,
                   n_subtiles=0):
     i = pl.program_id(0)
     P = params_ref
-    g = dict(zip(names, [r[...] for r in plane_refs]))
+    # planes arrive bf16 (except depth/visf — see F32_PLANES): halves
+    # the scoped-vmem block budget + input DMA; all math runs f32
+    g = dict(zip(names, [r[...].astype(jnp.float32)
+                         for r in plane_refs]))
 
     rows = SHADE_ROWS
     yy = jax.lax.broadcasted_iota(jnp.int32, (rows, W), 0).astype(jnp.float32)
     xx = jax.lax.broadcasted_iota(jnp.int32, (rows, W), 1).astype(jnp.float32)
-    yn = (i * rows + yy + 0.5) * (2.0 / H) - 1.0
+    # P[0, 26]: global row offset of this band (tile-sharded path); H is
+    # the FULL image height so NDC stays global per shard
+    yn = (P[0, 26] + i * rows + yy + 0.5) * (2.0 / H) - 1.0
     xn = (xx + 0.5) * (2.0 / W) - 1.0
 
     depth = g["depth"]
@@ -197,7 +202,7 @@ def _shade_kernel(counts_ref, params_ref, lights_ref, spots_ref, probes_ref,
     # ---- ambient / IBL
     ambient = P[0, 23]
     if with_ao:
-        ambient = ambient * ao_ref[...]
+        ambient = ambient * ao_ref[...].astype(jnp.float32)
     ndv_s = dot3(nrm, eye)
     fdd = sat(((ndv_s * (1.02341 * rough - 1.51174))
                + (-0.511705 * rough + 0.755868)) * rough)
@@ -366,7 +371,7 @@ def _shade_kernel(counts_ref, params_ref, lights_ref, spots_ref, probes_ref,
         return (tuple(on * d for d in d_i), tuple(on * s for s in s_i))
 
     for m in range(n_maps):
-        d_i, s_i = _spot_eval(m, spotsf_refs[m][...])
+        d_i, s_i = _spot_eval(m, spotsf_refs[m][...].astype(jnp.float32))
         dif_acc = tuple(a + d for a, d in zip(dif_acc, d_i))
         spc_acc = tuple(a + s for a, s in zip(spc_acc, s_i))
 
@@ -441,7 +446,8 @@ def _shade_kernel(counts_ref, params_ref, lights_ref, spots_ref, probes_ref,
 
 def shade_deferred_pallas(gplanes, sceneset, *, proj, invview,
                           ao=None, spotsf=None, point_chunk=8,
-                          interpret=False, planes_out=False, clusters=None):
+                          interpret=False, planes_out=False, clusters=None,
+                          y0=0, full_height=None):
     """Launch the deferred-shade megakernel.
 
     gplanes: dict of (H, W) f32 planes — gbuffer [depth, visf, nx..nz
@@ -450,8 +456,15 @@ def shade_deferred_pallas(gplanes, sceneset, *, proj, invview,
     eb0/eb1/eb2 (envBRDF)] + sf (sun shadow factor); ao: optional (H, W)
     ambient multiplier; spotsf: optional (n_maps, H, W) spot factors.
     sceneset additionally carries "_sh" (9, 3).  Returns hdr (H, W, 3).
+
+    Tile-sharded bands: pass y0 (global first row, may be traced) and
+    full_height (global image height) — the grid covers the local band
+    while NDC math stays global.
     """
     H, W = gplanes["depth"].shape
+    local_H = H
+    if full_height is not None:
+        H = full_height
 
     ml = sceneset["mainlight"]
     cam = sceneset["camera"]
@@ -468,6 +481,7 @@ def shade_deferred_pallas(gplanes, sceneset, *, proj, invview,
     params = params.at[0, 23].set(cam["ambientintensity"])
     params = params.at[0, 24].set(cam["exposure"])
     params = params.at[0, 25].set(cam["specularintensity"])
+    params = params.at[0, 26].set(jnp.asarray(y0, jnp.float32))
     params = params.at[0, 27:54].set(jnp.asarray(sceneset["_sh"]).reshape(-1))
 
     pl_ = sceneset["pointlights"]
@@ -506,7 +520,7 @@ def shade_deferred_pallas(gplanes, sceneset, *, proj, invview,
 
     n_maps = 0 if spotsf is None else spotsf.shape[0]
 
-    grid = H // SHADE_ROWS
+    grid = local_H // SHADE_ROWS
     band = lambda i, *_: (i, 0)
     full = lambda i, *_: (0, 0)
     in_specs = [
@@ -520,14 +534,20 @@ def shade_deferred_pallas(gplanes, sceneset, *, proj, invview,
                 OIT_NAMES):
         if grp[0] in gplanes:
             names += grp
-    plane_args = [gplanes[k] for k in names]
+    # bf16 plane storage (except depth/visf): the reference's gbuffer is
+    # 8/10-bit anyway; halves input DMA and keeps the kernel's scoped
+    # VMEM well under the 16 MB cliff as epilogue plane groups grow
+    F32_PLANES = ("depth", "visf")
+    plane_args = [gplanes[k] if k in F32_PLANES
+                  else gplanes[k].astype(jnp.bfloat16) for k in names]
     in_specs += [pl.BlockSpec((SHADE_ROWS, W), band, memory_space=pltpu.VMEM)
                  for _ in plane_args]
     if ao is None:
-        ao = jnp.ones((8, 128), jnp.float32)
+        ao = jnp.ones((8, 128), jnp.bfloat16)
         in_specs += [pl.BlockSpec((8, 128), full, memory_space=pltpu.VMEM)]
         with_ao = False
     else:
+        ao = ao.astype(jnp.bfloat16)
         in_specs += [pl.BlockSpec((SHADE_ROWS, W), band,
                                   memory_space=pltpu.VMEM)]
         with_ao = True
@@ -562,7 +582,7 @@ def shade_deferred_pallas(gplanes, sceneset, *, proj, invview,
 
     out_specs = [pl.BlockSpec((SHADE_ROWS, W), band, memory_space=pltpu.VMEM)
                  for _ in range(3)]
-    out_shape = [jax.ShapeDtypeStruct((H, W), jnp.float32)] * 3
+    out_shape = [jax.ShapeDtypeStruct((local_H, W), jnp.float32)] * 3
 
     NP = len(names)
     names_t = tuple(names)
@@ -593,7 +613,8 @@ def shade_deferred_pallas(gplanes, sceneset, *, proj, invview,
         wrap, grid_spec=grid_spec, out_shape=out_shape,
         interpret=interpret,
     )(counts, params, lights, spots, probe_tab, *plane_args, ao,
-      *([spotsf[k:k + 1] for k in range(n_maps)] if spotsf is not None
+      *([spotsf[k:k + 1].astype(jnp.bfloat16) for k in range(n_maps)]
+        if spotsf is not None
         else []), *cluster_args)
     if planes_out:
         return hr, hg, hb

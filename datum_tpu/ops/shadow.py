@@ -198,11 +198,14 @@ def shadow_factor_esm(worldpos, esm, zmax, zscale, splits, shadowview, view_dist
 
 
 def sun_shadow_factor_quarter(depth, nrm_planes, shadowmaps, sceneset, *,
-                              proj, invview, scale=4):
+                              proj, invview, scale=4, y0=0,
+                              full_height=None):
     """Quarter-res sun ESM factor straight from the depth plane.
 
     Feeds the deferred-shade megakernel (ops/shade_pallas.py), which
     upsamples it in-kernel — no full-res worldpos is ever materialized.
+    y0/full_height (full-res units) globalize the reconstruction for
+    tile-sharded bands.
     """
     from .blur import downsample_pool
     from .lighting_pass import reconstruct_positions
@@ -210,7 +213,9 @@ def sun_shadow_factor_quarter(depth, nrm_planes, shadowmaps, sceneset, *,
     esm, zmx, zsc = shadowmaps
     dq = downsample_pool(depth, scale, reduce="first")
     h4, w4 = dq.shape
-    viewpos, wpos = reconstruct_positions(dq, proj, invview, w4, h4)
+    fh4 = (full_height // scale) if full_height is not None else h4
+    viewpos, wpos = reconstruct_positions(dq, proj, invview, w4, fh4,
+                                          y0=y0 // scale)
     nrm = jnp.stack([downsample_pool(nrm_planes[0], scale, reduce="first"),
                      downsample_pool(nrm_planes[1], scale, reduce="first"),
                      downsample_pool(nrm_planes[2], scale, reduce="first")],
@@ -241,7 +246,7 @@ def build_spot_esm(spotmaps, blur_sigma=1.0):
 
 
 def spot_factor_quarter(depth, spot_esm, shadowview, *, proj, invview,
-                        scale=4):
+                        scale=4, y0=0, full_height=None):
     """Quarter-res shadow factor for ONE spot light from its ESM map."""
     from .blur import downsample_pool
     from .lighting_pass import reconstruct_positions
@@ -249,7 +254,9 @@ def spot_factor_quarter(depth, spot_esm, shadowview, *, proj, invview,
     res = spot_esm.shape[0]
     dq = downsample_pool(depth, scale, reduce="first")
     h4, w4 = dq.shape
-    _, wpos = reconstruct_positions(dq, proj, invview, w4, h4)
+    fh4 = (full_height // scale) if full_height is not None else h4
+    _, wpos = reconstruct_positions(dq, proj, invview, w4, fh4,
+                                    y0=y0 // scale)
     hp = wpos @ shadowview[:3, :3].T + shadowview[:3, 3]
     ww = wpos @ shadowview[3, :3] + shadowview[3, 3]
     ws = jnp.where(jnp.abs(ww) < 1e-8, 1e-8, ww)
@@ -336,7 +343,8 @@ def render_spot_maps_parabolic(world_pos, tris, spotview_rigid, spot_far,
 
 
 def spot_factor_quarter_parabolic(depth, spot_esm, view_rigid, far, *,
-                                  proj, invview, scale=4):
+                                  proj, invview, scale=4, y0=0,
+                                  full_height=None):
     """Quarter-res parabolic spot factor from its ESM map."""
     from .blur import downsample_pool
     from .lighting_pass import reconstruct_positions
@@ -344,7 +352,9 @@ def spot_factor_quarter_parabolic(depth, spot_esm, view_rigid, far, *,
     res = spot_esm.shape[0]
     dq = downsample_pool(depth, scale, reduce="first")
     h4, w4 = dq.shape
-    _, wpos = reconstruct_positions(dq, proj, invview, w4, h4)
+    fh4 = (full_height // scale) if full_height is not None else h4
+    _, wpos = reconstruct_positions(dq, proj, invview, w4, fh4,
+                                    y0=y0 // scale)
     m = view_rigid
     vx = wpos @ m[0, :3] + m[0, 3]
     vy = wpos @ m[1, :3] + m[1, 3]

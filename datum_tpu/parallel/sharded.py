@@ -1,11 +1,25 @@
 """Tile-sharded frame: shard_map over framebuffer tile-rows.
 
-Work split: geometry (draw expansion, vertex transform, setup, binning)
-is replicated — it is tiny relative to pixel work; raster + material
-resolve + lighting run per-shard on each device's band of tile rows.
-Scene luminance reduces with a psum over the mesh; the final image is
-returned sharded by rows (callers all-gather only if a full host image
-is needed).
+Work split (reference analogue: the full per-frame dispatch list
+renderer.cpp:6423-6853, distributed over devices):
+
+- REPLICATED (scene-space, tiny vs pixel work): draw expansion, vertex
+  transform, triangle setup + binning, shadow cascades + ESM, spot
+  maps, the fog froxel volume.
+- SHARDED by tile-rows: the fused Pallas visibility raster, plane
+  assembly (materials/env/decals), the deferred-shade megakernel with
+  its sky/fog/OIT/translucent epilogue, spot/sun factor planes, OIT
+  rasters, composite.
+- CROSS-BAND passes (SSAO / SSR / bloom / DoF) consume REDUCED-RES
+  fields: each shard downsamples its band, all-gathers the low-res
+  field over ICI, computes the pass on the full low-res image and
+  slices its own band back out.  This is exact (bit-identical math to
+  the single-device frame) at any band size; halo exchange (ppermute)
+  is the scalable refinement once bands are tall enough.
+- Luminance reduces with a psum; the image returns row-sharded.
+
+The legacy reduced path (XLA raster + basic deferred) remains for
+configs without the Pallas fast path.
 """
 
 from __future__ import annotations
@@ -22,15 +36,244 @@ from ..ops import shade as shade_ops
 from ..ops import lighting_pass
 from ..ops import composite as composite_ops
 from ..ops.common import TILE_H, FrameConfig
-from ..render.frame import expand_draws
+from ..render.frame import (expand_draws, _vertex_stage, _shade_with_kernel)
 from ..ops.geometry import transform_vertices_rigid
 
 
 def render_frame_sharded(cfg: FrameConfig, mesh, device, draws, sceneset):
-    """Returns dict(image (H, W, 3) u8 sharded over rows, luminance)."""
+    """Returns dict(image (H, W, 3) u8 sharded over rows, luminance,
+    bin_overflow)."""
     n_dev = mesh.devices.size
     if cfg.tiles_y % n_dev != 0:
         raise ValueError(f"tiles_y={cfg.tiles_y} must divide over {n_dev} devices")
+    if cfg.use_pallas and cfg.use_shade_kernel:
+        return _render_sharded_full(cfg, mesh, device, draws, sceneset)
+    return _render_sharded_reduced(cfg, mesh, device, draws, sceneset)
+
+
+def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset):
+    """The FULL fast path (Pallas raster + shade megakernel + SSAO/fog/
+    SSR/OIT/spot shadows/decals/translucents) over tile-row shards."""
+    n_dev = mesh.devices.size
+    tx, ty = cfg.tiles_x, cfg.tiles_y
+    w, h = cfg.padded_width, cfg.padded_height
+    tiles_per_dev = (ty // n_dev) * tx
+    band_h = (ty // n_dev) * TILE_H
+
+    @jax.jit
+    def frame(device, draws, sceneset):
+        geom, ex, uv, clip, wnormal, wtangent, worldp, viewproj = \
+            _vertex_stage(cfg, device, draws, sceneset)
+        ibl = device.get("ibl")
+
+        # ---- replicated light-space passes
+        shadowmaps = None
+        if cfg.enable_shadows:
+            from ..ops.shadow import render_shadow_cascades, build_esm
+            raw = render_shadow_cascades(
+                worldp, ex["tris"], sceneset["mainlight"]["shadowview"],
+                res=cfg.shadow_res, bin_capacity=cfg.shadow_bin_capacity,
+                big_capacity=cfg.big_capacity, use_pallas=cfg.use_pallas,
+                interpret=cfg.pallas_interpret)
+            shadowmaps = (build_esm(raw, sceneset["mainlight"]["shadowview"])
+                          if cfg.shadow_mode == "esm" else raw)
+
+        spotmaps = None
+        if cfg.max_spot_shadows > 0:
+            sl_ = sceneset["spotlights"]
+            if cfg.spot_shadow_mode == "parabolic":
+                from ..ops.shadow import render_spot_maps_parabolic
+                spotmaps = render_spot_maps_parabolic(
+                    worldp, ex["tris"], sl_["view"],
+                    sl_["attenuation"][:, 3],
+                    cfg.max_spot_shadows, res=cfg.spot_shadow_res,
+                    bin_capacity=cfg.shadow_bin_capacity,
+                    big_capacity=cfg.big_capacity,
+                    interpret=cfg.pallas_interpret)
+            else:
+                from ..ops.shadow import render_spot_maps
+                spotmaps = render_spot_maps(
+                    worldp, ex["tris"], sl_["shadowview"],
+                    cfg.max_spot_shadows, res=cfg.spot_shadow_res,
+                    bin_capacity=cfg.shadow_bin_capacity,
+                    big_capacity=cfg.big_capacity, use_pallas=True,
+                    interpret=cfg.pallas_interpret)
+
+        fogvol = None
+        if cfg.enable_fog:
+            from ..ops import fog as fog_ops
+            fogvol = fog_ops.build_fog_volume(
+                sceneset, proj=sceneset["proj"], invview=sceneset["invview"],
+                shadow=shadowmaps if (cfg.enable_shadows
+                                      and cfg.shadow_mode == "esm")
+                else None,
+                depth_range=cfg.fog_depth_range)
+
+        # ---- main raster setup + binning (replicated; bins shard)
+        setup = raster_ops.triangle_setup(
+            clip, ex["tris"], w, h, tx, ty,
+            cull=-1 if cfg.backface_cull else 0, max_span=cfg.bin_max_span)
+        zw = clip[:, 2] / jnp.maximum(clip[:, 3], 1e-6)
+        prio = jnp.clip(zw[ex["tris"]].max(axis=1), 0.0, 1.0)
+        bins, counts, big_ids, overflow = raster_ops.bin_triangles(
+            setup, cfg.max_triangles, tx, ty, cfg.bin_capacity,
+            cfg.big_capacity, max_span=cfg.bin_max_span,
+            return_overflow=True, depth_prio=prio)
+        tri_mat = draws.get("tri_mat")
+        if tri_mat is None:
+            tri_mat = draws["material"][ex["tri_draw"]]
+
+        def shard_body(bins_s, counts_s, device, draws, sceneset,
+                       setup, big_ids, aux, shadowmaps, spotmaps, fogvol):
+            from ..ops.raster_pallas import raster_shade_pallas
+            from ..ops.blur import downsample_pool, resize_up_dense
+            from ..ops import brdf
+
+            dev = jax.lax.axis_index("tiles")
+            tile0 = dev * tiles_per_dev
+            tile_ids = tile0 + jnp.arange(tiles_per_dev, dtype=jnp.int32)
+            y0 = (tile0 // tx) * TILE_H
+            proj, invview = sceneset["proj"], sceneset["invview"]
+            ibl = device.get("ibl")
+
+            planes = raster_shade_pallas(
+                setup, bins_s, big_ids, counts_s, aux["tris"], aux["uv"],
+                aux["wnormal"], aux["tri_mat"], device["materials"],
+                tx, ty, w, h, tangent=aux["wtangent"],
+                matmaps=device["matmaps"], planes_2d=True,
+                interpret=cfg.pallas_interpret, tile_ids=tile_ids)
+            depth = planes["depth"]                       # (band_h, w)
+
+            # SSAO: reduced-res field all-gathered so horizon taps cross
+            # band boundaries exactly like the single-device pass
+            band = dict(y0=y0, full_h=h, tile_ids=tile_ids,
+                        fogvol=fogvol, spotmaps=spotmaps)
+            if cfg.enable_ssao and cfg.ssao_scale > 0:
+                from ..ops.ssao import hbao, make_hbao_params
+                dec = max(int(round(1.0 / cfg.ssao_scale)), 1)
+                dd_l = downsample_pool(depth, dec, reduce="first")
+                nn_l = jnp.stack(
+                    [downsample_pool(planes["nx"], dec, reduce="first"),
+                     downsample_pool(planes["ny"], dec, reduce="first"),
+                     downsample_pool(planes["nz"], dec, reduce="first")],
+                    -1)
+                dd = jax.lax.all_gather(dd_l, "tiles", axis=0, tiled=True)
+                nn = jax.lax.all_gather(nn_l, "tiles", axis=0, tiled=True)
+                nn = brdf.normalize(nn) * 0.5 + 0.5
+                ao_full = hbao(dd, nn, proj, sceneset["view"],
+                               params=make_hbao_params())
+                strength = sceneset["camera"].get("ssaostrength",
+                                                  jnp.float32(1.0))
+                # upsample at FULL res, then slice the band: bit-exact
+                # vs the single-device pass (band-local upsample would
+                # clamp at band edges)
+                ao_up = 1.0 + (resize_up_dense(ao_full[..., 0], h, w)
+                               - 1.0) * strength
+                band["ao"] = jax.lax.dynamic_slice_in_dim(
+                    ao_up, y0, band_h, 0)
+
+            hdr, mask, gbuffer = _shade_with_kernel(
+                cfg, planes, device, sceneset, draws, ibl, shadowmaps,
+                aux["worldp"], dict(tris=aux["tris"]), w, band_h,
+                geom=device["geometry"], band=band)
+
+            # luminance over visible pixels (psum across shards)
+            rows_ok = (y0 + jnp.arange(band_h) < cfg.height)[:, None]
+            cols_ok = (jnp.arange(w) < cfg.width)[None, :]
+            ok = (rows_ok & cols_ok).astype(jnp.float32)
+            lum_w = jnp.array([0.2126, 0.7152, 0.0722], jnp.float32)
+            loglum = jnp.sum(jnp.log(1e-4 + hdr @ lum_w) * ok)
+            loglum = jax.lax.psum(loglum, "tiles")
+            lum = jnp.exp(loglum / (cfg.height * cfg.width))
+
+            # SSR from all-gathered quarter-res fields (exact)
+            ssr_img = None
+            if cfg.enable_ssr and cfg.ssr_mode == "binned":
+                from ..ops.ssr2 import ssr_binned
+                q = 4
+                gather = lambda x: jax.lax.all_gather(
+                    x, "tiles", axis=0, tiled=True)
+                ssr_q = ssr_binned(
+                    gather(downsample_pool(hdr, q)),
+                    gather(downsample_pool(depth, q, reduce="first")),
+                    gather(downsample_pool(gbuffer["normal"][..., :3], q,
+                                           reduce="first")),
+                    gather(downsample_pool(gbuffer["specular"][..., :3], q)),
+                    gather(downsample_pool(gbuffer["specular"][..., 3], q,
+                                           reduce="first")),
+                    gather(downsample_pool(
+                        gbuffer["mask"].astype(jnp.float32), q)) > 0.5,
+                    proj, sceneset["view"],
+                    envbrdf_lut=ibl["envbrdf"] if ibl else None)
+                ssr_up = resize_up_dense(ssr_q, h, w)    # full res, exact
+                ssr_img = jax.lax.dynamic_slice_in_dim(
+                    ssr_up, y0, band_h, 0)
+                ssr_img = ssr_img * sceneset["camera"].get(
+                    "ssrstrength", jnp.float32(1.0))
+
+            # bloom from the all-gathered quarter-res image (exact)
+            bloom_img = None
+            if cfg.enable_bloom:
+                from ..ops.bloom import bloom as bloom_op
+                from ..ops.blur import downsample2
+                hdr_full = jax.lax.all_gather(
+                    downsample2(downsample2(hdr)), "tiles", axis=0,
+                    tiled=True)
+                bq = bloom_op(hdr_full, sceneset["camera"]["bloomstrength"],
+                              pre_downsampled=True)     # full res (h, w)
+                bloom_img = jax.lax.dynamic_slice_in_dim(
+                    bq, y0, band_h, 0)
+
+            dof_blur = dof_amount = None
+            if cfg.enable_depth_of_field:
+                from ..ops.blur import downsample2, gaussian_blur
+                hq = jax.lax.all_gather(
+                    downsample2(hdr), "tiles", axis=0, tiled=True)
+                blurred = resize_up_dense(gaussian_blur(hq, 3.0, 6), h, w)
+                dof_blur = jax.lax.dynamic_slice_in_dim(
+                    blurred, y0, band_h, 0)
+                dist = proj[2, 3] / (depth + proj[2, 2])
+                dof_amount = jnp.clip(
+                    jnp.abs(dist - sceneset["camera"]["focaldistance"])
+                    / jnp.maximum(sceneset["camera"]["focalwidth"], 1e-3),
+                    0.0, 1.0)
+
+            lut = device.get("colorlut") if cfg.enable_color_grading else None
+            rgb = composite_ops.composite(hdr, 1.0, bloom=bloom_img,
+                                          bloom_strength=1.0, ssr=ssr_img,
+                                          dof_blur=dof_blur,
+                                          dof_amount=dof_amount, lut=lut)
+            image = composite_ops.to_u8_image(rgb)
+            return image, lum[None]
+
+        aux = dict(tris=ex["tris"], uv=uv, wnormal=wnormal,
+                   wtangent=wtangent, worldp=worldp, tri_mat=tri_mat)
+        if shadowmaps is None:
+            shadowmaps = jnp.zeros((1, 1, 1), jnp.float32)
+        if spotmaps is None:
+            spotmaps = jnp.zeros((1, 1, 1), jnp.float32)
+        if fogvol is None:
+            fogvol = jnp.zeros((1, 1, 1, 1), jnp.float32)
+        sharded = shard_map(
+            shard_body, mesh=mesh,
+            in_specs=(P("tiles"), P("tiles"), P(), P(), P(), P(), P(),
+                      P(), P(), P(), P()),
+            out_specs=(P("tiles"), P("tiles")),
+            check_vma=False,     # pallas_call outputs carry no vma info
+        )
+        image, lum = sharded(bins, counts, device, draws, sceneset,
+                             setup, big_ids, aux, shadowmaps, spotmaps,
+                             fogvol)
+        return dict(image=image[:cfg.height, :cfg.width], luminance=lum[0],
+                    bin_overflow=overflow)
+
+    return frame(device, draws, sceneset)
+
+
+def _render_sharded_reduced(cfg: FrameConfig, mesh, device, draws, sceneset):
+    """Legacy reduced path: XLA raster + basic deferred + bloom with
+    ppermute halo exchange (configs without the Pallas fast path)."""
+    n_dev = mesh.devices.size
 
     @partial(jax.jit, static_argnames=())
     def frame(device, draws, sceneset):

@@ -133,10 +133,16 @@ def expand_draws(geom, draw_mesh, draw_count, max_v, max_t):
                 tris=tris, tri_draw=tri_draw, t_valid=t_valid)
 
 
-def _assemble_gplanes(cfg, planes, device, sceneset, ibl, shadowmaps, w, h):
+def _assemble_gplanes(cfg, planes, device, sceneset, ibl, shadowmaps, w, h,
+                      y0=0, full_h=None):
     """Material + environment + sun-shadow plane assembly for ONE layer
     of raster output (opaque or the lit translucent layer).  Returns
-    (gpl dict for the shade megakernel, coverage mask)."""
+    (gpl dict for the shade megakernel, coverage mask).
+
+    y0/full_h globalize screen-space reconstruction when planes are a
+    tile-sharded band (y0 may be traced)."""
+    if full_h is None:
+        full_h = h
     from ..ops import brdf
     from ..ops.blur import downsample_pool, resize_up_dense
     from ..ops.lighting_pass import reconstruct_positions
@@ -169,7 +175,8 @@ def _assemble_gplanes(cfg, planes, device, sceneset, ibl, shadowmaps, w, h):
         nrm_h = brdf.normalize(nrm_h3)
         d_h = downsample_pool(depth, p, reduce="first")
         vp_h, wp_h = reconstruct_positions(d_h, proj, invview,
-                                           w // p, h // p)
+                                           w // p, full_h // p,
+                                           y0=y0 // p)
         eye_h = brdf.normalize(invview[:3, 3] - wp_h)
         rough_h = (downsample_pool(planes["rgh"] * mk, p) / mk_h[..., 0]
                    * mm12[7])
@@ -272,7 +279,8 @@ def _assemble_gplanes(cfg, planes, device, sceneset, ibl, shadowmaps, w, h):
     if cfg.enable_shadows and shadowmaps is not None:
         sfq = sun_shadow_factor_quarter(
             depth, (planes["nx"], planes["ny"], planes["nz"]), shadowmaps,
-            sceneset, proj=proj, invview=invview)
+            sceneset, proj=proj, invview=invview, y0=y0,
+            full_height=full_h)
         gpl["sf"] = resize_up_dense(sfq, h, w)
     else:
         gpl["sf"] = jnp.ones((h, w), jnp.float32)
@@ -280,10 +288,16 @@ def _assemble_gplanes(cfg, planes, device, sceneset, ibl, shadowmaps, w, h):
 
 
 def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
-                       worldp, ex, w, h, geom=None):
+                       worldp, ex, w, h, geom=None, band=None):
     """Assemble per-layer planes and launch the deferred-shade
     megakernel (ops/shade_pallas.py).  Returns (hdr, mask,
-    gbuffer-or-None)."""
+    gbuffer-or-None).
+
+    band (tile-sharded path): dict with y0 (global first row, traced),
+    full_h (global image height), tile_ids ((n_local,) global tile ids,
+    traced), and optional precomputed 'ao' ((h, w) plane or None),
+    'fogvol' (replicated fog volume), 'spotmaps' (pre-rastered spot
+    maps).  planes/worldp stay band-local; NDC math goes global."""
     from ..ops import brdf
     from ..ops.blur import downsample_pool, resize_up_dense
     from ..ops.shade_pallas import shade_deferred_pallas
@@ -292,8 +306,11 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
 
     depth = planes["depth"]
     proj, invview = sceneset["proj"], sceneset["invview"]
+    y0 = band["y0"] if band else 0
+    gh = band["full_h"] if band else h
+    tile_ids = band.get("tile_ids") if band else None
     gpl, mask = _assemble_gplanes(cfg, planes, device, sceneset, ibl,
-                                  shadowmaps, w, h)
+                                  shadowmaps, w, h, y0=y0, full_h=gh)
 
     # ---- deferred decals on the fast path: dense blend over the shade
     # planes before lighting (reference: lighting.comp:136-164 — the
@@ -301,7 +318,8 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
     if cfg.max_decals_active > 0:
         from ..ops.decal import apply_decals_planes
         from ..ops.lighting_pass import reconstruct_positions
-        _, wpos = reconstruct_positions(depth, proj, invview, w, h)
+        _, wpos = reconstruct_positions(depth, proj, invview, w, gh,
+                                        y0=y0)
         gpl = apply_decals_planes(
             gpl, (wpos[..., 0], wpos[..., 1], wpos[..., 2]),
             draws["decals"], mask,
@@ -310,7 +328,9 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
 
     # ---- optional SSAO feeding the kernel's ambient term
     ao_img = None
-    if cfg.enable_ssao and cfg.ssao_scale > 0:
+    if band is not None and "ao" in band:
+        ao_img = band["ao"]            # precomputed by the shard body
+    elif cfg.enable_ssao and cfg.ssao_scale > 0:
         from ..ops.ssao import hbao, make_hbao_params
         dec = max(int(round(1.0 / cfg.ssao_scale)), 1)
         dd = downsample_pool(depth, dec, reduce="first")
@@ -330,33 +350,41 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
         if cfg.spot_shadow_mode == "parabolic":
             from ..ops.shadow import (render_spot_maps_parabolic,
                                       spot_factor_quarter_parabolic)
-            spotmaps = render_spot_maps_parabolic(
-                worldp, ex["tris"], sl_["view"], sl_["attenuation"][:, 3],
-                cfg.max_spot_shadows, res=cfg.spot_shadow_res,
-                bin_capacity=cfg.shadow_bin_capacity,
-                big_capacity=cfg.big_capacity,
-                interpret=cfg.pallas_interpret)
+            if band is not None and band.get("spotmaps") is not None:
+                spotmaps = band["spotmaps"]
+            else:
+                spotmaps = render_spot_maps_parabolic(
+                    worldp, ex["tris"], sl_["view"],
+                    sl_["attenuation"][:, 3],
+                    cfg.max_spot_shadows, res=cfg.spot_shadow_res,
+                    bin_capacity=cfg.shadow_bin_capacity,
+                    big_capacity=cfg.big_capacity,
+                    interpret=cfg.pallas_interpret)
             sesm = build_spot_esm(spotmaps)
             spotsf = jnp.stack([
                 resize_up_dense(
                     spot_factor_quarter_parabolic(
                         depth, sesm[i], sl_["view"][i],
                         sl_["attenuation"][i, 3], proj=proj,
-                        invview=invview), h, w)
+                        invview=invview, y0=y0, full_height=gh), h, w)
                 for i in range(cfg.max_spot_shadows)])
         else:
-            spotmaps = render_spot_maps(
-                worldp, ex["tris"], sl_["shadowview"],
-                cfg.max_spot_shadows, res=cfg.spot_shadow_res,
-                bin_capacity=cfg.shadow_bin_capacity,
-                big_capacity=cfg.big_capacity, use_pallas=True,
-                interpret=cfg.pallas_interpret)
+            if band is not None and band.get("spotmaps") is not None:
+                spotmaps = band["spotmaps"]
+            else:
+                spotmaps = render_spot_maps(
+                    worldp, ex["tris"], sl_["shadowview"],
+                    cfg.max_spot_shadows, res=cfg.spot_shadow_res,
+                    bin_capacity=cfg.shadow_bin_capacity,
+                    big_capacity=cfg.big_capacity, use_pallas=True,
+                    interpret=cfg.pallas_interpret)
             sesm = build_spot_esm(spotmaps)
             spotsf = jnp.stack([
                 resize_up_dense(
                     spot_factor_quarter(depth, sesm[i],
                                         sl_["shadowview"][i],
-                                        proj=proj, invview=invview), h, w)
+                                        proj=proj, invview=invview,
+                                        y0=y0, full_height=gh), h, w)
                 for i in range(cfg.max_spot_shadows)])
 
     ss2 = dict(sceneset)
@@ -375,7 +403,7 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
         from ..ops.lighting_pass import view_ray_grid, _inv_proj
         from ..ops.sampling import sample_cubemap_lod_quad
 
-        rx, ry = view_ray_grid(_inv_proj(proj), w, h)
+        rx, ry = view_ray_grid(_inv_proj(proj), w, gh, y0=y0, local_h=h)
         rays = jnp.stack([rx, ry, -jnp.ones_like(rx)], -1)
         rays = rays @ invview[:3, :3].T
         rays = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
@@ -392,13 +420,18 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
     if cfg.enable_fog:
         from ..ops import fog as fog_ops
 
-        fogvol = fog_ops.build_fog_volume(
-            sceneset, proj=proj, invview=invview,
-            shadow=shadowmaps if (cfg.enable_shadows
-                                  and cfg.shadow_mode == "esm") else None,
-            depth_range=cfg.fog_depth_range)
+        if band is not None and band.get("fogvol") is not None:
+            fogvol = band["fogvol"]
+        else:
+            fogvol = fog_ops.build_fog_volume(
+                sceneset, proj=proj, invview=invview,
+                shadow=shadowmaps if (cfg.enable_shadows
+                                      and cfg.shadow_mode == "esm")
+                else None,
+                depth_range=cfg.fog_depth_range)
         fr_, fg_, fb_, ft_ = fog_ops.fog_planes(
-            depth, fogvol, proj, depth_range=cfg.fog_depth_range)
+            depth, fogvol, proj, depth_range=cfg.fog_depth_range,
+            y0=y0, full_height=gh)
         gpl["fog_r"], gpl["fog_g"], gpl["fog_b"], gpl["fog_t"] = \
             fr_, fg_, fb_, ft_
 
@@ -409,8 +442,27 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
     # data/translucent.frag — clustered-forward shading; our divergence:
     # layers beyond the nearest blend without per-layer lighting)
     if cfg.max_translucent_draws > 0 and cfg.translucent_lit:
+        from ..ops.common import TILE_H, TILE_W, round_up
         from ..ops.geometry import transform_vertices_rigid
         from ..ops.raster_pallas import raster_shade_pallas
+        from ..ops.blur import resize_matmul
+
+        # reduced-res lit layer (glass/water is smooth): its raster +
+        # plane assembly + second megakernel run over a ~1/N^2-pixel
+        # viewport that spans the full NDC range, and the resulting
+        # composite planes upsample back via static-matrix matmuls
+        s_t = cfg.translucent_lit_scale if band is None else 1
+        if s_t > 1:
+            h_t = round_up(gh // s_t, TILE_H)
+            w_t = round_up(w // s_t, TILE_W)
+            tx_, ty_ = w_t // TILE_W, h_t // TILE_H
+            depth_t = resize_matmul(depth, h_t, w_t, nearest=True)
+            gh_t, y0_t, tid_t = h_t, 0, None
+        else:
+            h_t, w_t = h, w
+            tx_, ty_ = cfg.tiles_x, cfg.tiles_y
+            depth_t = depth
+            gh_t, y0_t, tid_t = gh, y0, tile_ids
 
         if geom is None:
             geom = device["geometry"]
@@ -425,26 +477,33 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
             td["world"], viewproj_t)
         tuv = geom["texcoords"][tex2["src_v"]]
         tmat = td["material"][tex2["tri_draw"]]
-        tx_, ty_ = cfg.tiles_x, cfg.tiles_y
-        tsetup = raster_ops.triangle_setup(tclip, tex2["tris"], w, h,
+        tsetup = raster_ops.triangle_setup(tclip, tex2["tris"], w_t, gh_t,
                                            tx_, ty_, cull=0,
                                            tri_valid=tex2["t_valid"])
         tbins, tcounts, tbig = raster_ops.bin_triangles(
             tsetup, cfg.max_translucent_tris, tx_, ty_,
             cfg.forward_bin_capacity, cfg.forward_big_capacity)
+        if tid_t is not None:          # slice this band's bin rows
+            nloc = tid_t.shape[0]
+            tbins = jax.lax.dynamic_slice_in_dim(tbins, tid_t[0], nloc, 0)
+            tcounts = jax.lax.dynamic_slice_in_dim(tcounts, tid_t[0],
+                                                   nloc, 0)
         planes_t = raster_shade_pallas(
             tsetup, tbins, tbig, tcounts, tex2["tris"], tuv, twn, tmat,
-            device["materials"], tx_, ty_, w, h, tangent=twt,
+            device["materials"], tx_, ty_, w_t, h_t, tangent=twt,
             matmaps=device["matmaps"], planes_2d=True, alpha_in_alb=True,
-            interpret=cfg.pallas_interpret)
+            interpret=cfg.pallas_interpret, tile_ids=tid_t)
         # only keep fragments nearer than the opaque surface
-        visf_t = jnp.where(planes_t["depth"] > depth, planes_t["visf"], -1.0)
+        visf_t = jnp.where(planes_t["depth"] > depth_t, planes_t["visf"],
+                           -1.0)
         planes_t = dict(planes_t, visf=visf_t)
         gpl_t, mask_t = _assemble_gplanes(cfg, planes_t, device, sceneset,
-                                          ibl, shadowmaps, w, h)
+                                          ibl, shadowmaps, w_t, h_t,
+                                          y0=y0_t, full_h=gh_t)
         tr = shade_deferred_pallas(gpl_t, ss2, proj=proj, invview=invview,
                                    planes_out=True,
-                                   interpret=cfg.pallas_interpret)
+                                   interpret=cfg.pallas_interpret,
+                                   y0=y0_t, full_height=gh_t)
         # depth-aware transmission (reference: data/water.frag shallow
         # fade): absorb > 0 materials blend by the water column between
         # the surface and the opaque floor along the view ray
@@ -455,11 +514,9 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
         mkt = mask_t.astype(jnp.float32)
         a_mat = jnp.clip(planes_t["alb"], 0.0, 1.0)
         absorb = planes_t["absorb"]
-        column = jnp.maximum(_dist(depth) - _dist(planes_t["depth"]), 0.0)
+        column = jnp.maximum(_dist(depth_t) - _dist(planes_t["depth"]), 0.0)
         a_depth = 1.0 - (1.0 - a_mat) * jnp.exp(-absorb * column)
         alpha_t = jnp.where(absorb > 0, a_depth, a_mat) * mkt
-        gpl["tr_r"], gpl["tr_g"], gpl["tr_b"] = tr
-        gpl["tr_a"] = alpha_t
         # refraction offsets (pixels): view-space normal xy scaled by
         # the surface distance; only absorbing (water-like) surfaces
         v_ = sceneset["view"]
@@ -469,12 +526,24 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
                + v_[1, 2] * gpl_t["nz"])
         refr_k = 90.0 / jnp.maximum(_dist(planes_t["depth"]), 1.0)
         on_refr = (absorb > 0) & mask_t
-        gpl["tr_ox"] = jnp.where(on_refr,
-                                 jnp.clip(nvx * refr_k, -9.0, 9.0), 0.0)
+        tr_ox = jnp.where(on_refr, jnp.clip(nvx * refr_k, -9.0, 9.0), 0.0)
         # vertical shifts are band-local rolls in the kernel; keep them
         # within REFR_STEPS_Y's +-4 px range (see shade_pallas)
-        gpl["tr_oy"] = jnp.where(on_refr,
-                                 jnp.clip(nvy * refr_k, -4.0, 4.0), 0.0)
+        tr_oy = jnp.where(on_refr, jnp.clip(nvy * refr_k, -4.0, 4.0), 0.0)
+        if s_t > 1:
+            # premultiplied-alpha upsample (then unpremultiply) so the
+            # bilinear border doesn't mix unshaded black into the layer
+            a_up = resize_matmul(alpha_t, h, w)
+            un = 1.0 / jnp.maximum(a_up, 1e-4)
+            gpl["tr_r"], gpl["tr_g"], gpl["tr_b"] = (
+                resize_matmul(p * alpha_t, h, w) * un for p in tr)
+            gpl["tr_a"] = a_up
+            gpl["tr_ox"] = resize_matmul(tr_ox, h, w)
+            gpl["tr_oy"] = resize_matmul(tr_oy, h, w)
+        else:
+            gpl["tr_r"], gpl["tr_g"], gpl["tr_b"] = tr
+            gpl["tr_a"] = alpha_t
+            gpl["tr_ox"], gpl["tr_oy"] = tr_ox, tr_oy
 
     if cfg.max_translucent_draws > 0 or cfg.max_particle_quads > 0:
         from ..ops.raster_pallas import raster_blend_pallas
@@ -498,16 +567,23 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
             tcol = device["materials"]["color"][td["material"][tex2["vtx_draw"]]]
             tuv = geom["texcoords"][tex2["src_v"]]
             tx_, ty_ = cfg.tiles_x, cfg.tiles_y
-            tsetup = raster_ops.triangle_setup(tclip, tex2["tris"], w, h,
+            tsetup = raster_ops.triangle_setup(tclip, tex2["tris"], w, gh,
                                                tx_, ty_,
                                                tri_valid=tex2["t_valid"])
             tbins, tcounts, tbig = raster_ops.bin_triangles(
                 tsetup, cfg.max_translucent_tris, tx_, ty_,
                 cfg.forward_bin_capacity, cfg.forward_big_capacity)
+            if tile_ids is not None:
+                nloc = tile_ids.shape[0]
+                tbins = jax.lax.dynamic_slice_in_dim(tbins, tile_ids[0],
+                                                     nloc, 0)
+                tcounts = jax.lax.dynamic_slice_in_dim(tcounts, tile_ids[0],
+                                                       nloc, 0)
             t5 = raster_blend_pallas(tsetup, tbins, tbig, tcounts,
                                      tex2["tris"], tuv, tcol, depth,
-                                     tx_, ty_, w, h, soft=False, planes=True,
-                                     interpret=cfg.pallas_interpret)
+                                     tx_, ty_, w, gh, soft=False, planes=True,
+                                     interpret=cfg.pallas_interpret,
+                                     tile_ids=tile_ids)
             acc5 = [a + b for a, b in zip(acc5[:4], t5[:4])] + \
                 [acc5[4] * t5[4]]
         if cfg.max_particle_quads > 0:
@@ -517,15 +593,22 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
                 cfg.max_particle_quads))
             tvalid = jnp.arange(ftris.shape[0]) < fwd["quad_count"] * 2
             tx_, ty_ = cfg.tiles_x, cfg.tiles_y
-            fsetup = raster_ops.triangle_setup(fclip, ftris, w, h, tx_, ty_,
+            fsetup = raster_ops.triangle_setup(fclip, ftris, w, gh, tx_, ty_,
                                                tri_valid=tvalid)
             fbins, fcounts, fbig = raster_ops.bin_triangles(
                 fsetup, ftris.shape[0], tx_, ty_, cfg.forward_bin_capacity,
                 cfg.forward_big_capacity)
+            if tile_ids is not None:
+                nloc = tile_ids.shape[0]
+                fbins = jax.lax.dynamic_slice_in_dim(fbins, tile_ids[0],
+                                                     nloc, 0)
+                fcounts = jax.lax.dynamic_slice_in_dim(fcounts, tile_ids[0],
+                                                       nloc, 0)
             f5 = raster_blend_pallas(fsetup, fbins, fbig, fcounts,
                                      ftris, fwd["uv"], fwd["color"],
-                                     depth, tx_, ty_, w, h, planes=True,
-                                     interpret=cfg.pallas_interpret)
+                                     depth, tx_, ty_, w, gh, planes=True,
+                                     interpret=cfg.pallas_interpret,
+                                     tile_ids=tile_ids)
             acc5 = [a + b for a, b in zip(acc5[:4], f5[:4])] + \
                 [acc5[4] * f5[4]]
         # exposure on the color accumulators only (not the weight): the
@@ -539,6 +622,8 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
 
     clusters = None
     if cfg.use_light_clusters:
+        assert band is None, "light clusters not supported on the " \
+            "sharded path yet (dense in-kernel loop instead)" 
         # per-tile light lists with depth-bounds culling, consumed by
         # the kernel's per-sub-tile loops (the reference's cluster
         # z-slice refinement; ops/cluster.py tile_depth_bounds)
@@ -558,7 +643,8 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
         clusters = (band_lists, band_counts)
     hdr = shade_deferred_pallas(gpl, ss2, proj=proj, invview=invview,
                                 ao=ao_img, spotsf=spotsf, clusters=clusters,
-                                interpret=cfg.pallas_interpret)
+                                interpret=cfg.pallas_interpret,
+                                y0=y0, full_height=gh)
 
     gbuffer = None
     if cfg.enable_ssr:
@@ -576,11 +662,12 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
     return hdr, mask, gbuffer
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _frame(cfg: FrameConfig, device, draws, sceneset):
+def _vertex_stage(cfg: FrameConfig, device, draws, sceneset):
+    """Draw expansion + attribute gather + vertex modifiers + world/clip
+    transform — the replicated geometry stage shared by the single-chip
+    frame and the tile-sharded path (reference: the *.vert programs +
+    renderer.cpp draw-stream build)."""
     geom = device["geometry"]
-    w, h = cfg.padded_width, cfg.padded_height
-    tx, ty = cfg.tiles_x, cfg.tiles_y
 
     # dynamic vertex slab: device-computed geometry (ocean surface)
     # overwrites its pool range each frame (reference: ocean.gen.comp
@@ -665,6 +752,15 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
     viewproj = (sceneset["proj"] @ sceneset["view"]).astype(jnp.float32)
     clip, wnormal, wtangent, worldp = transform_vertices_rigid(
         positions, normals, tangents, ex["vtx_draw"], draws["world"], viewproj)
+    return geom, ex, uv, clip, wnormal, wtangent, worldp, viewproj
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _frame(cfg: FrameConfig, device, draws, sceneset):
+    w, h = cfg.padded_width, cfg.padded_height
+    tx, ty = cfg.tiles_x, cfg.tiles_y
+    geom, ex, uv, clip, wnormal, wtangent, worldp, viewproj = \
+        _vertex_stage(cfg, device, draws, sceneset)
 
     # shadow cascades (reference: renderer.cpp:6458-6473 SHADOW pass)
     shadowmaps = None
