@@ -121,6 +121,13 @@ class FrameConfig:
     # shapes are compiled; the reference likewise rebuilds its context
     # when it changes (renderer.cpp:5621).
     ssao_scale: float = 0.5
+    # temporal AO reprojection (reference: hbao.comp:156-162 prevmap):
+    # Context threads last frame's decimated AO stack + view matrix back
+    # into hbao() as `prev`.  Static-camera frames are unchanged (the
+    # temporal lerp converges to the current AO); moving cameras get
+    # history-stabilised AO.  Off by default: single-frame renders
+    # (goldens/bench) never benefit and it adds one gather at AO res.
+    ssao_temporal: bool = False
     enable_ssr: bool = False         # screen-space reflections
     ssr_mode: str = "binned"         # 'binned' quarter-res gather-free
                                      # march (ops/ssr2.py) or 'dda'

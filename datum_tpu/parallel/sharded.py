@@ -172,7 +172,7 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset):
                 band["ao"] = jax.lax.dynamic_slice_in_dim(
                     ao_up, y0, band_h, 0)
 
-            hdr, mask, gbuffer = _shade_with_kernel(
+            hdr, mask, gbuffer, _ = _shade_with_kernel(
                 cfg, planes, device, sceneset, draws, ibl, shadowmaps,
                 aux["worldp"], dict(tris=aux["tris"]), w, band_h,
                 geom=device["geometry"], band=band)

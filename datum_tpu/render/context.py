@@ -459,7 +459,19 @@ class RenderContext:
             sw = max(int(round(cfg.width * scale)) & ~1, 2)
             sh = max(int(round(cfg.height * scale)) & ~1, 2)
             cfg = _dc.replace(cfg, width=sw, height=sh)
-        out = frame_mod.render_frame(cfg, self.device_state(), draws, sceneset)
+        prev = None
+        if cfg.ssao_temporal and cfg.enable_ssao:
+            prev = getattr(self, "_ao_prev", None)
+            if prev is not None and prev.get("_cfg") != (cfg.width,
+                                                         cfg.height):
+                prev = None            # resolution changed mid-run
+            if prev is not None:
+                prev = {k: v for k, v in prev.items() if k != "_cfg"}
+        out = frame_mod.render_frame(cfg, self.device_state(), draws,
+                                     sceneset, prev=prev)
+        if cfg.ssao_temporal and "ao_prev" in out:
+            self._ao_prev = dict(out["ao_prev"],
+                                 _cfg=(cfg.width, cfg.height))
         self.luminance = float(out["luminance"])
         if "bin_overflow" in out:
             ov = int(out["bin_overflow"])

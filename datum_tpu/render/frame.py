@@ -288,10 +288,14 @@ def _assemble_gplanes(cfg, planes, device, sceneset, ibl, shadowmaps, w, h,
 
 
 def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
-                       worldp, ex, w, h, geom=None, band=None):
+                       worldp, ex, w, h, geom=None, band=None, prev=None):
     """Assemble per-layer planes and launch the deferred-shade
     megakernel (ops/shade_pallas.py).  Returns (hdr, mask,
-    gbuffer-or-None).
+    gbuffer-or-None, ao_state-or-None).
+
+    prev: previous-frame temporal state dict {"ao": (h/dec, w/dec, 2)
+    stack from the last frame's hbao, "view": (4, 4) view matrix} —
+    enables the reference's temporal AO reprojection (hbao.comp:156-162).
 
     band (tile-sharded path): dict with y0 (global first row, traced),
     full_h (global image height), tile_ids ((n_local,) global tile ids,
@@ -327,7 +331,7 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
                       else None))
 
     # ---- optional SSAO feeding the kernel's ambient term
-    ao_img = None
+    ao_img = ao_state = None
     if band is not None and "ao" in band:
         ao_img = band["ao"]            # precomputed by the shard body
     elif cfg.enable_ssao and cfg.ssao_scale > 0:
@@ -339,7 +343,11 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
                         downsample_pool(planes["nz"], dec, reduce="first")],
                        -1)
         nn = brdf.normalize(nn) * 0.5 + 0.5
-        ao = hbao(dd, nn, proj, sceneset["view"], params=make_hbao_params())
+        ao = hbao(dd, nn, proj, sceneset["view"], params=make_hbao_params(),
+                  prev_ao=None if prev is None else prev["ao"],
+                  prevview=None if prev is None else prev["view"],
+                  invview=invview)
+        ao_state = ao                  # feeds next frame's temporal pass
         strength = sceneset["camera"].get("ssaostrength", jnp.float32(1.0))
         ao_img = 1.0 + (resize_up_dense(ao[..., 0], h, w) - 1.0) * strength
 
@@ -488,9 +496,12 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
             tbins = jax.lax.dynamic_slice_in_dim(tbins, tid_t[0], nloc, 0)
             tcounts = jax.lax.dynamic_slice_in_dim(tcounts, tid_t[0],
                                                    nloc, 0)
+        # NOTE: the height arg is the NDC viewport height the kernel maps
+        # GLOBAL tile rows through — must be gh_t, not the band height
+        # (the output planes are still band-sized via tile_ids)
         planes_t = raster_shade_pallas(
             tsetup, tbins, tbig, tcounts, tex2["tris"], tuv, twn, tmat,
-            device["materials"], tx_, ty_, w_t, h_t, tangent=twt,
+            device["materials"], tx_, ty_, w_t, gh_t, tangent=twt,
             matmaps=device["matmaps"], planes_2d=True, alpha_in_alb=True,
             interpret=cfg.pallas_interpret, tile_ids=tid_t)
         # only keep fragments nearer than the opaque surface
@@ -659,7 +670,7 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
                                gpl["em"]], -1),
             mask=mask,
         )
-    return hdr, mask, gbuffer
+    return hdr, mask, gbuffer, ao_state
 
 
 def _vertex_stage(cfg: FrameConfig, device, draws, sceneset):
@@ -756,7 +767,7 @@ def _vertex_stage(cfg: FrameConfig, device, draws, sceneset):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _frame(cfg: FrameConfig, device, draws, sceneset):
+def _frame(cfg: FrameConfig, device, draws, sceneset, prev=None):
     w, h = cfg.padded_width, cfg.padded_height
     tx, ty = cfg.tiles_x, cfg.tiles_y
     geom, ex, uv, clip, wnormal, wtangent, worldp, viewproj = \
@@ -804,6 +815,7 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
                              and (ibl.get("envprobes") is None
                                   or "flatqs" in ibl["envprobes"])))
         and (not cfg.enable_shadows or cfg.shadow_mode == "esm"))
+    ao_state = None
     if use_shade_kernel:
         from ..ops.raster_pallas import raster_shade_pallas
         tri_mat = draws.get("tri_mat")
@@ -816,9 +828,9 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
             interpret=cfg.pallas_interpret)
         depth = planes["depth"]
         vis = jnp.round(planes["visf"]).astype(jnp.int32)
-        hdr, mask, gbuffer = _shade_with_kernel(
+        hdr, mask, gbuffer, ao_state = _shade_with_kernel(
             cfg, planes, device, sceneset, draws, ibl, shadowmaps,
-            worldp, ex, w, h, geom=geom)
+            worldp, ex, w, h, geom=geom, prev=prev)
     elif cfg.use_pallas and (not cfg.enable_material_maps or fused_mip):
         # fused raster + attribute/material interpolation: no per-pixel
         # attribute gathers at all (gather throughput is the TPU wall);
@@ -894,7 +906,11 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
             dd = downsample_pool(depth, dec, reduce="first")
             nn = downsample_pool(gbuffer["normal"][..., :3], dec,
                                  reduce="first")
-            ao = hbao(dd, nn, sceneset["proj"], sceneset["view"], params=pr)
+            ao = hbao(dd, nn, sceneset["proj"], sceneset["view"], params=pr,
+                      prev_ao=None if prev is None else prev["ao"],
+                      prevview=None if prev is None else prev["view"],
+                      invview=sceneset["invview"])
+            ao_state = ao
             from ..ops.blur import resize_up_dense
             # ssaostrength: intensity lerp toward unoccluded (our knob;
             # the reference has no AO strength dial)
@@ -1100,9 +1116,16 @@ def _frame(cfg: FrameConfig, device, draws, sceneset):
                                   lut=lut)
     image = composite_ops.to_u8_image(rgb[:cfg.height, :cfg.width])
 
-    return dict(image=image, luminance=lum, depth=depth, vis=vis,
-                bin_overflow=bin_overflow)
+    out = dict(image=image, luminance=lum, depth=depth, vis=vis,
+               bin_overflow=bin_overflow)
+    if ao_state is not None:
+        # temporal AO state: feed back as `prev` next frame (reference:
+        # hbao.comp:156-162 prevmap reprojection)
+        out["ao_prev"] = dict(ao=ao_state, view=sceneset["view"])
+    return out
 
 
-def render_frame(cfg: FrameConfig, device, draws, sceneset):
-    return _frame(cfg, device, draws, sceneset)
+def render_frame(cfg: FrameConfig, device, draws, sceneset, prev=None):
+    """prev: the previous frame's out["ao_prev"] (or None on the first
+    frame) — enables temporal AO reprojection."""
+    return _frame(cfg, device, draws, sceneset, prev=prev)

@@ -101,7 +101,10 @@ def main():
         use_pallas=True, shadow_factor_scale=4,
         enable_material_maps=True, texture_filter="mip_half",
         enable_ssao=True, enable_fog=True, enable_ssr=True,
-        max_spot_shadows=1, max_particle_quads=512)
+        max_spot_shadows=1, max_particle_quads=512,
+        max_translucent_draws=2, max_translucent_tris=2048,
+        max_decals_active=2, decal_textures=False,
+        translucent_lit_scale=2)
     cfg = ctx.config
     device = jax.device_put(ctx.device_state())
     rl = make_rl(0.0)
@@ -110,6 +113,9 @@ def main():
     draws = rl.draw_arrays(cfg.max_instances, ctx.default_material)
     ctx.expand_host(draws)
     draws["forward"] = rl.forward_arrays(cfg.max_particle_quads, camera)
+    draws["translucent"] = rl.translucent_arrays(
+        cfg.max_translucent_draws, ctx.default_material)
+    draws["decals"] = rl.decal_arrays(cfg.max_decals_active)
     draws = jax.device_put(draws)
     ss = jax.device_put(ss)
     geom = device["geometry"]
@@ -303,6 +309,16 @@ def main():
                                  gpl_full["db"]], -1)) + 0.1
     chain_time(mk, pturb_gpl, gpl_full, k=6, unroll=True,
                name="shade megakernel (+epilogue)")
+
+    # ---- whole mid-frame block: _shade_with_kernel (gplane assembly +
+    # decals + SSAO + spot + fog planes + lit translucent layer + OIT
+    # accumulation + megakernel w/ epilogue) — the honest aggregate
+    def swk(planes_):
+        hdr_, mask_, gb_, _ = F._shade_with_kernel(
+            cfg, planes_, device, ss, draws, ibl, esm, wp, ex, w, h)
+        return hdr_.mean(), hdr_
+    chain_time(swk, pturb_planes, planes, k=6, unroll=True,
+               name="_shade_with_kernel TOTAL")
 
     # ---- spot factor planes
     def sff(depth_):
