@@ -39,7 +39,8 @@ def main():
         enable_ssao=True, enable_fog=True, enable_ssr=True,
         max_spot_shadows=1, max_particle_quads=512,
         max_translucent_draws=2, max_translucent_tris=2048,
-        max_decals_active=2, decal_textures=False)
+        max_decals_active=2, decal_textures=False,
+        translucent_lit_scale=2)
     device = jax.device_put(ctx.device_state())
 
     def frame_inputs(t):

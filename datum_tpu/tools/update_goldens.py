@@ -45,13 +45,30 @@ def render_example(name: str, out_path: str) -> None:
                            f"{res.stdout[-2000:]}\n{res.stderr[-2000:]}")
 
 
+def render_megakernel(out_path: str) -> None:
+    """Fast-path (Pallas megakernel, interpret mode) golden — see
+    datum_tpu/tools/megakernel_golden.py."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    res = subprocess.run(
+        [sys.executable, "-m", "datum_tpu.tools.megakernel_golden",
+         out_path], env=env, cwd=REPO, capture_output=True, text=True,
+        timeout=1800)
+    if res.returncode != 0:
+        raise RuntimeError(f"megakernel golden failed rc={res.returncode}:\n"
+                           f"{res.stdout[-2000:]}\n{res.stderr[-2000:]}")
+
+
 def main(argv):
-    names = argv or list(EXAMPLES)
+    names = argv or (list(EXAMPLES) + ["megakernel"])
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for name in names:
         out = os.path.join(GOLDEN_DIR, f"{name}.png")
         print(f"rendering golden: {name} -> {out}", flush=True)
-        render_example(name, out)
+        if name == "megakernel":
+            render_megakernel(out)
+        else:
+            render_example(name, out)
     print("done")
 
 
