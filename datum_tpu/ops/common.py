@@ -65,6 +65,10 @@ class FrameConfig:
     shadow_res: int = 1024
     shadow_bin_capacity: int = 128
     shadow_mode: str = "esm"         # 'esm' (1-tap) or 'pcf' (12-tap poisson)
+    # render cascades 2..3 at this reduced resolution (esm mode only):
+    # their world extent is 2-4x the near cascades', so 1024^2 far maps
+    # are sub-screen-pixel; the ESM blurs at native res and upsamples
+    shadow_far_res: int | None = None
     shadow_factor_scale: int = 2     # ESM factor res divisor (2=half, 4=quarter)
     enable_material_maps: bool = True  # sample surface/normal textures
     use_pallas: bool = False         # Mosaic raster kernel (TPU only)
@@ -95,6 +99,11 @@ class FrameConfig:
     # full deferred shade on the nearest translucent layer (megakernel
     # path only; reference translucent.frag clustered-forward parity)
     translucent_lit: bool = True
+    # depth-peeled lit layers (1 or 2): 2 shades the second-nearest
+    # translucent surface too (stacked glass); layers beyond blend
+    # unlit via WBOIT — reference shades every fragment
+    # (renderer.cpp:6596-6684)
+    translucent_lit_layers: int = 1
     # shade the lit translucent layer at 1/N resolution (glass/water is
     # smooth; its raster + plane assembly + second megakernel shrink by
     # ~N^2) and composite via matmul-resampled planes.  1 = full res.

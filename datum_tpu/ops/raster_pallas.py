@@ -249,7 +249,10 @@ def pack_tile_setup_attrs(setup, bins, big_ids, tris, uv, normal, tri_material,
 
 def _raster_shade_kernel(tile_ids_ref, counts_ref, rows_all, out_refs,
                          *, tiles_x, width, height,
-                         tiles_per_step=1, extended=False):
+                         tiles_per_step=1, extended=False, peel_all=None):
+    """peel_all: optional (R, TILE_H, TILE_W) reverse-Z depth — fragments
+    at or nearer than it are rejected (depth peeling: pass layer N-1's
+    depth to raster layer N)."""
     i = pl.program_id(0)
     yy = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
     xx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
@@ -269,6 +272,7 @@ def _raster_shade_kernel(tile_ids_ref, counts_ref, rows_all, out_refs,
         yn = (ty.astype(jnp.float32) * TILE_H + yy + 0.5) * (2.0 / height) - 1.0
         xn = (tx.astype(jnp.float32) * TILE_W + xx + 0.5) * (2.0 / width) - 1.0
         rows = rows_all.at[rstep]
+        peel = None if peel_all is None else peel_all[rstep]
 
         def body(g, carry):
             for q in range(P):
@@ -282,6 +286,11 @@ def _raster_shade_kernel(tile_ids_ref, counts_ref, rows_all, out_refs,
                     & (rows[g, o + 12] > 0)
                 d = rows[g, o + 9] * xn + rows[g, o + 10] * yn + rows[g, o + 11]
                 passed = inside & (d > depth) & (d <= 1.0)
+                if peel is not None:
+                    # strictly farther than the previous layer (reverse-Z:
+                    # smaller d); the layer's own fragments interpolate to
+                    # exactly-equal d and fail the strict test
+                    passed = passed & (d < peel)
                 inv = 1.0 / jnp.where(s == 0, 1.0, s)
                 l0 = e0 * inv
                 l1 = e1 * inv
@@ -324,13 +333,18 @@ def _raster_shade_kernel(tile_ids_ref, counts_ref, rows_all, out_refs,
 def raster_shade_pallas(setup, bins, big_ids, counts, tris, uv, normal,
                         tri_material, materials, tiles_x, tiles_y, width, height,
                         tile_ids=None, interpret=False, tangent=None,
-                        matmaps=None, planes_2d=False, alpha_in_alb=False):
+                        matmaps=None, planes_2d=False, alpha_in_alb=False,
+                        peel_depth=None):
     """Fused raster + attribute/material interpolation.
 
     Returns dict of full-res planes: depth, vis (int32), uv (H,W,2),
     normal (H,W,3), color (H,W,3), emissive, metalness, roughness,
     reflectivity, albedo_id (int32); with tangent/matmaps also
     tangent (H,W,4), matmap_base (H,W) i32, matmap_size (H,W) i32.
+
+    peel_depth: optional (local_H, W) reverse-Z depth plane — keep only
+    fragments strictly farther (depth peeling; reference analogue: the
+    translucent subpasses shade every layer, renderer.cpp:6596-6684).
     """
     assert big_ids.shape[0] % SHADE_PACK == 0
     extended = tangent is not None
@@ -352,25 +366,39 @@ def raster_shade_pallas(setup, bins, big_ids, counts, tris, uv, normal,
     # multi-tile grid steps amortize per-step dispatch/DMA latency
     R = next((r for r in (15, 10, 6, 5, 4, 3, 2) if n_tiles % r == 0), 1)
 
-    def kernel_wrap(tile_ids_ref, counts_ref, rows_ref, *outs):
-        _raster_shade_kernel(tile_ids_ref, counts_ref, rows_ref,
-                             list(outs),
-                             tiles_x=tiles_x, width=width, height=height,
-                             tiles_per_step=R, extended=extended)
+    has_peel = peel_depth is not None
 
+    def kernel_wrap(tile_ids_ref, counts_ref, rows_ref, *rest):
+        if has_peel:
+            peel_ref, outs = rest[0], list(rest[1:])
+        else:
+            peel_ref, outs = None, list(rest)
+        _raster_shade_kernel(tile_ids_ref, counts_ref, rows_ref,
+                             outs,
+                             tiles_x=tiles_x, width=width, height=height,
+                             tiles_per_step=R, extended=extended,
+                             peel_all=peel_ref)
+
+    in_specs = [pl.BlockSpec((R, n_groups, SHADE_PACK * 64),
+                             lambda i, *_: (i, 0, 0))]
+    args = [tile_ids, trip, rows]
+    if has_peel:
+        from .raster import tile_image
+        tyl_ = n_tiles // tiles_x
+        args.append(tile_image(peel_depth, tiles_x, tyl_))
+        in_specs.append(pl.BlockSpec((R, TILE_H, TILE_W),
+                                     lambda i, *_: (i, 0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles // R,),
-        in_specs=[pl.BlockSpec((R, n_groups, SHADE_PACK * 64),
-                               lambda i, *_: (i, 0, 0))],
+        in_specs=in_specs,
         out_specs=[pl.BlockSpec((R, TILE_H, TILE_W), lambda i, *_: (i, 0, 0))
                    for _ in range(N_PLANES)],
     )
     out_shape = [jax.ShapeDtypeStruct((n_tiles, TILE_H, TILE_W), jnp.float32)
                  for _ in range(N_PLANES)]
     planes = pl.pallas_call(kernel_wrap, grid_spec=grid_spec,
-                            out_shape=out_shape, interpret=interpret)(
-        tile_ids, trip, rows)
+                            out_shape=out_shape, interpret=interpret)(*args)
 
     from .raster import _untile
     tyl = n_tiles // tiles_x
@@ -542,7 +570,7 @@ def pack_tile_blend(setup, bins, big_ids, tris, uv, color):
 
 def _blend_kernel(tile_ids_ref, counts_ref, rows_ref, od_ref,
                   ar_ref, ag_ref, ab_ref, aw_ref, rv_ref,
-                  *, tiles_x, width, height, soft):
+                  *, tiles_x, width, height, soft, peel_ref=None):
     i = pl.program_id(0)
     tile = tile_ids_ref[i]             # global tile id (sharded bands)
     ty = tile // tiles_x
@@ -552,6 +580,7 @@ def _blend_kernel(tile_ids_ref, counts_ref, rows_ref, od_ref,
     yn = (ty * TILE_H + yy + 0.5) * (2.0 / height) - 1.0
     xn = (tx * TILE_W + xx + 0.5) * (2.0 / width) - 1.0
     od = od_ref[...]
+    peel = None if peel_ref is None else peel_ref[...]
 
     P = BLEND_PACK
     big_groups = (counts_ref[0] + (P - 1)) // P
@@ -570,6 +599,10 @@ def _blend_kernel(tile_ids_ref, counts_ref, rows_ref, od_ref,
                 & (rows[g, o + 12] > 0)
             d = rows[g, o + 9] * xn + rows[g, o + 10] * yn + rows[g, o + 11]
             visible = inside & (d > od) & (d <= 1.0)
+            if peel is not None:
+                # depth-peel residual: only fragments strictly farther
+                # than the last LIT translucent layer accumulate here
+                visible = visible & (d < peel)
             inv = 1.0 / jnp.where(s == 0, 1.0, s)
             l0 = e0 * inv
             l1 = e1 * inv
@@ -606,13 +639,17 @@ def _blend_kernel(tile_ids_ref, counts_ref, rows_ref, od_ref,
 def raster_blend_pallas(setup, bins, big_ids, counts, tris, uv, color,
                         opaque_depth, tiles_x, tiles_y, width, height,
                         soft=True, interpret=False, planes=False,
-                        tile_ids=None):
+                        tile_ids=None, peel_depth=None):
     """Pallas WBOIT accumulation.  Returns (accum (H,W,4), reveal (H,W)),
     or the five raw planes (ar, ag, ab, aw, reveal) with planes=True.
 
     tile_ids: global tile of each bins row (1:1); the sharded path
     passes its band's ids, band-local bins and a band-local
     opaque_depth — outputs are band-local too.
+
+    peel_depth: optional (local_H, W) reverse-Z depth — only fragments
+    strictly FARTHER than it accumulate (the unlit residual behind the
+    lit translucent layers).
     """
     assert big_ids.shape[0] % BLEND_PACK == 0
     rows = pack_tile_blend(setup, bins, big_ids, tris, uv, color)
@@ -626,30 +663,40 @@ def raster_blend_pallas(setup, bins, big_ids, counts, tris, uv, color,
     trip = jnp.concatenate([big_count[None],
                             jnp.int32(big_ids.shape[0])[None],
                             counts.astype(jnp.int32)])
+    has_peel = peel_depth is not None
 
-    def wrap(tile_ids_ref, counts_ref, rows_ref, od_ref, *outs):
+    def wrap(tile_ids_ref, counts_ref, rows_ref, od_ref, *rest):
+        if has_peel:
+            peel_ref, outs = rest[0], rest[1:]
+        else:
+            peel_ref, outs = None, rest
         _blend_kernel(tile_ids_ref, counts_ref, rows_ref.at[0], od_ref,
                       *outs,
-                      tiles_x=tiles_x, width=width, height=height, soft=soft)
+                      tiles_x=tiles_x, width=width, height=height, soft=soft,
+                      peel_ref=peel_ref)
 
+    tile_spec = pl.BlockSpec((TILE_H, TILE_W),
+                             lambda i, *_: (i // tiles_x, i % tiles_x))
+    in_specs = [
+        pl.BlockSpec((1, n_groups, BLEND_PACK * 64),
+                     lambda i, *_: (i, 0, 0)),
+        tile_spec,
+    ]
+    args = [tile_ids, trip, rows, opaque_depth]
+    if has_peel:
+        in_specs.append(tile_spec)
+        args.append(peel_depth)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, n_groups, BLEND_PACK * 64),
-                         lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((TILE_H, TILE_W),
-                         lambda i, *_: (i // tiles_x, i % tiles_x)),
-        ],
-        out_specs=[pl.BlockSpec((TILE_H, TILE_W),
-                                lambda i, *_: (i // tiles_x, i % tiles_x))
-                   for _ in range(5)],
+        in_specs=in_specs,
+        out_specs=[tile_spec for _ in range(5)],
     )
     out_shape = [jax.ShapeDtypeStruct((local_ty * TILE_H, tiles_x * TILE_W),
                                       jnp.float32) for _ in range(5)]
     ar, ag, ab, aw, rv = pl.pallas_call(
         wrap, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
-    )(tile_ids, trip, rows, opaque_depth)
+    )(*args)
     if planes:
         return ar, ag, ab, aw, rv
     return jnp.stack([ar, ag, ab, aw], axis=-1), rv

@@ -141,6 +141,8 @@ SKY_NAMES = ["sky_r", "sky_g", "sky_b"]
 # fields assembled outside)
 ENVD_NAMES = ["edr", "edg", "edb", "edm"]
 TR_NAMES = ["tr_r", "tr_g", "tr_b", "tr_a"]     # lit translucent layer
+TR2_NAMES = ["tr2_r", "tr2_g", "tr2_b", "tr2_a"]  # 2nd (depth-peeled)
+                                                  # lit layer, farther
 REFR_NAMES = ["tr_ox", "tr_oy"]                 # refraction offsets (px)
 REFR_STEPS = (-8, -3, 0, 3, 8)                  # quantized shift ladder (x)
 # vertical shifts roll within the 16-row band, so the ladder stays at
@@ -396,6 +398,13 @@ def _shade_kernel(counts_ref, params_ref, lights_ref, spots_ref, probes_ref,
             col = jnp.where(mask, col, g[f"sky_{'rgb'[c]}"] * exposure)
         cols.append(col)
 
+    if "tr2_a" in g:              # farther depth-peeled lit layer blends
+        # under layer 1, back-to-front (reference: translucent.frag
+        # shades EVERY translucent fragment; layers beyond the 2nd fall
+        # back to unlit WBOIT via the oit accumulators)
+        cols = [b * (1.0 - g["tr2_a"]) + g[f"tr2_{'rgb'[c]}"] * g["tr2_a"]
+                for c, b in enumerate(cols)]
+
     if "tr_a" in g:               # lit translucent layer (pre-shaded)
         bg = cols
         if "tr_ox" in g:
@@ -530,8 +539,8 @@ def shade_deferred_pallas(gplanes, sceneset, *, proj, invview,
         pl.BlockSpec((probe_tab.shape[0], 32), full, memory_space=pltpu.VMEM),
     ]
     names = list(PLANE_NAMES)
-    for grp in (SKY_NAMES, ENVD_NAMES, TR_NAMES, REFR_NAMES, FOG_NAMES,
-                OIT_NAMES):
+    for grp in (SKY_NAMES, ENVD_NAMES, TR_NAMES, TR2_NAMES, REFR_NAMES,
+                FOG_NAMES, OIT_NAMES):
         if grp[0] in gplanes:
             names += grp
     # bf16 plane storage (except depth/visf): the reference's gbuffer is

@@ -25,34 +25,16 @@ _a = np.arange(12) * _golden
 POISSON = np.stack([_r * np.cos(_a), _r * np.sin(_a)], -1).astype(np.float32)
 
 
-def render_shadow_cascades(world_pos, tris, shadowview, *, res=1024,
-                           bin_capacity=128, big_capacity=32, use_pallas=False,
-                           interpret=False):
-    """Rasterize depth-only cascades in ONE pass.
-
-    All S slices render into a vertically stacked virtual framebuffer
-    (res wide, S*res tall): each slice's projection is rescaled on the
-    fly so its NDC maps to its band — one triangle-stream (S copies with
-    remapped matrices), one binning sort, one raster launch instead of
-    S.  world_pos: (V, 3); tris: (T, 3); shadowview: (S, 4, 4).
-    Returns (S, res, res) reverse-Z depth.
-    """
+def _render_cascade_stack(p0, p1, p2, shared, shadowview, *, res,
+                          bin_capacity, big_capacity, use_pallas,
+                          interpret):
+    """One vertically stacked depth raster over the given slice subset
+    (SoA corner components pre-gathered).  Returns (S, res, res)."""
     n_slices = shadowview.shape[0]
     tiles_x = res // raster_ops.TILE_W
     tiles_y = (res * n_slices) // raster_ops.TILE_H
     vh = res * n_slices
-    T = tris.shape[0]
-
-    # gather the triangle corners ONCE (3 row gathers at T lookups),
-    # transpose to SoA (3, T): the per-slice transform + setup math then
-    # runs on (T,)-lane arrays — the old (S*V, 4) @ matrix formulation
-    # plus (S*T,3,3) AoS setup measured ~3 ms at S*T=131k of lane-starved
-    # ops (profiling/prof_shadow3.py)
-    p0 = world_pos[tris[:, 0]].T                              # (3, T)
-    p1 = world_pos[tris[:, 1]].T
-    p2 = world_pos[tris[:, 2]].T
-    shared = ((tris[:, 0] == tris[:, 1]) | (tris[:, 1] == tris[:, 2])
-              | (tris[:, 0] == tris[:, 2]))
+    T = p0.shape[1]
 
     # band remap in clip space: y' = (y + (2s - (n-1)) * w) / n_slices
     names = ("x", "y", "z", "w")
@@ -99,6 +81,52 @@ def render_shadow_cascades(world_pos, tris, shadowview, *, res=1024,
     return depth.reshape(n_slices, res, res)
 
 
+def render_shadow_cascades(world_pos, tris, shadowview, *, res=1024,
+                           bin_capacity=128, big_capacity=32, use_pallas=False,
+                           interpret=False, far_res=None, near_slices=2):
+    """Rasterize depth-only cascades in ONE pass (two with mixed res).
+
+    All S slices render into a vertically stacked virtual framebuffer
+    (res wide, S*res tall): each slice's projection is rescaled on the
+    fly so its NDC maps to its band — one triangle-stream (S copies with
+    remapped matrices), one binning sort, one raster launch instead of
+    S.  world_pos: (V, 3); tris: (T, 3); shadowview: (S, 4, 4).
+    Returns (S, res, res) reverse-Z depth — or, with far_res set, a LIST
+    of per-slice maps [(res, res)] * near_slices +
+    [(far_res, far_res)] * rest.
+
+    far_res: render cascades >= near_slices at this reduced resolution
+    (their world extent is 2-4x the near cascades', so screen-space
+    texel density is already far lower — the perf dial the reference
+    exposes as per-cascade map sizing).  build_esm accepts the mixed
+    list and upsamples after the native-res blur, so every downstream
+    consumer keeps the uniform (S, R, R) contract.
+    """
+    # gather the triangle corners ONCE (3 row gathers at T lookups),
+    # transpose to SoA (3, T): the per-slice transform + setup math then
+    # runs on (T,)-lane arrays — the old (S*V, 4) @ matrix formulation
+    # plus (S*T,3,3) AoS setup measured ~3 ms at S*T=131k of lane-starved
+    # ops (profiling/prof_shadow3.py)
+    p0 = world_pos[tris[:, 0]].T                              # (3, T)
+    p1 = world_pos[tris[:, 1]].T
+    p2 = world_pos[tris[:, 2]].T
+    shared = ((tris[:, 0] == tris[:, 1]) | (tris[:, 1] == tris[:, 2])
+              | (tris[:, 0] == tris[:, 2]))
+    kw = dict(bin_capacity=bin_capacity, big_capacity=big_capacity,
+              use_pallas=use_pallas, interpret=interpret)
+
+    n_slices = shadowview.shape[0]
+    if far_res is None or far_res == res or n_slices <= near_slices:
+        return _render_cascade_stack(p0, p1, p2, shared, shadowview,
+                                     res=res, **kw)
+    near = _render_cascade_stack(p0, p1, p2, shared,
+                                 shadowview[:near_slices], res=res, **kw)
+    far = _render_cascade_stack(p0, p1, p2, shared,
+                                shadowview[near_slices:], res=far_res, **kw)
+    return [near[s] for s in range(near_slices)] + \
+        [far[s] for s in range(n_slices - near_slices)]
+
+
 ESM_C = 40.0
 
 
@@ -116,10 +144,17 @@ def build_esm(shadowmaps, shadowview, blur_sigma=1.5):
 
     Returns (esm (S, R, R), zmax (S,), zscale (S,)) with zscale mapping
     raw depth differences to the normalized d' domain.
-    """
-    from .blur import shifted_gaussian_blur
 
-    nslices = shadowmaps.shape[0]
+    shadowmaps: (S, R, R) stack, or a mixed-res LIST of per-slice maps
+    (render_shadow_cascades far_res) — reduced slices blur at native res
+    and upsample to the max res afterward, so the returned stack (and
+    every consumer) keeps the uniform shape.
+    """
+    from .blur import resize_up_dense, shifted_gaussian_blur
+
+    nslices = len(shadowmaps)
+    max_res = max(m.shape[-1] for m in shadowmaps) \
+        if isinstance(shadowmaps, (list, tuple)) else shadowmaps.shape[-1]
     esms, zmaxs, zscales = [], [], []
     for s in range(nslices):
         m = shadowview[s]
@@ -137,6 +172,8 @@ def build_esm(shadowmaps, shadowview, blur_sigma=1.5):
         # cancellation-free blur: cumsum box chains destroy small window
         # sums next to e^20 background texels (blocky shadow noise)
         e = shifted_gaussian_blur(e, blur_sigma, radius=3)
+        if e.shape[-1] != max_res:
+            e = resize_up_dense(e, max_res, max_res)
         esms.append(e)
         zmaxs.append(zmax)
         zscales.append(norm_scale)

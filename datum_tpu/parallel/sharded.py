@@ -74,7 +74,9 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset):
                 worldp, ex["tris"], sceneset["mainlight"]["shadowview"],
                 res=cfg.shadow_res, bin_capacity=cfg.shadow_bin_capacity,
                 big_capacity=cfg.big_capacity, use_pallas=cfg.use_pallas,
-                interpret=cfg.pallas_interpret)
+                interpret=cfg.pallas_interpret,
+                far_res=(cfg.shadow_far_res if cfg.shadow_mode == "esm"
+                         else None))
             shadowmaps = (build_esm(raw, sceneset["mainlight"]["shadowview"])
                           if cfg.shadow_mode == "esm" else raw)
 

@@ -443,12 +443,13 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
         gpl["fog_r"], gpl["fog_g"], gpl["fog_b"], gpl["fog_t"] = \
             fr_, fg_, fb_, ft_
 
-    # ---- lit translucent layer: the nearest translucent surface gets
+    # ---- lit translucent layers: the nearest translucent surfaces get
     # the FULL deferred shade (env + SH + shadowed sun + light loops) via
-    # a second raster + megakernel invocation, composited in the main
-    # kernel's epilogue between sky and fog (reference:
-    # data/translucent.frag — clustered-forward shading; our divergence:
-    # layers beyond the nearest blend without per-layer lighting)
+    # additional raster + megakernel invocations (depth-peeled),
+    # composited in the main kernel's epilogue between sky and fog
+    # (reference: data/translucent.frag — clustered-forward shading);
+    # fragments beyond the lit layers fall back to unlit WBOIT below
+    lit_peel_full = None
     if cfg.max_translucent_draws > 0 and cfg.translucent_lit:
         from ..ops.common import TILE_H, TILE_W, round_up
         from ..ops.geometry import transform_vertices_rigid
@@ -496,65 +497,89 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
             tbins = jax.lax.dynamic_slice_in_dim(tbins, tid_t[0], nloc, 0)
             tcounts = jax.lax.dynamic_slice_in_dim(tcounts, tid_t[0],
                                                    nloc, 0)
-        # NOTE: the height arg is the NDC viewport height the kernel maps
-        # GLOBAL tile rows through — must be gh_t, not the band height
-        # (the output planes are still band-sized via tile_ids)
-        planes_t = raster_shade_pallas(
-            tsetup, tbins, tbig, tcounts, tex2["tris"], tuv, twn, tmat,
-            device["materials"], tx_, ty_, w_t, gh_t, tangent=twt,
-            matmaps=device["matmaps"], planes_2d=True, alpha_in_alb=True,
-            interpret=cfg.pallas_interpret, tile_ids=tid_t)
-        # only keep fragments nearer than the opaque surface
-        visf_t = jnp.where(planes_t["depth"] > depth_t, planes_t["visf"],
-                           -1.0)
-        planes_t = dict(planes_t, visf=visf_t)
-        gpl_t, mask_t = _assemble_gplanes(cfg, planes_t, device, sceneset,
-                                          ibl, shadowmaps, w_t, h_t,
-                                          y0=y0_t, full_h=gh_t)
-        tr = shade_deferred_pallas(gpl_t, ss2, proj=proj, invview=invview,
-                                   planes_out=True,
-                                   interpret=cfg.pallas_interpret,
-                                   y0=y0_t, full_height=gh_t)
-        # depth-aware transmission (reference: data/water.frag shallow
-        # fade): absorb > 0 materials blend by the water column between
-        # the surface and the opaque floor along the view ray
+
         def _dist(d):
             dn = d + proj[2, 2]
             return proj[2, 3] / jnp.where(jnp.abs(dn) < 1e-7, 1e-7, dn)
 
-        mkt = mask_t.astype(jnp.float32)
-        a_mat = jnp.clip(planes_t["alb"], 0.0, 1.0)
-        absorb = planes_t["absorb"]
-        column = jnp.maximum(_dist(depth_t) - _dist(planes_t["depth"]), 0.0)
-        a_depth = 1.0 - (1.0 - a_mat) * jnp.exp(-absorb * column)
-        alpha_t = jnp.where(absorb > 0, a_depth, a_mat) * mkt
-        # refraction offsets (pixels): view-space normal xy scaled by
-        # the surface distance; only absorbing (water-like) surfaces
-        v_ = sceneset["view"]
-        nvx = (v_[0, 0] * gpl_t["nx"] + v_[0, 1] * gpl_t["ny"]
-               + v_[0, 2] * gpl_t["nz"])
-        nvy = (v_[1, 0] * gpl_t["nx"] + v_[1, 1] * gpl_t["ny"]
-               + v_[1, 2] * gpl_t["nz"])
-        refr_k = 90.0 / jnp.maximum(_dist(planes_t["depth"]), 1.0)
-        on_refr = (absorb > 0) & mask_t
-        tr_ox = jnp.where(on_refr, jnp.clip(nvx * refr_k, -9.0, 9.0), 0.0)
-        # vertical shifts are band-local rolls in the kernel; keep them
-        # within REFR_STEPS_Y's +-4 px range (see shade_pallas)
-        tr_oy = jnp.where(on_refr, jnp.clip(nvy * refr_k, -4.0, 4.0), 0.0)
-        if s_t > 1:
-            # premultiplied-alpha upsample (then unpremultiply) so the
-            # bilinear border doesn't mix unshaded black into the layer
-            a_up = resize_matmul(alpha_t, h, w)
-            un = 1.0 / jnp.maximum(a_up, 1e-4)
-            gpl["tr_r"], gpl["tr_g"], gpl["tr_b"] = (
-                resize_matmul(p * alpha_t, h, w) * un for p in tr)
-            gpl["tr_a"] = a_up
-            gpl["tr_ox"] = resize_matmul(tr_ox, h, w)
-            gpl["tr_oy"] = resize_matmul(tr_oy, h, w)
-        else:
-            gpl["tr_r"], gpl["tr_g"], gpl["tr_b"] = tr
-            gpl["tr_a"] = alpha_t
-            gpl["tr_ox"], gpl["tr_oy"] = tr_ox, tr_oy
+        # depth-peeled lit layers, nearest first: layer k rasters only
+        # fragments strictly farther than layer k-1 (reference:
+        # translucent.frag shades EVERY translucent fragment via
+        # back-to-front subpasses, renderer.cpp:6596-6684; layers beyond
+        # these fall back to unlit WBOIT)
+        n_layers = max(1, int(getattr(cfg, "translucent_lit_layers", 1)))
+        peel = None
+        for layer in range(n_layers):
+            # NOTE: the height arg is the NDC viewport height the kernel
+            # maps GLOBAL tile rows through — must be gh_t, not the band
+            # height (output planes are still band-sized via tile_ids)
+            planes_t = raster_shade_pallas(
+                tsetup, tbins, tbig, tcounts, tex2["tris"], tuv, twn, tmat,
+                device["materials"], tx_, ty_, w_t, gh_t, tangent=twt,
+                matmaps=device["matmaps"], planes_2d=True, alpha_in_alb=True,
+                interpret=cfg.pallas_interpret, tile_ids=tid_t,
+                peel_depth=peel)
+            peel = planes_t["depth"]       # next layer peels against this
+            # only keep fragments nearer than the opaque surface
+            visf_t = jnp.where(planes_t["depth"] > depth_t,
+                               planes_t["visf"], -1.0)
+            planes_t = dict(planes_t, visf=visf_t)
+            gpl_t, mask_t = _assemble_gplanes(cfg, planes_t, device,
+                                              sceneset, ibl, shadowmaps,
+                                              w_t, h_t, y0=y0_t,
+                                              full_h=gh_t)
+            tr = shade_deferred_pallas(gpl_t, ss2, proj=proj,
+                                       invview=invview, planes_out=True,
+                                       interpret=cfg.pallas_interpret,
+                                       y0=y0_t, full_height=gh_t)
+            # depth-aware transmission (reference: data/water.frag
+            # shallow fade): absorb > 0 materials blend by the water
+            # column between the surface and the opaque floor
+            mkt = mask_t.astype(jnp.float32)
+            a_mat = jnp.clip(planes_t["alb"], 0.0, 1.0)
+            absorb = planes_t["absorb"]
+            column = jnp.maximum(_dist(depth_t) - _dist(planes_t["depth"]),
+                                 0.0)
+            a_depth = 1.0 - (1.0 - a_mat) * jnp.exp(-absorb * column)
+            alpha_t = jnp.where(absorb > 0, a_depth, a_mat) * mkt
+            pfx = "tr" if layer == 0 else "tr2"
+            if s_t > 1:
+                # premultiplied-alpha upsample (then unpremultiply) so
+                # the bilinear border doesn't mix unshaded black in
+                a_up = resize_matmul(alpha_t, h, w)
+                un = 1.0 / jnp.maximum(a_up, 1e-4)
+                (gpl[f"{pfx}_r"], gpl[f"{pfx}_g"], gpl[f"{pfx}_b"]) = (
+                    resize_matmul(p * alpha_t, h, w) * un for p in tr)
+                gpl[f"{pfx}_a"] = a_up
+            else:
+                gpl[f"{pfx}_r"], gpl[f"{pfx}_g"], gpl[f"{pfx}_b"] = tr
+                gpl[f"{pfx}_a"] = alpha_t
+            if layer == 0:
+                # refraction offsets (pixels): view-space normal xy
+                # scaled by surface distance; absorbing surfaces only
+                v_ = sceneset["view"]
+                nvx = (v_[0, 0] * gpl_t["nx"] + v_[0, 1] * gpl_t["ny"]
+                       + v_[0, 2] * gpl_t["nz"])
+                nvy = (v_[1, 0] * gpl_t["nx"] + v_[1, 1] * gpl_t["ny"]
+                       + v_[1, 2] * gpl_t["nz"])
+                refr_k = 90.0 / jnp.maximum(_dist(planes_t["depth"]), 1.0)
+                on_refr = (absorb > 0) & mask_t
+                tr_ox = jnp.where(on_refr, jnp.clip(nvx * refr_k,
+                                                    -9.0, 9.0), 0.0)
+                # vertical shifts are band-local rolls in the kernel;
+                # keep within REFR_STEPS_Y's +-4 px (see shade_pallas)
+                tr_oy = jnp.where(on_refr, jnp.clip(nvy * refr_k,
+                                                    -4.0, 4.0), 0.0)
+                if s_t > 1:
+                    gpl["tr_ox"] = resize_matmul(tr_ox, h, w)
+                    gpl["tr_oy"] = resize_matmul(tr_oy, h, w)
+                else:
+                    gpl["tr_ox"], gpl["tr_oy"] = tr_ox, tr_oy
+        if n_layers >= 2:
+            # fragments beyond the last lit layer accumulate as unlit
+            # WBOIT (the residual raster below peels against this)
+            lit_peel_full = (resize_matmul(peel, h, w, nearest=True)
+                             if s_t > 1 else peel)
 
     if cfg.max_translucent_draws > 0 or cfg.max_particle_quads > 0:
         from ..ops.raster_pallas import raster_blend_pallas
@@ -565,7 +590,10 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
         acc5 = [zero, zero, zero, zero, 1.0 - zero]
         if geom is None:
             geom = device["geometry"]
-        if cfg.max_translucent_draws > 0 and not cfg.translucent_lit:
+        if cfg.max_translucent_draws > 0 and (not cfg.translucent_lit
+                                              or lit_peel_full is not None):
+            # unlit WBOIT: either ALL translucent fragments (v1 path) or
+            # only the residual strictly behind the lit layers (peel)
             td = draws["translucent"]
             tex2 = expand_draws(geom, td["mesh"], td["count"],
                                 cfg.max_vertices, cfg.max_translucent_tris)
@@ -594,7 +622,8 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
                                      tex2["tris"], tuv, tcol, depth,
                                      tx_, ty_, w, gh, soft=False, planes=True,
                                      interpret=cfg.pallas_interpret,
-                                     tile_ids=tile_ids)
+                                     tile_ids=tile_ids,
+                                     peel_depth=lit_peel_full)
             acc5 = [a + b for a, b in zip(acc5[:4], t5[:4])] + \
                 [acc5[4] * t5[4]]
         if cfg.max_particle_quads > 0:
@@ -781,7 +810,9 @@ def _frame(cfg: FrameConfig, device, draws, sceneset, prev=None):
             worldp, ex["tris"], sceneset["mainlight"]["shadowview"],
             res=cfg.shadow_res, bin_capacity=cfg.shadow_bin_capacity,
             big_capacity=cfg.big_capacity, use_pallas=cfg.use_pallas,
-            interpret=cfg.pallas_interpret)
+            interpret=cfg.pallas_interpret,
+            far_res=(cfg.shadow_far_res if cfg.shadow_mode == "esm"
+                     else None))
         if cfg.shadow_mode == "esm":
             shadowmaps = build_esm(raw, sceneset["mainlight"]["shadowview"])
         else:

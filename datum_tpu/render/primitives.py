@@ -124,6 +124,39 @@ def plane(size=1.0, reps=1.0):
     return _mesh(pos, uv, nrm, tan, [0, 2, 1, 0, 3, 2])
 
 
+def terrain(size=32.0, n=128, height=2.0, seed=7, reps=8.0):
+    """Dense displaced ground grid: n x n quads (2*n^2 triangles) with
+    fBm perlin heights — the procedural stand-in for a Sponza-class
+    dense mesh (reference: test/datumtest.cpp:175-202 Sponza block).
+    Normals from central differences."""
+    from ..math.perlin import PerlinEngine
+
+    eng = PerlinEngine(seed)
+    xs = np.linspace(-size, size, n + 1, dtype=np.float32)
+    zs = np.linspace(-size, size, n + 1, dtype=np.float32)
+    gx, gz = np.meshgrid(xs, zs, indexing="xy")
+    h = eng.fbm3(gx * (4.0 / size), np.zeros_like(gx),
+                 gz * (4.0 / size), octaves=4) * height
+    # central-difference normals
+    step = 2.0 * size / n
+    dx = np.gradient(h, step, axis=1)
+    dz = np.gradient(h, step, axis=0)
+    nrm = np.stack([-dx, np.ones_like(h), -dz], -1)
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+
+    pos = np.stack([gx, h, gz], -1).reshape(-1, 3)
+    uv = np.stack([(gx + size) / (2 * size) * reps,
+                   (gz + size) / (2 * size) * reps], -1).reshape(-1, 2)
+    tan = np.concatenate([np.tile(np.float32([1, 0, 0]),
+                                  (pos.shape[0], 1)),
+                          np.ones((pos.shape[0], 1), np.float32)], -1)
+    r = np.arange(n, dtype=np.int32)
+    a = (r[:, None] * (n + 1) + r[None, :]).ravel()   # row-major cell origin
+    b = a + n + 1
+    idx = np.stack([a, b, a + 1, a + 1, b, b + 1], -1).reshape(-1)
+    return _mesh(pos, uv, nrm.reshape(-1, 3), tan, idx)
+
+
 def line_cube():
     """Wireframe cube line list (pairs of endpoints)."""
     corners = np.array([[x, y, z] for x in (-1, 1) for y in (-1, 1) for z in (-1, 1)],

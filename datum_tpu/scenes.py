@@ -148,3 +148,84 @@ def datumtest_scene(width=1920, height=1080, *, sphere_detail=24, grid=(7, 5),
         return rl
 
     return ctx, camera, params, make_renderlist
+
+
+def stress_scene(width=1920, height=1080, *, terrain_n=192,
+                 sphere_detail=36, grid=(8, 4), n_point_lights=128,
+                 skybox=True, skybox_size=32, **cfg_kw):
+    """Dense-mesh + many-light stress scene (reference:
+    test/datumtest.cpp:175-202 — the Sponza + 128-light block the
+    512-light SceneSet capacities promise).
+
+    ~2*terrain_n^2 terrain triangles + grid spheres at sphere_detail
+    (defaults ≈ 74k + 52k ≈ 126k visible triangles after culling;
+    terrain_n=256 + detail 48 pushes ≈ 250k).  Returns
+    (ctx, camera, params, make_renderlist) like datumtest_scene.
+    """
+    cfg_kw.setdefault("max_vertices", 1 << 18)
+    cfg_kw.setdefault("max_triangles", 1 << 18)
+    cfg_kw.setdefault("use_light_clusters", True)
+    cfg_kw.setdefault("tile_light_capacity", 64)
+    cfg = FrameConfig(width=width, height=height, **cfg_kw)
+    ctx = RenderContext(cfg)
+
+    if skybox:
+        from .render.skybox import SkyBox
+        ctx.set_skybox(SkyBox(size=skybox_size, convolve_samples=16))
+
+    tverts, tidx = primitives.terrain(size=28.0, n=terrain_n, height=2.2)
+    ground = ctx.add_mesh(tverts, tidx)
+    rock = np.zeros((64, 64, 4), np.uint8)
+    c = (np.indices((64, 64)).sum(0) // 4) % 2
+    rock[..., :3] = np.where(c[..., None] > 0, 150, 110)
+    rock[..., 3] = 255
+    ground_mat = ctx.add_material(color=(1, 1, 1, 1), roughness=0.85,
+                                  albedomap=ctx.add_texture(rock))
+
+    verts, idx = primitives.unit_sphere(sphere_detail, sphere_detail // 2)
+    sphere = ctx.add_mesh(verts, idx)
+    gx, gy = grid
+    mats = []
+    for j in range(gy):
+        for i in range(gx):
+            mats.append(ctx.add_material(
+                color=(0.75, 0.2 + 0.5 * (i % 3) / 2, 0.15, 1),
+                metalness=j / max(gy - 1, 1),
+                roughness=max(i / max(gx - 1, 1), 0.05),
+                reflectivity=0.5))
+
+    camera = Camera()
+    camera.set_projection(np.radians(60), width / height)
+    camera.lookat(np.array([0.0, 6.0, 20.0]), np.array([0.0, 2.5, 0.0]),
+                  np.array([0.0, 1.0, 0.0]))
+    params = RenderParams(width=width, height=height)
+    params.sundirection = np.array([-0.6, -0.75, -0.3], np.float32)
+    params.sundirection /= np.linalg.norm(params.sundirection)
+    params.sunintensity = np.array([3.5, 3.4, 3.2], np.float32)
+    params.ambientintensity = 0.45
+
+    rng = np.random.RandomState(11)
+    light_pos = rng.uniform([-14, 0.8, -10], [14, 6.0, 12],
+                            (n_point_lights, 3)).astype(np.float32)
+    light_col = rng.uniform(0.5, 6.0, (n_point_lights, 3)).astype(np.float32)
+
+    def make_renderlist(t=0.0):
+        rl = RenderList()
+        rl.push_mesh(ground, Transform.identity(), ground_mat)
+        k = 0
+        for j in range(gy):
+            for i in range(gx):
+                x = (i - (gx - 1) / 2) * 3.0
+                y = 2.0 + j * 2.6
+                rl.push_mesh(sphere, Transform.translation([x, y, 0.0]),
+                             mats[k])
+                k += 1
+        for li in range(n_point_lights):
+            p = light_pos[li].copy()
+            p[0] += np.sin(t * 0.9 + li * 0.61) * 1.2
+            p[2] += np.cos(t * 0.7 + li * 0.37) * 1.2
+            rl.push_pointlight(p, light_col[li], (1.0, 0.0, 1.0),
+                               range_=7.0)
+        return rl
+
+    return ctx, camera, params, make_renderlist
