@@ -40,7 +40,7 @@ def main():
         max_spot_shadows=1, max_particle_quads=512,
         max_translucent_draws=2, max_translucent_tris=2048,
         max_decals_active=2, decal_textures=False,
-        translucent_lit_scale=2)
+        translucent_lit_scale=2, shadow_far_res=512)
     device = jax.device_put(ctx.device_state())
 
     def frame_inputs(t):
@@ -73,16 +73,28 @@ def main():
     # real data dependency (frame i's luminance perturbs frame i+1's
     # exposure by 1e-12, numerically nil but not DCE-able), one readback
     # at the end.  This measures per-frame device time the way a game
-    # loop experiences it — pipelined — without counting the ~24 ms
-    # tunnel round-trip once per frame.  (The tunnel memoizes identical
-    # dispatches and unblocks block_until_ready early, hence the chain +
-    # final scalar readback.)
-    N = 10
-    inputs = [jax.device_put(frame_inputs(0.3 + 0.05 * i)) for i in range(N)]
+    # loop on a locally-attached device experiences it.  Two tunnel
+    # artifacts are amortized: the ~24 ms readback fence (one per chain)
+    # and the ~4-7 ms PER-EXECUTE dispatch RPC (measured: a trivial
+    # one-scalar jit costs 3.7 ms/call through the tunnel;
+    # profiling/exp_args) — so the chain runs as ONE executable, with
+    # the per-frame inputs pre-stacked on device and statically indexed.
+    # CSE cannot collapse the frames: every frame consumes different
+    # input slices and the luminance->exposure dependency serializes
+    # them.
+    N = 5
+    import jax.numpy as jnp
+    inputs = [frame_inputs(0.3 + 0.05 * i) for i in range(N)]
+    stacked = jax.device_put(
+        jax.tree_util.tree_map(lambda *xs: np.stack(xs), *inputs))
 
-    def run_chain(lum0):
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=())
+    def run_chain(stacked, device, lum0):
         lum = lum0
-        for draws_i, ss_i in inputs:
+        for i in range(N):
+            draws_i, ss_i = jax.tree_util.tree_map(lambda x: x[i], stacked)
             ss_i = dict(ss_i)
             cam = dict(ss_i["camera"])
             cam["exposure"] = cam["exposure"] * (1.0 + 1e-12 * lum)
@@ -91,13 +103,15 @@ def main():
             lum = out["luminance"]
         return lum
 
-    _ = float(run_chain(np.float32(0.1)))    # warm the chain
+    lum0 = jax.device_put(np.float32(0.1))
+    _ = float(run_chain(stacked, device, lum0))    # compile + warm
     times = []
     for rep in range(3):
+        lum0 = jax.device_put(np.float32(0.1 + 1e-6 * rep))
         t0 = time.perf_counter()
-        _ = float(run_chain(np.float32(0.1 + 1e-6 * rep)))
+        _ = float(run_chain(stacked, device, lum0))
         times.append(time.perf_counter() - t0)
-    # one tunnel round-trip amortized over the N-frame chain
+    # one dispatch + one readback round-trip amortized over N frames
     dt_ms = (float(np.median(times)) * 1000.0) / N
 
     print(json.dumps({

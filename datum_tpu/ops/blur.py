@@ -207,6 +207,41 @@ def resize_up_dense(img, out_h, out_w):
     return img
 
 
+def upsample2_batch(stack):
+    """upsample2_dense over a channel-FIRST (N, H, W) stack: one fused
+    pass upsamples all N planes (the per-plane loop costs ~2N dispatches
+    on an op-dispatch-bound frame)."""
+    def axis_up(x, axis):
+        def sl(a, b):
+            s = [slice(None)] * x.ndim
+            s[axis] = slice(a, b)
+            return tuple(s)
+
+        prev = jnp.concatenate([x[sl(0, 1)], x[sl(0, -1)]], axis=axis)
+        nxt = jnp.concatenate([x[sl(1, None)], x[sl(-1, None)]], axis=axis)
+        a = 0.75 * x + 0.25 * prev
+        b = 0.75 * x + 0.25 * nxt
+        stacked = jnp.stack([a, b], axis=axis + 1)
+        shape = list(x.shape)
+        shape[axis] *= 2
+        return stacked.reshape(shape)
+
+    return axis_up(axis_up(stack, 1), 2)
+
+
+def resize_up_dense_batch(stack, out_h, out_w):
+    """resize_up_dense over a channel-first (N, H, W) stack."""
+    import jax
+
+    while stack.shape[1] * 2 <= out_h and stack.shape[2] * 2 <= out_w:
+        stack = upsample2_batch(stack)
+    if stack.shape[1] != out_h or stack.shape[2] != out_w:
+        stack = jax.image.resize(stack,
+                                 (stack.shape[0], out_h, out_w),
+                                 method="linear")
+    return stack
+
+
 def _resample_matrix(n_in: int, n_out: int, nearest: bool = False):
     """(n_in, n_out) static interpolation matrix: out = in @ M.  Pixel
     centers of both grids span the same NDC range (align_corners=False);

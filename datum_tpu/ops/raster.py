@@ -91,7 +91,14 @@ def triangle_setup_comps(comps, shared, width, height, tiles_x, tiles_y,
            | ((y0 < -w0) & (y1 < -w1) & (y2 < -w2))
            | ((z0 < 0) & (z1 < 0) & (z2 < 0))
            | ((z0 > w0) & (z1 > w1) & (z2 > w2)))
-    degenerate = shared | (jnp.abs(det) < 1e-14)
+    # relative degeneracy test: a zero-area triangle (e.g. lat-long
+    # sphere pole quads whose corners coincide in POSITION but not id)
+    # has true det == 0 but f32 rounding noise ~eps * sum|terms| — an
+    # absolute epsilon lets the noise pick a random winding and the
+    # "sliver" can cover half the screen when an edge row collapses to
+    # -0.  Anything under 64 ulps of the term magnitude is sub-pixel.
+    det_mag = (jnp.abs(x0 * a00) + jnp.abs(y0 * a01) + jnp.abs(w0 * a02))
+    degenerate = shared | (jnp.abs(det) <= 64.0 * 1.1920929e-07 * det_mag)
     valid = ~(out | degenerate)
     if cull > 0:
         valid = valid & (det > 0)

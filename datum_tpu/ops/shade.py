@@ -23,11 +23,20 @@ from .sampling import sample_bilinear
 
 
 def resolve_gbuffer(vis, setup, tris, tri_instance, attrs, instances, materials,
-                    textures, width, height, y0=0, material_maps=True, lam=None):
+                    textures, width, height, y0=0, material_maps=True, lam=None,
+                    matmaps=None):
     """vis: (H,W) int32; attrs: dict(uv (V,2), normal (V,3), tangent (V,4));
     instances: dict(material (I,) int32); materials: dict(color (M,4),
     metalness/roughness/reflectivity/emissive (M,), albedomap/surfacemap/
     normalmap (M,) int32); textures: (N,S,S,4) uint8.
+
+    matmaps: optional texture-system-v2 dict(table (R,48) u8, base (M,),
+    size (M,)) — when given, albedo/surface/normal come from the
+    combined mip table (trilinear-ready quad rows, one gather for all
+    three maps) instead of the legacy 256^2 nearest/bilinear pool; this
+    gives the pure-XLA path (CPU goldens) the same mip filtering as the
+    Pallas fast path (reference: src/renderer/texture.cpp mipped
+    trilinear everywhere).
 
     Returns gbuffer dict(diffuse (H,W,4), specular (H,W,4),
     normal (H,W,4), mask (H,W) bool).
@@ -53,14 +62,20 @@ def resolve_gbuffer(vis, setup, tris, tri_instance, attrs, instances, materials,
     inst = tri_instance[t]                          # (H, W)
     mat = instances["material"][inst]               # (H, W)
 
-    albedo_id = materials["albedomap"][mat]
-    albedo_tex = sample_bilinear(textures, albedo_id, uv)
     nrm = brdf.normalize(n)
+    if matmaps is not None:
+        albedo_tex, surface_tex, normal_tex = sample_matmaps(
+            matmaps["table"], matmaps["base"][mat], matmaps["size"][mat],
+            uv)
+    else:
+        albedo_id = materials["albedomap"][mat]
+        albedo_tex = sample_bilinear(textures, albedo_id, uv)
     if material_maps:
-        surface_id = materials["surfacemap"][mat]
-        normal_id = materials["normalmap"][mat]
-        surface_tex = sample_bilinear(textures, surface_id, uv)
-        normal_tex = sample_bilinear(textures, normal_id, uv)
+        if matmaps is None:
+            surface_id = materials["surfacemap"][mat]
+            normal_id = materials["normalmap"][mat]
+            surface_tex = sample_bilinear(textures, surface_id, uv)
+            normal_tex = sample_bilinear(textures, normal_id, uv)
         # TBN: gram-schmidt the interpolated frame, bitangent sign = tan.w
         tgt = brdf.normalize(tan - nrm * jnp.sum(tan * nrm, -1, keepdims=True))
         btg = jnp.cross(nrm, tgt) * tan_w[..., None]

@@ -227,16 +227,20 @@ def _assemble_gplanes(cfg, planes, device, sceneset, ibl, shadowmaps, w, h,
         eb_h = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
                                 (h2, w2, 3))
 
-    # 15 half-res channel-first planes -> per-plane dense 2x upsample
+    # 15 half-res channel-first planes -> ONE batched dense 2x upsample
     # (lane interleaves are impossible inside Mosaic, so upsampling
-    # happens here; mm12 is already channel-first from the flat sampler)
+    # happens here; mm12 is already channel-first from the flat sampler;
+    # the per-plane loop cost ~30 extra dispatches on a dispatch-bound
+    # frame)
+    from ..ops.blur import resize_up_dense_batch
     half = jnp.concatenate([
         mm12[jnp.array([0, 1, 2, 4, 5, 7, 8, 9, 10])],   # alb rgb, surf
                                                          # m/r/rough, nmap
         jnp.transpose(spec_h, (2, 0, 1)),
         jnp.transpose(eb_h, (2, 0, 1)),
     ], axis=0)                                         # (15, H/2, W/2)
-    up = [resize_up_dense(half[k], h, w) for k in range(15)]
+    up3 = resize_up_dense_batch(half, h, w)
+    up = [up3[k] for k in range(15)]
     (alb_r, alb_g, alb_b, surf_m, surf_r, surf_rough,
      nm_x, nm_y, nm_z, es_r, es_g, es_b, eb0, eb1, eb2) = up
 
@@ -421,9 +425,10 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
         sky_q = sample_cubemap_lod_quad(
             ibl["flatq"], rays_q,
             jnp.broadcast_to(lod, rays_q.shape[:-1]))[..., :3]
-        sky_q = jnp.transpose(sky_q, (2, 0, 1))
+        from ..ops.blur import resize_up_dense_batch
+        sky3 = resize_up_dense_batch(jnp.transpose(sky_q, (2, 0, 1)), h, w)
         for c, ch in enumerate("rgb"):
-            gpl[f"sky_{ch}"] = resize_up_dense(sky_q[c], h, w)
+            gpl[f"sky_{ch}"] = sky3[c]
 
     if cfg.enable_fog:
         from ..ops import fog as fog_ops
@@ -545,11 +550,15 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
             pfx = "tr" if layer == 0 else "tr2"
             if s_t > 1:
                 # premultiplied-alpha upsample (then unpremultiply) so
-                # the bilinear border doesn't mix unshaded black in
-                a_up = resize_matmul(alpha_t, h, w)
+                # the bilinear border doesn't mix unshaded black in;
+                # ONE stacked matmul resample for all 4 planes
+                st4 = resize_matmul(jnp.stack(
+                    [tr[0] * alpha_t, tr[1] * alpha_t, tr[2] * alpha_t,
+                     alpha_t], -1), h, w)
+                a_up = st4[..., 3]
                 un = 1.0 / jnp.maximum(a_up, 1e-4)
                 (gpl[f"{pfx}_r"], gpl[f"{pfx}_g"], gpl[f"{pfx}_b"]) = (
-                    resize_matmul(p * alpha_t, h, w) * un for p in tr)
+                    st4[..., 0] * un, st4[..., 1] * un, st4[..., 2] * un)
                 gpl[f"{pfx}_a"] = a_up
             else:
                 gpl[f"{pfx}_r"], gpl[f"{pfx}_g"], gpl[f"{pfx}_b"] = tr
@@ -571,8 +580,9 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
                 tr_oy = jnp.where(on_refr, jnp.clip(nvy * refr_k,
                                                     -4.0, 4.0), 0.0)
                 if s_t > 1:
-                    gpl["tr_ox"] = resize_matmul(tr_ox, h, w)
-                    gpl["tr_oy"] = resize_matmul(tr_oy, h, w)
+                    oxy = resize_matmul(jnp.stack([tr_ox, tr_oy], -1),
+                                        h, w)
+                    gpl["tr_ox"], gpl["tr_oy"] = oxy[..., 0], oxy[..., 1]
                 else:
                     gpl["tr_ox"], gpl["tr_oy"] = tr_ox, tr_oy
         if n_layers >= 2:
@@ -895,13 +905,18 @@ def _frame(cfg: FrameConfig, device, draws, sceneset, prev=None):
             depth, vis = raster_ops.raster(setup, bins, big_ids, tx, ty, w, h)
             lam = None
 
-        # deferred material resolve -> gbuffer
+        # deferred material resolve -> gbuffer; 'mip*' filters route
+        # through the v2 matmap table (platform-agnostic quad-row mips)
+        # so the pure-XLA/CPU path gets the same trilinear-ready
+        # filtering as the Pallas fast path
         attrs = dict(uv=uv, normal=wnormal, tangent=wtangent)
         gbuffer = shade_ops.resolve_gbuffer(
             vis, setup, ex["tris"], ex["tri_draw"], attrs,
             dict(material=draws["material"]), device["materials"],
             device["textures"], w, h, material_maps=cfg.enable_material_maps,
-            lam=lam)
+            lam=lam,
+            matmaps=(device.get("matmaps")
+                     if cfg.texture_filter.startswith("mip") else None))
 
     # deferred lighting (XLA path; the megakernel branch above already
     # produced hdr)

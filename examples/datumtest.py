@@ -18,6 +18,9 @@ def init(args):
         width=args.width, height=args.height, sphere_detail=20,
         n_point_lights=8, max_vertices=1 << 15, max_triangles=1 << 15,
         big_capacity=32,
+        # mip-filtered material maps (v2 table) — works on the XLA/CPU
+        # path too, so the committed golden is moire-free
+        enable_material_maps=True, texture_filter="mip",
         max_particle_quads=512, max_spot_shadows=1, spot_shadow_res=256)
 
     ps = ParticleSystem(maxparticles=400, emitters=[ParticleEmitter(

@@ -30,6 +30,25 @@ VARIANTS = {
     "no_decals": dict(max_decals_active=0),
     "no_tr_no_decals": dict(max_translucent_draws=0, max_decals_active=0),
     "no_particles": dict(max_particle_quads=0),
+    # round-3: mixed-res far cascades (the bench default now)
+    "farres512": dict(shadow_far_res=512, translucent_lit_scale=2),
+    # marginal feature costs WITH dispatch overhead (vs prof_r3's pure
+    # chained-pass numbers): base-minus-variant = the honest cost
+    "no_fog": dict(enable_fog=False, translucent_lit_scale=2,
+                   shadow_far_res=512),
+    "no_ssao": dict(enable_ssao=False, translucent_lit_scale=2,
+                    shadow_far_res=512),
+    "no_ssr": dict(enable_ssr=False, translucent_lit_scale=2,
+                   shadow_far_res=512),
+    "no_spot": dict(max_spot_shadows=0, translucent_lit_scale=2,
+                    shadow_far_res=512),
+    "no_shadows": dict(enable_shadows=False, translucent_lit_scale=2),
+    # dispatch-floor calibration: the bare core (raster + shade +
+    # sky/bloom + composite), every optional pass off
+    "core_only": dict(enable_ssao=False, enable_fog=False,
+                      enable_ssr=False, max_spot_shadows=0,
+                      max_particle_quads=0, max_translucent_draws=0,
+                      max_decals_active=0, enable_shadows=False),
 }
 
 

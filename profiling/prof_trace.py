@@ -1,0 +1,96 @@
+"""HLO-fusion-level device profile of the bench frame via jax.profiler.
+
+Traces a few warmed bench-config frames on the real TPU, parses the
+trace.json, and prints device-op durations grouped by fusion — the
+honest per-op timeline (chained-jit marginal timing under-counts: XLA
+hoists loop-invariant passes; see PERF.md round-3 caveat).
+
+Run: python profiling/prof_trace.py [variant]
+"""
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+
+
+def main():
+    from datum_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+    from datum_tpu.scenes import datumtest_scene
+    from datum_tpu.render import frame as frame_mod
+    from datum_tpu.render.types import make_sceneset
+
+    ctx, camera, params, make_rl = datumtest_scene(
+        width=1920, height=1088, sphere_detail=24, n_point_lights=8,
+        max_vertices=1 << 15, max_triangles=1 << 15,
+        bin_capacity=160, big_capacity=64, bin_max_span=8,
+        use_pallas=True, shadow_factor_scale=4,
+        enable_material_maps=True, texture_filter="mip_half",
+        enable_ssao=True, enable_fog=True, enable_ssr=True,
+        max_spot_shadows=1, max_particle_quads=512,
+        max_translucent_draws=2, max_translucent_tris=2048,
+        max_decals_active=2, decal_textures=False,
+        translucent_lit_scale=2, shadow_far_res=512)
+    device = jax.device_put(ctx.device_state())
+
+    def frame_inputs(t):
+        rl = make_rl(t)
+        ss = make_sceneset(camera, params, point_lights=rl.point_lights,
+                           spot_lights=rl.spot_lights)
+        draws = rl.draw_arrays(ctx.config.max_instances,
+                               ctx.default_material)
+        ctx.expand_host(draws)
+        draws["forward"] = rl.forward_arrays(ctx.config.max_particle_quads,
+                                             camera)
+        draws["translucent"] = rl.translucent_arrays(
+            ctx.config.max_translucent_draws, ctx.default_material)
+        draws["decals"] = rl.decal_arrays(ctx.config.max_decals_active)
+        return jax.device_put((draws, ss))
+
+    inputs = [frame_inputs(0.3 + 0.1 * i) for i in range(3)]
+    # warm every specialization
+    for d, s in inputs:
+        out = frame_mod.render_frame(ctx.config, device, d, s)
+    jax.block_until_ready(out["image"])
+
+    trace_dir = "/tmp/datum_trace"
+    os.system(f"rm -rf {trace_dir}")
+    jax.profiler.start_trace(trace_dir)
+    for d, s in inputs:
+        out = frame_mod.render_frame(ctx.config, device, d, s)
+    print("lum", float(out["luminance"]))     # fence inside the trace
+    jax.profiler.stop_trace()
+
+    files = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))
+    data = json.load(gzip.open(files[-1]))
+    evs = data.get("traceEvents", [])
+    pids = {e.get("pid"): e.get("args", {}).get("name") for e in evs
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    dev_pids = {p for p, n in pids.items() if n and "TPU" in n}
+    agg = {}
+    total = 0.0
+    for e in evs:
+        if e.get("ph") == "X" and e.get("pid") in dev_pids:
+            dur = (e.get("dur") or 0.0) / 1000.0      # us -> ms
+            name = e.get("name", "?")
+            # strip trailing .N and fusion numbering for grouping
+            base = re.sub(r"[.\d]+$", "", name)
+            agg[base] = (agg.get(base, (0.0, 0))[0] + dur,
+                         agg.get(base, (0.0, 0))[1] + 1)
+            total += dur
+    n_frames = len(inputs)
+    print(f"\ndevice total: {total:.1f} ms over {n_frames} frames "
+          f"= {total / n_frames:.2f} ms/frame;  top ops (ms/frame):")
+    for name, (ms, cnt) in sorted(agg.items(), key=lambda kv: -kv[1][0])[:45]:
+        print(f"  {ms / n_frames:8.3f}  x{cnt // n_frames:4d}  {name[:90]}")
+
+
+if __name__ == "__main__":
+    main()
