@@ -56,18 +56,34 @@ def main():
         draws["decals"] = rl.decal_arrays(ctx.config.max_decals_active)
         return draws, sceneset
 
-    draws, sceneset = frame_inputs(0.0)
+    # bin-overflow guard via a tiny dedicated jit (setup + binning only):
+    # compiling the full frame twice (standalone warmup + the chain
+    # below) roughly doubles cold-start wall time for no extra signal
+    cfg = ctx.config
+    import functools
 
-    # compile + warmup
-    out = frame_mod.render_frame(ctx.config, device, draws, sceneset)
-    jax.block_until_ready(out["image"])
-    assert int(out["bin_overflow"]) == 0, (
-        f"raster bin overflow {int(out['bin_overflow'])} — raise "
-        "bin_capacity/bin_max_span")
+    @functools.partial(jax.jit, static_argnames=())
+    def bin_overflow_of(device, draws, sceneset):
+        geom, ex, uv, clip, *_ = frame_mod._vertex_stage(
+            cfg, device, draws, sceneset)
+        import jax.numpy as jnp
+        setup = frame_mod.raster_ops.triangle_setup(
+            clip, ex["tris"], cfg.padded_width, cfg.padded_height,
+            cfg.tiles_x, cfg.tiles_y, cull=-1 if cfg.backface_cull else 0,
+            max_span=cfg.bin_max_span)
+        zw = clip[:, 2] / jnp.maximum(clip[:, 3], 1e-6)
+        prio = jnp.clip(zw[ex["tris"]].max(axis=1), 0.0, 1.0)
+        *_, overflow = frame_mod.raster_ops.bin_triangles(
+            setup, cfg.max_triangles, cfg.tiles_x, cfg.tiles_y,
+            cfg.bin_capacity, cfg.big_capacity, max_span=cfg.bin_max_span,
+            return_overflow=True, depth_prio=prio)
+        return overflow
+
     for i in range(3):
         draws, sceneset = frame_inputs(0.1 * i)
-        out = frame_mod.render_frame(ctx.config, device, draws, sceneset)
-    jax.block_until_ready(out["image"])
+        ov = int(bin_overflow_of(device, draws, sceneset))
+        assert ov == 0, (f"raster bin overflow {ov} — raise "
+                         "bin_capacity/bin_max_span")
 
     # steady state THROUGHPUT: N frames with varying inputs, chained by a
     # real data dependency (frame i's luminance perturbs frame i+1's
@@ -77,12 +93,14 @@ def main():
     # artifacts are amortized: the ~24 ms readback fence (one per chain)
     # and the ~4-7 ms PER-EXECUTE dispatch RPC (measured: a trivial
     # one-scalar jit costs 3.7 ms/call through the tunnel;
-    # profiling/exp_args) — so the chain runs as ONE executable, with
-    # the per-frame inputs pre-stacked on device and statically indexed.
-    # CSE cannot collapse the frames: every frame consumes different
-    # input slices and the luminance->exposure dependency serializes
-    # them.
-    N = 5
+    # profiling/exp_args) — so the chain runs as ONE executable: a
+    # fori_loop whose body renders frame i from pre-stacked device
+    # inputs (dynamic_index keeps every pass live each iteration — no
+    # loop-invariant hoisting; the body compiles ONCE, so compile time
+    # is independent of N).  The carry folds in a full-image mean so
+    # the post chain (SSR/bloom/composite/u8) cannot be DCE'd, and the
+    # luminance->exposure dependency serializes the frames.
+    N = 10
     import jax.numpy as jnp
     inputs = [frame_inputs(0.3 + 0.05 * i) for i in range(N)]
     stacked = jax.device_put(
@@ -92,16 +110,19 @@ def main():
 
     @functools.partial(jax.jit, donate_argnums=())
     def run_chain(stacked, device, lum0):
-        lum = lum0
-        for i in range(N):
-            draws_i, ss_i = jax.tree_util.tree_map(lambda x: x[i], stacked)
+        def body(i, lum):
+            draws_i, ss_i = jax.tree_util.tree_map(
+                lambda x: jax.lax.dynamic_index_in_dim(x, i, 0,
+                                                       keepdims=False),
+                stacked)
             ss_i = dict(ss_i)
             cam = dict(ss_i["camera"])
             cam["exposure"] = cam["exposure"] * (1.0 + 1e-12 * lum)
             ss_i["camera"] = cam
             out = frame_mod.render_frame(ctx.config, device, draws_i, ss_i)
-            lum = out["luminance"]
-        return lum
+            img_keep = jnp.mean(out["image"].astype(jnp.float32))
+            return out["luminance"] + 1e-9 * img_keep
+        return jax.lax.fori_loop(0, N, body, lum0)
 
     lum0 = jax.device_put(np.float32(0.1))
     _ = float(run_chain(stacked, device, lum0))    # compile + warm

@@ -121,6 +121,12 @@ class FrameConfig:
     # megakernel path; False = flat-color decals only (zero gathers)
     decal_textures: bool = True
     max_fog_planes: int = 0          # analytic half-space fog planes
+    # device sprite/overlay pass capacity (reference: OVERLAY pass
+    # sprites, renderer.cpp:6760-6789): each instance alpha-blends a
+    # fixed overlay_region^2 window of the display image in draw order
+    # (ops/sprite_pass.py); 0 = host compositor only
+    max_overlay_sprites: int = 0
+    overlay_region: int = 128
     enable_depth_of_field: bool = False
     enable_color_grading: bool = True
     enable_ssao: bool = False        # HBAO pass

@@ -167,6 +167,9 @@ class RenderContext:
         self.colorlut = None
         self._envbrdf = None
         self._envprobes = []
+        self._overlay_images = []    # (img u8 RGBA, layers)
+        self._overlay_font = None
+        self._overlay_cache = None   # (atlas, uv0[], uv1[], font info)
         self.luminance = 0.18   # last frame's log-average luminance readback
 
     def set_skybox(self, skybox):
@@ -251,6 +254,83 @@ class RenderContext:
     def add_mesh(self, vertices, indices, **kw) -> MeshHandle:
         self._device = None
         return self.pool.add_mesh(vertices, indices, **kw)
+
+    # --- overlay sprites (device pass) -------------------------------------
+    def add_sprite(self, image, layers=1) -> int:
+        """Register an overlay sprite image (RGBA; layers stacked
+        vertically) for the device sprite pass (reference: Sprite
+        resource, src/renderer/sprite.{h,cpp}).  Returns a sprite id
+        for RenderList.push_sprite."""
+        img = np.asarray(image)
+        if img.dtype != np.uint8:
+            img = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        if img.ndim == 2:
+            img = np.stack([img] * 3 + [np.full_like(img, 255)], -1)
+        if img.shape[2] == 3:
+            img = np.concatenate(
+                [img, np.full(img.shape[:2] + (1,), 255, np.uint8)], -1)
+        i = len(self._overlay_images)
+        self._overlay_images.append((img, int(layers)))
+        self._overlay_cache = None
+        self._device = None
+        return i
+
+    def set_overlay_font(self, font=None):
+        """Attach a Font whose atlas joins the overlay atlas; enables
+        RenderList.push_text on the device pass.  None = builtin."""
+        if font is None:
+            from .sprite import Font
+            font = Font.builtin()
+        self._overlay_font = font
+        self._overlay_cache = None
+        self._device = None
+
+    def overlay_info(self):
+        """Shelf-packed combined overlay atlas + per-sprite uv rects +
+        the font glyph table (consumed by RenderList.sprite_arrays)."""
+        if self._overlay_cache is None:
+            font = self._overlay_font
+            entries = [im for im, _ in self._overlay_images]
+            if font is not None:
+                fa = font.atlas
+                if fa.ndim == 2:
+                    fa = np.stack([np.full_like(fa, 255)] * 3 + [fa], -1)
+                entries = entries + [fa]
+            if not entries:
+                entries = [np.full((1, 1, 4), 255, np.uint8)]
+            aw = max(64, min(1024, max(e.shape[1] for e in entries)))
+            aw = int(2 ** np.ceil(np.log2(aw)))
+            shelves, cx, cy, sh_h = [], 0, 0, 0
+            rects = []
+            for e in entries:
+                h_, w_ = e.shape[:2]
+                if cx + w_ > aw and cx > 0:
+                    cy += sh_h
+                    cx, sh_h = 0, 0
+                rects.append((cx, cy))
+                cx += w_
+                sh_h = max(sh_h, h_)
+            ah = int(cy + sh_h)
+            atlas = np.zeros((ah, aw, 4), np.uint8)
+            for e, (x, y) in zip(entries, rects):
+                atlas[y:y + e.shape[0], x:x + e.shape[1]] = e
+            uv0 = [np.array(r, np.float32) for r in rects[:len(self._overlay_images)]]
+            uv1 = [r + np.array([e.shape[1], e.shape[0]], np.float32)
+                   for r, (e, _) in zip(uv0, self._overlay_images)]
+            info = dict(atlas=atlas, uv0=uv0, uv1=uv1,
+                        layers=[l for _, l in self._overlay_images])
+            if font is not None:
+                info["font"] = dict(
+                    origin=np.array(rects[-1], np.float32),
+                    x=np.asarray(font.x), y=np.asarray(font.y),
+                    width=np.asarray(font.width),
+                    height=np.asarray(font.height),
+                    offsetx=np.asarray(font.offsetx),
+                    offsety=np.asarray(font.offsety),
+                    advance=np.asarray(font.advance),
+                    glyph_index=font.glyph_index)
+            self._overlay_cache = info
+        return self._overlay_cache
 
     def update_material(self, i, **fields):
         """Live-edit a material (reference: Material::update).  The next
@@ -362,6 +442,10 @@ class RenderContext:
                         count=jnp.int32(len(eps)))
             if self.colorlut is not None:
                 self._device["colorlut"] = jnp.asarray(self.colorlut)
+            if self.config.max_overlay_sprites > 0:
+                info = self.overlay_info()
+                self._device["overlay_atlas"] = (
+                    jnp.asarray(info["atlas"], jnp.float32) / 255.0)
         return self._device
 
     def _rebuild_matmaps(self, device):
@@ -437,6 +521,10 @@ class RenderContext:
         if self.config.max_fog_planes > 0:
             draws["fogplanes"] = renderlist.fogplane_arrays(
                 self.config.max_fog_planes)
+        if self.config.max_overlay_sprites > 0:
+            draws["sprites"] = renderlist.sprite_arrays(
+                self.overlay_info(), self.config.max_overlay_sprites,
+                self.config.overlay_region)
         if self.config.max_dynamic_vertices > 0:
             md = self.config.max_dynamic_vertices
             if renderlist.oceans:

@@ -1160,6 +1160,14 @@ def _frame(cfg: FrameConfig, device, draws, sceneset, prev=None):
                                   bloom_strength=1.0, ssr=ssr_img,
                                   dof_blur=dof_blur, dof_amount=dof_amount,
                                   lut=lut)
+
+    # device sprite/overlay pass: ordered alpha blend in display space
+    # (reference: OVERLAY pass sprite pipeline, renderer.cpp:6760-6789)
+    if cfg.max_overlay_sprites > 0 and "sprites" in draws:
+        from ..ops.sprite_pass import composite_sprites
+        rgb = composite_sprites(rgb, draws["sprites"],
+                                device["overlay_atlas"],
+                                region=cfg.overlay_region)
     image = composite_ops.to_u8_image(rgb[:cfg.height, :cfg.width])
 
     out = dict(image=image, luminance=lum, depth=depth, vis=vis,
