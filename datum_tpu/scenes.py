@@ -48,7 +48,8 @@ def datumtest_scene(width=1920, height=1080, *, sphere_detail=24, grid=(7, 5),
 
     # checkerboard albedo for the floor
     checker = np.zeros((64, 64, 4), np.uint8)
-    c = (np.indices((64, 64)).sum(0) // 8) % 2
+    ii, jj = np.indices((64, 64))
+    c = ((ii // 8) + (jj // 8)) % 2
     checker[..., :3] = np.where(c[..., None] > 0, 200, 90)
     checker[..., 3] = 255
     checker_tex = ctx.add_texture(checker)
