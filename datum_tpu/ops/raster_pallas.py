@@ -330,11 +330,121 @@ def _raster_shade_kernel(tile_ids_ref, counts_ref, rows_all, out_refs,
             out_refs[j][rstep, :, :] = out[j]
 
 
+def _raster_shade_kernel_2p(tile_ids_ref, counts_ref, rows_all, out_refs,
+                            *, tiles_x, width, height,
+                            tiles_per_step=1, extended=False, peel_all=None):
+    """Two-phase variant of _raster_shade_kernel: a cheap depth prepass
+    finds each pixel's winning ENTRY SLOT, then a second walk
+    interpolates attributes only for groups that won >= 1 pixel in the
+    tile (lax.cond skips the ~40-vector-op interpolate+select block for
+    occluded/missed triangles — most of a deep bin).  Bitwise-identical
+    outputs to the one-phase kernel (same arithmetic, same tie rules).
+    """
+    i = pl.program_id(0)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
+    P = SHADE_PACK
+    big_groups = (counts_ref[0] + (P - 1)) // P
+    bin_group0 = counts_ref[1] // P
+
+    N_PLANES = 22 if extended else 15
+
+    for rstep in range(tiles_per_step):
+        slot_i = i * tiles_per_step + rstep
+        tile = tile_ids_ref[slot_i]
+        ty = tile // tiles_x
+        tx = tile % tiles_x
+        yn = (ty.astype(jnp.float32) * TILE_H + yy + 0.5) * (2.0 / height) - 1.0
+        xn = (tx.astype(jnp.float32) * TILE_W + xx + 0.5) * (2.0 / width) - 1.0
+        rows = rows_all.at[rstep]
+        peel = None if peel_all is None else peel_all[rstep]
+
+        def edges(g, o):
+            e0 = rows[g, o + 0] * xn + rows[g, o + 1] * yn + rows[g, o + 2]
+            e1 = rows[g, o + 3] * xn + rows[g, o + 4] * yn + rows[g, o + 5]
+            e2 = rows[g, o + 6] * xn + rows[g, o + 7] * yn + rows[g, o + 8]
+            s = e0 + e1 + e2
+            inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (s > 0) \
+                & (rows[g, o + 12] > 0)
+            d = rows[g, o + 9] * xn + rows[g, o + 10] * yn + rows[g, o + 11]
+            return e0, e1, s, inside, d
+
+        # ---- phase 1: depth + winning slot (entry index, f32-exact)
+        def depth_body(g, carry):
+            depth, slot = carry
+            for q in range(P):
+                o = q * 64
+                _, _, _, inside, d = edges(g, o)
+                passed = inside & (d > depth) & (d <= 1.0)
+                if peel is not None:
+                    passed = passed & (d < peel)
+                k = (g * P + q).astype(jnp.float32)
+                depth = jnp.where(passed, d, depth)
+                slot = jnp.where(passed, k, slot)
+            return depth, slot
+
+        zeros = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        init = (zeros, zeros - 1.0)
+        count_groups = (counts_ref[2 + slot_i] + (P - 1)) // P
+        carry = jax.lax.fori_loop(0, big_groups, depth_body, init)
+        depth, slot = jax.lax.fori_loop(
+            bin_group0, bin_group0 + count_groups, depth_body, carry)
+
+        # ---- phase 2: attributes only for groups that won pixels
+        def attr_winner(g, planes):
+            for q in range(P):
+                o = q * 64
+                e0, e1, s, _, _ = edges(g, o)
+                won = slot == (g * P + q).astype(jnp.float32)
+                inv = 1.0 / jnp.where(s == 0, 1.0, s)
+                l0 = e0 * inv
+                l1 = e1 * inv
+                l2 = 1.0 - l0 - l1
+                u = rows[g, o + 16] * l0 + rows[g, o + 18] * l1 + rows[g, o + 20] * l2
+                v = rows[g, o + 17] * l0 + rows[g, o + 19] * l1 + rows[g, o + 21] * l2
+                nx = rows[g, o + 22] * l0 + rows[g, o + 25] * l1 + rows[g, o + 28] * l2
+                ny = rows[g, o + 23] * l0 + rows[g, o + 26] * l1 + rows[g, o + 29] * l2
+                nz = rows[g, o + 24] * l0 + rows[g, o + 27] * l1 + rows[g, o + 30] * l2
+                vals = [rows[g, o + 13], u, v, nx, ny, nz,
+                        rows[g, o + 34], rows[g, o + 35], rows[g, o + 36],
+                        rows[g, o + 37], rows[g, o + 38], rows[g, o + 39],
+                        rows[g, o + 40], rows[g, o + 41]]
+                if extended:
+                    tx_ = rows[g, o + 44] * l0 + rows[g, o + 48] * l1 \
+                        + rows[g, o + 52] * l2
+                    ty_ = rows[g, o + 45] * l0 + rows[g, o + 49] * l1 \
+                        + rows[g, o + 53] * l2
+                    tz_ = rows[g, o + 46] * l0 + rows[g, o + 50] * l1 \
+                        + rows[g, o + 54] * l2
+                    vals += [rows[g, o + 42], rows[g, o + 43],
+                             tx_, ty_, tz_, rows[g, o + 47],
+                             rows[g, o + 56]]
+                planes = tuple(jnp.where(won, vals[j], planes[j])
+                               for j in range(N_PLANES - 1))
+            return planes
+
+        def attr_body(g, planes):
+            lo = (g * P).astype(jnp.float32)
+            hi = ((g + 1) * P).astype(jnp.float32)
+            hit = jnp.any((slot >= lo) & (slot < hi))
+            return jax.lax.cond(hit, lambda p: attr_winner(g, p),
+                                lambda p: p, planes)
+
+        init_p = (zeros - 1.0,) + tuple(zeros for _ in range(N_PLANES - 2))
+        planes = jax.lax.fori_loop(0, big_groups, attr_body, init_p)
+        planes = jax.lax.fori_loop(bin_group0, bin_group0 + count_groups,
+                                   attr_body, planes)
+
+        out = (depth,) + planes
+        for j in range(N_PLANES):
+            out_refs[j][rstep, :, :] = out[j]
+
+
 def raster_shade_pallas(setup, bins, big_ids, counts, tris, uv, normal,
                         tri_material, materials, tiles_x, tiles_y, width, height,
                         tile_ids=None, interpret=False, tangent=None,
                         matmaps=None, planes_2d=False, alpha_in_alb=False,
-                        peel_depth=None):
+                        peel_depth=None, two_phase=False):
     """Fused raster + attribute/material interpolation.
 
     Returns dict of full-res planes: depth, vis (int32), uv (H,W,2),
@@ -368,16 +478,18 @@ def raster_shade_pallas(setup, bins, big_ids, counts, tris, uv, normal,
 
     has_peel = peel_depth is not None
 
+    kern = _raster_shade_kernel_2p if two_phase else _raster_shade_kernel
+
     def kernel_wrap(tile_ids_ref, counts_ref, rows_ref, *rest):
         if has_peel:
             peel_ref, outs = rest[0], list(rest[1:])
         else:
             peel_ref, outs = None, list(rest)
-        _raster_shade_kernel(tile_ids_ref, counts_ref, rows_ref,
-                             outs,
-                             tiles_x=tiles_x, width=width, height=height,
-                             tiles_per_step=R, extended=extended,
-                             peel_all=peel_ref)
+        kern(tile_ids_ref, counts_ref, rows_ref,
+             outs,
+             tiles_x=tiles_x, width=width, height=height,
+             tiles_per_step=R, extended=extended,
+             peel_all=peel_ref)
 
     in_specs = [pl.BlockSpec((R, n_groups, SHADE_PACK * 64),
                              lambda i, *_: (i, 0, 0))]

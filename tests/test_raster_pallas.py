@@ -169,3 +169,63 @@ def test_depth_only_kernel_matches_reference(rng):
     d_p = raster_depth_pallas(setup, bins, big, counts, TX, TY, W, H,
                               interpret=True)
     np.testing.assert_allclose(np.asarray(d_ref), np.asarray(d_p), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_two_phase_kernel_matches_one_phase(rng):
+    """two_phase (depth prepass + winner-gated attribute walk) is
+    bit-identical to the one-phase fused kernel, incl. the extended
+    (tangent/matmap) planes and depth peeling."""
+    import jax.numpy as jnp
+    from datum_tpu.ops.raster_pallas import raster_shade_pallas
+
+    proj = perspective_proj(np.radians(70), W / H, 0.1)
+    pts = rng.randn(36, 3).astype(np.float32) * 2
+    pts[:, 2] -= 6
+    hp = np.concatenate([pts, np.ones((36, 1), np.float32)], 1)
+    clip = jnp.asarray(hp @ proj.T)
+    tris = jnp.asarray(rng.randint(0, 36, (48, 3)).astype(np.int32))
+    uv = jnp.asarray(rng.rand(36, 2).astype(np.float32))
+    nrm = jnp.asarray(rng.randn(36, 3).astype(np.float32))
+    tan = jnp.asarray(rng.randn(36, 4).astype(np.float32))
+    tri_mat = jnp.asarray(rng.randint(0, 4, 48).astype(np.int32))
+    materials = dict(
+        color=jnp.asarray(rng.rand(4, 4).astype(np.float32)),
+        emissive=jnp.zeros(4), metalness=jnp.full(4, 0.3),
+        roughness=jnp.full(4, 0.6), reflectivity=jnp.full(4, 0.5),
+        albedomap=jnp.zeros(4, jnp.int32),
+        packed10=jnp.asarray(rng.rand(4, 12).astype(np.float32)),
+    )
+    matmaps = dict(base=jnp.zeros(4, jnp.int32), size=jnp.ones(4, jnp.int32))
+
+    setup = R.triangle_setup(clip, tris, W, H, TX, TY)
+    bins, counts, big = R.bin_triangles(setup, 48, TX, TY, 32, 8)
+
+    for kw in (dict(), dict(tangent=tan, matmaps=matmaps, planes_2d=True)):
+        a = raster_shade_pallas(setup, bins, big, counts, tris, uv, nrm,
+                                tri_mat, materials, TX, TY, W, H,
+                                interpret=True, **kw)
+        b = raster_shade_pallas(setup, bins, big, counts, tris, uv, nrm,
+                                tri_mat, materials, TX, TY, W, H,
+                                interpret=True, two_phase=True, **kw)
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
+                                          err_msg=k)
+
+    # peel: second layer strictly behind the first
+    planes = raster_shade_pallas(setup, bins, big, counts, tris, uv, nrm,
+                                 tri_mat, materials, TX, TY, W, H,
+                                 interpret=True, planes_2d=True,
+                                 tangent=tan, matmaps=matmaps)
+    for tp in (False, True):
+        out = raster_shade_pallas(setup, bins, big, counts, tris, uv, nrm,
+                                  tri_mat, materials, TX, TY, W, H,
+                                  interpret=True, planes_2d=True,
+                                  tangent=tan, matmaps=matmaps,
+                                  peel_depth=planes["depth"], two_phase=tp)
+        if tp:
+            for k in ref:
+                np.testing.assert_array_equal(np.asarray(ref[k]),
+                                              np.asarray(out[k]), err_msg=k)
+        else:
+            ref = out
