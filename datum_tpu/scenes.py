@@ -177,7 +177,8 @@ def stress_scene(width=1920, height=1080, *, terrain_n=192,
     tverts, tidx = primitives.terrain(size=28.0, n=terrain_n, height=2.2)
     ground = ctx.add_mesh(tverts, tidx)
     rock = np.zeros((64, 64, 4), np.uint8)
-    c = (np.indices((64, 64)).sum(0) // 4) % 2
+    ri, rj = np.indices((64, 64))
+    c = ((ri // 4) + (rj // 4)) % 2
     rock[..., :3] = np.where(c[..., None] > 0, 150, 110)
     rock[..., 3] = 255
     ground_mat = ctx.add_material(color=(1, 1, 1, 1), roughness=0.85,

@@ -16,15 +16,11 @@ pytestmark = pytest.mark.slow
 
 
 def test_stress_scene_renders_without_overflow():
-    ctx, camera, params, make_rl = stress_scene(
-        width=320, height=160, terrain_n=96, sphere_detail=20,
-        grid=(6, 3), n_point_lights=64, skybox_size=16,
-        max_vertices=1 << 16, max_triangles=1 << 16, big_capacity=32)
-    rl = make_rl(0.0)
-    ss = make_sceneset(camera, params, point_lights=rl.point_lights)
-    draws = rl.draw_arrays(ctx.config.max_instances, ctx.default_material)
-    out = frame_mod.render_frame(ctx.config, ctx.device_state(), draws, ss)
-    img = np.asarray(out["image"]).astype(np.float32)
+    import os
+    from datum_tpu.tools.stress_golden import render
+
+    img_u8, out = render()
+    img = img_u8.astype(np.float32)
 
     assert int(out["bin_overflow"]) == 0, (
         f"bin overflow {int(out['bin_overflow'])} at stress density")
@@ -34,3 +30,13 @@ def test_stress_scene_renders_without_overflow():
     lower = img[100:150, 40:280]
     assert lower.mean() > 15, f"terrain too dark: {lower.mean():.1f}"
     assert 0.005 < float(out["luminance"]) < 5.0
+
+    # image golden: dense-mesh raster regressions (bin pressure, sliver
+    # leaks, cluster binning) fail here
+    from PIL import Image
+    gp = os.path.join(os.path.dirname(__file__), "golden", "stress.png")
+    assert os.path.exists(gp), (
+        "missing stress golden; run python -m datum_tpu.tools.stress_golden")
+    gold = np.asarray(Image.open(gp).convert("RGB")).astype(np.float32)
+    rmse = float(np.sqrt(np.mean((img / 255.0 - gold / 255.0) ** 2)))
+    assert rmse < 2.0 / 255.0, f"stress RMSE {rmse:.5f} vs golden"
