@@ -59,14 +59,29 @@ def render_megakernel(out_path: str) -> None:
                            f"{res.stdout[-2000:]}\n{res.stderr[-2000:]}")
 
 
+def render_stress(out_path: str) -> None:
+    """Dense-mesh + many-light stress golden (see
+    datum_tpu/tools/stress_golden.py)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    res = subprocess.run(
+        [sys.executable, "-m", "datum_tpu.tools.stress_golden", out_path],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=1800)
+    if res.returncode != 0:
+        raise RuntimeError(f"stress golden failed rc={res.returncode}:\n"
+                           f"{res.stdout[-2000:]}\n{res.stderr[-2000:]}")
+
+
 def main(argv):
-    names = argv or (list(EXAMPLES) + ["megakernel"])
+    names = argv or (list(EXAMPLES) + ["megakernel", "stress"])
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for name in names:
         out = os.path.join(GOLDEN_DIR, f"{name}.png")
         print(f"rendering golden: {name} -> {out}", flush=True)
         if name == "megakernel":
             render_megakernel(out)
+        elif name == "stress":
+            render_stress(out)
         else:
             render_example(name, out)
     print("done")

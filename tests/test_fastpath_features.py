@@ -8,6 +8,7 @@ loop — both run unconditionally inside the reference's lighting kernel).
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from datum_tpu.math import Transform
@@ -66,6 +67,7 @@ def _decal_scene(textured):
     return build
 
 
+@pytest.mark.slow
 def test_decal_fast_path_matches_xla():
     imgs = {}
     for use_k in (True, False):
@@ -118,6 +120,7 @@ def _probe_scene(with_probe):
     return build
 
 
+@pytest.mark.slow
 def test_env_probe_fast_path_matches_xla():
     imgs = {}
     for use_k in (True, False):

@@ -2,6 +2,7 @@
 through the frame."""
 
 import numpy as np
+import pytest
 
 from datum_tpu.math import Transform
 from datum_tpu.ops.common import FrameConfig
@@ -37,6 +38,7 @@ BASE = dict(width=256, height=128, max_vertices=2048, max_triangles=2048,
             enable_shadows=False)
 
 
+@pytest.mark.slow
 def test_all_post_effects_run():
     cfg = FrameConfig(**BASE, enable_ssr=True, enable_ssao=True,
                       enable_bloom=True, enable_depth_of_field=True)

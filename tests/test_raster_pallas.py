@@ -154,6 +154,7 @@ def test_mxu_kernel_matches_v2(rng):
                                np.asarray(b["color"])[sel], atol=1e-4)
 
 
+@pytest.mark.slow
 def test_depth_only_kernel_matches_reference(rng):
     from datum_tpu.ops.raster_pallas import raster_depth_pallas
 

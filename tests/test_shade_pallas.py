@@ -186,6 +186,7 @@ def test_megakernel_spot_shadow_planes():
                                atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_frame_with_megakernel_matches_xla_frame():
     """End-to-end: the megakernel frame vs the XLA-lighting frame on the
     flagship scene (interpret mode, CPU)."""
@@ -215,6 +216,7 @@ def test_frame_with_megakernel_matches_xla_frame():
     assert rmse < 0.02, f"megakernel vs XLA frame RMSE {rmse}"
 
 
+@pytest.mark.slow
 def test_lit_translucent_layer_and_water_absorb():
     """The megakernel path shades the nearest translucent layer with the
     full BRDF and applies depth-aware transmission for absorbing

@@ -6,6 +6,7 @@ the nearest N layers with the full deferred megakernel (depth-peeled
 re-raster) and accumulates fragments beyond them as unlit WBOIT."""
 
 import numpy as np
+import pytest
 
 from datum_tpu.math import Transform
 from datum_tpu.ops.common import FrameConfig
@@ -68,6 +69,7 @@ def _render(cfg, n_quads):
     return np.asarray(out["image"]).astype(np.float32) / 255.0
 
 
+@pytest.mark.slow
 def test_second_layer_is_lit():
     one = _render(_cfg(translucent_lit_layers=1), 2)
     two = _render(_cfg(translucent_lit_layers=2), 2)
