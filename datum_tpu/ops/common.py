@@ -77,6 +77,10 @@ class FrameConfig:
     # loses edge-function precision to the MXU's bf16 mantissa (0.77 vis
     # agreement on hardware) — kept selectable for sparse-bin scenes.
     raster_kernel: str = "v2"
+    # two-phase fused raster: depth/slot prepass + winner-gated
+    # attribute walk (skips the interpolate+select block for occluded
+    # triangles); bit-identical outputs, selectable for A/B timing
+    raster_two_phase: bool = False
     # none|nearest_half|nearest|bilinear: legacy 256^2 pool paths;
     # mip|mip_half: texture system v2 — native-size mip chains with
     # combined albedo+surface+normal quad rows (one gather per sample,

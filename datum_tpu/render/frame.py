@@ -523,7 +523,7 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
                 device["materials"], tx_, ty_, w_t, gh_t, tangent=twt,
                 matmaps=device["matmaps"], planes_2d=True, alpha_in_alb=True,
                 interpret=cfg.pallas_interpret, tile_ids=tid_t,
-                peel_depth=peel)
+                peel_depth=peel, two_phase=cfg.raster_two_phase)
             peel = planes_t["depth"]       # next layer peels against this
             # only keep fragments nearer than the opaque surface
             visf_t = jnp.where(planes_t["depth"] > depth_t,
@@ -866,7 +866,8 @@ def _frame(cfg: FrameConfig, device, draws, sceneset, prev=None):
             setup, bins, big_ids, counts, ex["tris"], uv, wnormal, tri_mat,
             device["materials"], tx, ty, w, h, tangent=wtangent,
             matmaps=device["matmaps"], planes_2d=True,
-            interpret=cfg.pallas_interpret)
+            interpret=cfg.pallas_interpret,
+            two_phase=cfg.raster_two_phase)
         depth = planes["depth"]
         vis = jnp.round(planes["visf"]).astype(jnp.int32)
         hdr, mask, gbuffer, ao_state = _shade_with_kernel(
