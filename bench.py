@@ -23,6 +23,8 @@ import numpy as np
 
 
 def main():
+    import os
+
     from datum_tpu.scenes import datumtest_scene
     from datum_tpu.render import frame as frame_mod
     from datum_tpu.render.types import make_sceneset
@@ -30,8 +32,14 @@ def main():
 
     enable_compilation_cache()
 
+    # debug overrides: DATUM_BENCH_W/H/N + JAX_PLATFORMS=cpu let the
+    # whole chain smoke-run on CPU at a tiny config (logic check only —
+    # never a perf number)
+    W = int(os.environ.get("DATUM_BENCH_W", 1920))
+    H = int(os.environ.get("DATUM_BENCH_H", 1088))
+
     ctx, camera, params, make_rl = datumtest_scene(
-        width=1920, height=1088, sphere_detail=24, n_point_lights=8,
+        width=W, height=H, sphere_detail=24, n_point_lights=8,
         max_vertices=1 << 15, max_triangles=1 << 15,
         bin_capacity=160, big_capacity=64, bin_max_span=8,
         use_pallas=True, shadow_factor_scale=4,
@@ -100,7 +108,7 @@ def main():
     # is independent of N).  The carry folds in a full-image mean so
     # the post chain (SSR/bloom/composite/u8) cannot be DCE'd, and the
     # luminance->exposure dependency serializes the frames.
-    N = 10
+    N = int(os.environ.get("DATUM_BENCH_N", 10))
     import jax.numpy as jnp
     inputs = [frame_inputs(0.3 + 0.05 * i) for i in range(N)]
     stacked = jax.device_put(
