@@ -121,7 +121,13 @@ def _fog_sample(depth, fogvol, proj, *, depth_range, exponent, sample_scale,
     while q > 1 and (h % q or w % q):
         q //= 2
 
-    qtab = jax.vmap(quad_pack)(fogvol).reshape(-1, 16)   # (D*H*W, 16)
+    # z-pair packed rows: each row carries slice k's xy-quad AND slice
+    # k+1's (clamped at the last slice), so the full trilinear tap is
+    # ONE 32-float row gather instead of two 16-float gathers — gather
+    # ISSUE throughput is the TPU wall, row width is nearly free
+    qt = jax.vmap(quad_pack)(fogvol)                     # (D, H*W, 16)
+    qt_next = jnp.concatenate([qt[1:], qt[-1:]], axis=0)
+    qtab = jnp.concatenate([qt, qt_next], axis=-1).reshape(-1, 32)
 
     dq = downsample_pool(depth, q, reduce="first")
     hq, wq = dq.shape
@@ -129,7 +135,6 @@ def _fog_sample(depth, fogvol, proj, *, depth_range, exponent, sample_scale,
     slice_f = (jnp.power(jnp.clip(dist / depth_range, 0.0, 1.0),
                          1.0 / exponent) * fog_d - 0.5)
     k0 = jnp.clip(jnp.floor(slice_f), 0, fog_d - 1).astype(jnp.int32)
-    k1 = jnp.minimum(k0 + 1, fog_d - 1)
     fz = jnp.clip(slice_f - k0, 0.0, 1.0)[..., None]
 
     fhq = (full_height // q) if full_height is not None else hq
@@ -147,16 +152,16 @@ def _fog_sample(depth, fogvol, proj, *, depth_range, exponent, sample_scale,
                    jnp.clip(yf - jnp.floor(yf), 0.0, 1.0))[:, None, None]
     cell = y0 * fog_w + x0                               # (hq, wq)
 
-    def tap(k):
-        rows = qtab[k * (fog_h * fog_w) + cell]          # (hq, wq, 16)
+    def xy_bilerp(rows):
         t00, t01 = rows[..., 0:4], rows[..., 4:8]
         t10, t11 = rows[..., 8:12], rows[..., 12:16]
         top = t00 + (t01 - t00) * fx
         bot = t10 + (t11 - t10) * fx
         return top + (bot - top) * fy
 
-    fog_q = tap(k0)
-    return fog_q + (tap(k1) - fog_q) * fz, q
+    rows = qtab[k0 * (fog_h * fog_w) + cell]             # (hq, wq, 32)
+    fog_q = xy_bilerp(rows[..., :16])
+    return fog_q + (xy_bilerp(rows[..., 16:]) - fog_q) * fz, q
 
 
 def apply_fog(hdr, depth, fogvol, proj, *, depth_range=FOG_DEPTH_RANGE,
