@@ -164,3 +164,22 @@ def line_cube():
     edges = [(0, 1), (0, 2), (0, 4), (1, 3), (1, 5), (2, 3), (2, 6),
              (3, 7), (4, 5), (4, 6), (5, 7), (6, 7)]
     return corners, np.asarray(edges, np.int32)
+
+
+def line_quad():
+    """Unit quad outline line list (reference: core line_quad mesh)."""
+    corners = np.array([[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]],
+                       np.float32)
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    return corners, np.asarray(edges, np.int32)
+
+
+def line_cone(segments=16):
+    """Unit cone outline: base circle + 4 spokes to the apex
+    (reference: core line_cone mesh)."""
+    ang = np.linspace(0, 2 * np.pi, segments, endpoint=False)
+    base = np.stack([np.cos(ang), np.sin(ang), np.ones_like(ang)], -1)
+    pos = np.concatenate([base, [[0.0, 0.0, 0.0]]], 0).astype(np.float32)
+    edges = [(i, (i + 1) % segments) for i in range(segments)]
+    edges += [(i, segments) for i in range(0, segments, segments // 4)]
+    return pos, np.asarray(edges, np.int32)

@@ -105,6 +105,22 @@ def build_core_pack(path, *, envbrdf_size=64, skybox_size=64, lut_size=16,
         w.write_mesh(cid, v, i, v["position"].min(0), v["position"].max(0),
                      compress=compress)
 
+    # line-list meshes for the overlay pipelines (reference: corepack.h
+    # line_quad/cube/cone).  The pack mesh format is triangle-list; each
+    # line segment (a, b) encodes as the degenerate triangle (a, b, b) —
+    # the overlay reader decodes pairs from the first two indices.
+    for cid, make in [(CoreAsset.line_quad, primitives.line_quad),
+                      (CoreAsset.line_cube, primitives.line_cube),
+                      (CoreAsset.line_cone, primitives.line_cone)]:
+        pos, edges = make()
+        v = np.zeros(len(pos), VERTEX_DTYPE)
+        v["position"] = pos
+        v["normal"] = [0, 0, 1]
+        v["tangent"] = [1, 0, 0, 1]
+        tri = np.stack([edges[:, 0], edges[:, 1], edges[:, 1]],
+                       -1).astype(np.int32).reshape(-1)
+        w.write_mesh(cid, v, tri, pos.min(0), pos.max(0), compress=compress)
+
     # kernel entries as TEXT assets (keep id layout)
     for cid, name in KERNEL_REGISTRY.items():
         w.write_text(cid, name.encode())
@@ -134,6 +150,78 @@ def build_core_pack(path, *, envbrdf_size=64, skybox_size=64, lut_size=16,
     lut3 = np.stack([r, gg, b, np.ones_like(r)], -1)
     w.write_image(CoreAsset.color_lut, lut_size, lut_size, lut_size, 1,
                   IMAGE_RGBA, color_codec.pack_rgba(lut3).tobytes(), compress=compress)
+
+    # water / cloud / noise textures (reference: assetbuilder.cpp packs
+    # wave_color via image_pack_watercolor + wave/cloud/noise images;
+    # here all procedurally baked — deterministic, seed-fixed)
+    from ..math.perlin import PerlinEngine
+    from ..ops.ocean import water_color_lut
+
+    wc = np.asarray(water_color_lut(64))
+    if wc.shape[-1] == 3:
+        wc = np.concatenate([wc, np.ones(wc.shape[:2] + (1,), np.float32)], -1)
+    w.write_image(CoreAsset.wave_color, wc.shape[1], wc.shape[0], 1, 1,
+                  IMAGE_RGBA, color_codec.pack_rgba(wc[None]).tobytes(),
+                  compress=compress)
+
+    def _tiled_height(seed, n=64, freq=4.0, octaves=3):
+        p = PerlinEngine(seed)
+        g = (np.arange(n) + 0.5) / n
+        xx, yy = np.meshgrid(g, g, indexing="xy")
+        h = np.zeros((n, n), np.float32)
+        amp, f = 1.0, freq
+        for _ in range(octaves):
+            # torus trick keeps the texture tileable
+            a, b = np.cos(2 * np.pi * xx) * f / 6.0, np.sin(2 * np.pi * xx) * f / 6.0
+            c = np.cos(2 * np.pi * yy) * f / 6.0
+            h += amp * np.asarray(p.noise3(a, b, c), np.float32)
+            amp *= 0.5
+            f *= 2.0
+        return h
+
+    def _normal_from_height(h, strength=2.0):
+        gx = np.roll(h, -1, 1) - np.roll(h, 1, 1)
+        gy = np.roll(h, -1, 0) - np.roll(h, 1, 0)
+        n = np.stack([-gx * strength, -gy * strength, np.ones_like(h)], -1)
+        n /= np.linalg.norm(n, axis=-1, keepdims=True)
+        return n * 0.5 + 0.5
+
+    for cid, seed, strength in [(CoreAsset.wave_normal, 11, 0.8),
+                                (CoreAsset.cloud_normal, 23, 0.4),
+                                (CoreAsset.noise_normal, 37, 0.6)]:
+        nm = _normal_from_height(_tiled_height(seed), strength)
+        img = np.concatenate([nm, np.ones(nm.shape[:2] + (1,), np.float32)], -1)
+        w.write_image(cid, 64, 64, 1, 1, IMAGE_RGBA,
+                      color_codec.pack_rgba(img[None]).tobytes(),
+                      compress=compress)
+
+    for cid, seed in [(CoreAsset.wave_foam, 13), (CoreAsset.cloud_density, 29)]:
+        h = _tiled_height(seed, octaves=4)
+        g = np.clip(np.abs(h) * 1.8, 0.0, 1.0)
+        img = np.stack([g, g, g, g], -1).astype(np.float32)
+        w.write_image(cid, 64, 64, 1, 1, IMAGE_RGBA,
+                      color_codec.pack_rgba(img[None]).tobytes(),
+                      compress=compress)
+
+    # loader / test images (reference: loader_image, test_image)
+    from ..render.context import render_fallback
+    loader = render_fallback(128, 64, tick=0).astype(np.float32) / 255.0
+    loader4 = np.concatenate(
+        [loader, np.ones(loader.shape[:2] + (1,), np.float32)], -1)
+    w.write_image(CoreAsset.loader_image, 128, 64, 1, 1, IMAGE_RGBA,
+                  color_codec.pack_rgba(loader4[None]).tobytes(),
+                  compress=compress)
+    ti, tj = np.indices((64, 64))
+    tc = (((ti // 8) + (tj // 8)) % 2).astype(np.float32)
+    test_img = np.stack([tc, 1.0 - tc, tc * 0.5, np.ones_like(tc)], -1)
+    w.write_image(CoreAsset.test_image, 64, 64, 1, 1, IMAGE_RGBA,
+                  color_codec.pack_rgba(test_img[None]).tobytes(),
+                  compress=compress)
+
+    # default particle system (reference: default_particle — a minimal
+    # white puff emitter; emitter payload is the engine-native blob)
+    w.write_particlesystem(CoreAsset.default_particle, (0, 0, 0), (1, 1, 1),
+                           100, 0, int(CoreAsset.white_diffuse), b"")
 
     # default material + debug font
     w.write_material(CoreAsset.default_material, color=(0.75, 0.75, 0.75, 1))

@@ -43,6 +43,26 @@ def test_core_pack_builds(tmp_path):
     for cid in (CoreAsset.unit_quad, CoreAsset.unit_cube, CoreAsset.unit_sphere):
         m = pack.mesh(int(cid))
         assert m["indices"].max() < len(m["vertices"])
+    # line-list overlay meshes (edges encoded as degenerate triangles)
+    for cid in (CoreAsset.line_quad, CoreAsset.line_cube, CoreAsset.line_cone):
+        m = pack.mesh(int(cid))
+        tri = np.asarray(m["indices"]).reshape(-1, 3)
+        assert (tri[:, 1] == tri[:, 2]).all()
+    # baked data assets: water/cloud/noise textures, loader/test images,
+    # default particle (reference: corepack.h ids 104-113)
+    for cid in (CoreAsset.wave_color, CoreAsset.wave_normal,
+                CoreAsset.wave_foam, CoreAsset.cloud_density,
+                CoreAsset.cloud_normal, CoreAsset.noise_normal,
+                CoreAsset.loader_image, CoreAsset.test_image):
+        img = pack.image(int(cid))
+        assert img["mips"][0].size > 0
+    nrm = pack.image(int(CoreAsset.wave_normal))["mips"][0]
+    # normal-map blue channel dominates (unit normals, z-up encoding);
+    # pack layout is 0xAARRGGBB — blue is the LOW byte
+    from datum_tpu.math.color import unpack_rgba
+    rgba = unpack_rgba(np.asarray(nrm))
+    assert rgba[..., 2].mean() > 0.6
+    assert int(CoreAsset.default_particle) in pack.assets
     # kernel registry entries resolve to real symbols
     import importlib
 
