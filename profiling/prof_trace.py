@@ -27,6 +27,13 @@ def main():
     from datum_tpu.render import frame as frame_mod
     from datum_tpu.render.types import make_sceneset
 
+    variant = sys.argv[1] if len(sys.argv) > 1 else ""
+    extra = {}
+    if variant == "two_phase":
+        extra = dict(raster_two_phase=True)
+    elif variant == "clusters":
+        extra = dict(use_light_clusters=True, tile_light_capacity=64)
+
     ctx, camera, params, make_rl = datumtest_scene(
         width=1920, height=1088, sphere_detail=24, n_point_lights=8,
         max_vertices=1 << 15, max_triangles=1 << 15,
@@ -37,7 +44,7 @@ def main():
         max_spot_shadows=1, max_particle_quads=512,
         max_translucent_draws=2, max_translucent_tris=2048,
         max_decals_active=2, decal_textures=False,
-        translucent_lit_scale=2, shadow_far_res=512)
+        translucent_lit_scale=2, shadow_far_res=512, **extra)
     device = jax.device_put(ctx.device_state())
 
     def frame_inputs(t):
