@@ -21,7 +21,13 @@ def init(args):
         # mip-filtered material maps (v2 table) — works on the XLA/CPU
         # path too, so the committed golden is moire-free
         enable_material_maps=True, texture_filter="mip",
-        max_particle_quads=512, max_spot_shadows=1, spot_shadow_res=256)
+        max_particle_quads=512, max_spot_shadows=1, spot_shadow_res=256,
+        # forward/OIT content — the reference datumtest always renders
+        # its translucent + water + decal set (datumtest.cpp:579-673);
+        # on this XLA path glass/water blend as WBOIT and decals apply
+        # in the deferred resolve
+        max_translucent_draws=2, max_translucent_tris=2048,
+        max_decals_active=2)
 
     ps = ParticleSystem(maxparticles=400, emitters=[ParticleEmitter(
         rate=120.0, life=Distribution.uniform(1.0, 2.5),
