@@ -30,6 +30,7 @@ EXAMPLES = {
     "stardust": [],
     "asteroids": [],
     "datumtest": [],
+    "city": [],
 }
 COMMON = ["--cpu", "--frames", "3", "--width", "320", "--height", "160"]
 

@@ -27,7 +27,7 @@ GOLDEN_DIR = os.path.join(REPO, "tests", "golden")
 sys.path.insert(0, os.path.join(REPO))
 
 EXAMPLES = ["triangle", "teapot", "material", "skybox", "character",
-            "ocean", "stardust", "asteroids", "datumtest"]
+            "ocean", "stardust", "asteroids", "datumtest", "city"]
 
 # identical float programs on the same platform reproduce exactly; the
 # tolerance absorbs XLA-version fusion drift, not visual change
