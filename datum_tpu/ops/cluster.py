@@ -89,16 +89,24 @@ def tile_depth_bounds(depth, proj, tiles_x, tiles_y):
 
 
 def bin_lights(light_pos, light_range, count, view, proj, tiles_x, tiles_y,
-               width, height, capacity, tile_zrange=None):
+               width, height, capacity, tile_zrange=None, tile0=0,
+               n_local=None):
     """Per-tile light lists.
 
     tile_zrange: optional (zmin, zmax) per-tile view-distance bounds
     (tile_depth_bounds) — lights outside a tile's depth interval are
     culled (the z-refinement the reference gets from cluster z-slices).
+    tile0/n_local: bin only the contiguous tile range [tile0, tile0 +
+    n_local) of the FULL grid (the tile-sharded path bins each band's
+    own tiles; tile0 may be traced).  tile_zrange is band-local then.
     Returns (lists (n_tiles, capacity) int32 light ids (-1 pad),
     counts (n_tiles,)).
     """
+    import jax
+
     planes = tile_frustum_planes(view, proj, tiles_x, tiles_y, width, height)
+    if n_local is not None:
+        planes = jax.lax.dynamic_slice_in_dim(planes, tile0, n_local, 0)
     n_lights = light_pos.shape[0]
     hp = jnp.concatenate([light_pos, jnp.ones((n_lights, 1), jnp.float32)], -1)
     # (T, 4, L): signed distance of each light to each plane

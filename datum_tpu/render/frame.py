@@ -672,22 +672,27 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
 
     clusters = None
     if cfg.use_light_clusters:
-        assert band is None, "light clusters not supported on the " \
-            "sharded path yet (dense in-kernel loop instead)" 
         # per-tile light lists with depth-bounds culling, consumed by
         # the kernel's per-sub-tile loops (the reference's cluster
-        # z-slice refinement; ops/cluster.py tile_depth_bounds)
+        # z-slice refinement; ops/cluster.py tile_depth_bounds).  On the
+        # tile-sharded path each band bins only its own tile rows
+        # (planes are global, depth bounds band-local).
+        from ..ops.common import TILE_H
         from ..ops.cluster import bin_lights, tile_depth_bounds
         pl_ = sceneset["pointlights"]
-        zb = tile_depth_bounds(depth, proj, cfg.tiles_x, cfg.tiles_y)
+        ty_local = h // TILE_H
+        full_ty = gh // TILE_H
+        zb = tile_depth_bounds(depth, proj, cfg.tiles_x, ty_local)
         lists, ccounts = bin_lights(
             pl_["position"], pl_["attenuation"][:, 3], pl_["count"],
-            sceneset["view"], proj, cfg.tiles_x, cfg.tiles_y, w, h,
-            cfg.tile_light_capacity, tile_zrange=zb)
+            sceneset["view"], proj, cfg.tiles_x, full_ty, w, gh,
+            cfg.tile_light_capacity, tile_zrange=zb,
+            tile0=(tile_ids[0] if tile_ids is not None else 0),
+            n_local=(ty_local * cfg.tiles_x if band is not None else None))
         # 16-row shade bands: band b shares tile row b//2's lists
-        tl = lists.reshape(cfg.tiles_y, cfg.tiles_x,
+        tl = lists.reshape(ty_local, cfg.tiles_x,
                            cfg.tile_light_capacity)
-        tc = ccounts.reshape(cfg.tiles_y, cfg.tiles_x)
+        tc = ccounts.reshape(ty_local, cfg.tiles_x)
         band_lists = jnp.repeat(tl, 2, axis=0)
         band_counts = jnp.repeat(tc, 2, axis=0)
         clusters = (band_lists, band_counts)

@@ -95,3 +95,40 @@ def test_sharded_bloom_halo_exchange():
     assert mismatch.mean() < 1.0, f"mean diff {mismatch.mean()}"
     assert (mismatch > 12).mean() < 5e-3, \
         f"{(mismatch > 12).sum()} strong seam pixels"
+
+
+def test_sharded_full_path_clustered_lights_match():
+    """The FULL fast path (Pallas raster + megakernel, interpret mode)
+    with clustered light lists shards bit-near-exactly: each band bins
+    its own tile rows against the global tile frustum planes."""
+    ctx, camera, params, make_rl = datumtest_scene(
+        width=128, height=TILE_H * 4, sphere_detail=8, grid=(2, 2),
+        n_point_lights=6, max_vertices=2048, max_triangles=2048,
+        max_instances=8, bin_capacity=32, big_capacity=8,
+        enable_shadows=True, shadow_res=128, shadow_bin_capacity=32,
+        enable_bloom=False, skybox=False,
+        use_pallas=True, pallas_interpret=True,
+        enable_material_maps=True, texture_filter="mip",
+        use_light_clusters=True, tile_light_capacity=8)
+    rl = make_rl(0.0)
+    sceneset = make_sceneset(camera, params, point_lights=rl.point_lights)
+    draws = rl.draw_arrays(ctx.config.max_instances, ctx.default_material)
+    device = ctx.device_state()
+
+    single = frame_mod.render_frame(ctx.config, device, draws, sceneset)
+    mesh = make_device_mesh(2)
+    sharded = render_frame_sharded(ctx.config, mesh, device, draws,
+                                   sceneset)
+    img_a = np.asarray(single["image"]).astype(int)
+    img_b = np.asarray(sharded["image"]).astype(int)
+    assert img_a.shape == img_b.shape
+    # lights must actually contribute (clusters non-empty)
+    assert img_a.max() > 0
+    # the full fast path has known low-amplitude band seams (the sun/
+    # spot factor upsamples clamp at band edges — same tolerance as the
+    # driver dryrun's parity metric); cluster binning errors would show
+    # up as whole wrong TILES, not seam pixels
+    mismatch = np.abs(img_a - img_b).max(-1)
+    rmse = float(np.sqrt(np.mean((img_a - img_b) ** 2))) / 255.0
+    assert rmse < 0.01, f"RMSE {rmse:.4f}"
+    assert (mismatch > 8).mean() < 5e-3, f"{(mismatch > 8).sum()} seam px"
