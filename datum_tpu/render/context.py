@@ -524,7 +524,8 @@ class RenderContext:
         if self.config.max_overlay_sprites > 0:
             draws["sprites"] = renderlist.sprite_arrays(
                 self.overlay_info(), self.config.max_overlay_sprites,
-                self.config.overlay_region)
+                min(self.config.overlay_region, self.config.padded_width,
+                    self.config.padded_height))
         if self.config.max_dynamic_vertices > 0:
             md = self.config.max_dynamic_vertices
             if renderlist.oceans:

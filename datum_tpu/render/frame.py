@@ -1173,7 +1173,7 @@ def _frame(cfg: FrameConfig, device, draws, sceneset, prev=None):
         from ..ops.sprite_pass import composite_sprites
         rgb = composite_sprites(rgb, draws["sprites"],
                                 device["overlay_atlas"],
-                                region=cfg.overlay_region)
+                                region=min(cfg.overlay_region, w, h))
     image = composite_ops.to_u8_image(rgb[:cfg.height, :cfg.width])
 
     out = dict(image=image, luminance=lum, depth=depth, vis=vis,
