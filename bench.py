@@ -24,6 +24,27 @@ import numpy as np
 
 def main():
     import os
+    import sys
+    import threading
+
+    # fail FAST if the device is unreachable (the axon tunnel can hang
+    # indefinitely on backend init — a silent hang eats the driver's
+    # whole bench budget; an explicit error line does not)
+    ready = threading.Event()
+
+    def _watchdog():
+        if not ready.wait(240):
+            print(json.dumps({
+                "metric": "datumtest_full_frame_time_1080p", "value": -1.0,
+                "unit": "ms", "vs_baseline": 0.0,
+                "error": "device unreachable: backend init timed out"}))
+            sys.stdout.flush()
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    import jax.numpy as _jnp
+    jax.block_until_ready(_jnp.ones((8, 8)) @ _jnp.ones((8, 8)))
+    ready.set()
 
     from datum_tpu.scenes import datumtest_scene
     from datum_tpu.render import frame as frame_mod
