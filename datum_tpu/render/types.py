@@ -80,6 +80,11 @@ class RenderParams:
 
     ambientintensity: float = 1.0
     specularintensity: float = 1.0
+    # global light-range scale applied to every point/spot light's
+    # attenuation range at sceneset pack time (reference:
+    # renderer.cpp:6265,6275 params.lightfalloff * attenuation.w; the
+    # reference defaults 0.66 — our scenes are authored against 1.0)
+    lightfalloff: float = 1.0
     # extra knob (not in the reference): AO intensity lerp toward
     # unoccluded; the reference's ssaoscale (AO buffer resolution) is the
     # static FrameConfig.ssao_scale
@@ -116,10 +121,12 @@ def make_sceneset(camera, params: RenderParams, *, point_lights=(), spot_lights=
     pl_pos = np.zeros((n_point, 3), np.float32)
     pl_int = np.zeros((n_point, 3), np.float32)
     pl_att = np.ones((n_point, 4), np.float32)
+    falloff = np.float32(getattr(params, "lightfalloff", 1.0))
     for i, l in enumerate(point_lights[:n_point]):
         pl_pos[i] = l["position"]
         pl_int[i] = l["intensity"]
         pl_att[i] = l["attenuation"]
+        pl_att[i, 3] *= falloff
 
     sl_pos = np.zeros((n_spot, 3), np.float32)
     sl_int = np.zeros((n_spot, 3), np.float32)
@@ -133,6 +140,7 @@ def make_sceneset(camera, params: RenderParams, *, point_lights=(), spot_lights=
         sl_pos[i] = l["position"]
         sl_int[i] = l["intensity"]
         sl_att[i] = l["attenuation"]
+        sl_att[i, 3] *= falloff
         sl_dir[i] = l["direction"]
         sl_cut[i] = l["cutoff"]
         sl_view[i] = _spot_shadowview(l)
