@@ -29,8 +29,15 @@ def build_fog_volume(sceneset, *, proj, invview, shadow=None, normalquery=None,
                      depth_range=FOG_DEPTH_RANGE, height_falloff=0.15,
                      base_height=0.0, ambient=0.1):
     """Returns fog volume (fog_d, fog_h, fog_w, 4): [in-scatter rgb,
-    transmittance]."""
+    transmittance].
+
+    Density follows the reference's directional falloff (reference:
+    fog.density.comp:116  density = fogdensity.a *
+    exp(-max(dot(fogattenuation, position), 0))) when the sceneset
+    carries camera.fogattenuation; otherwise the legacy height falloff
+    (height_falloff above base_height) applies."""
     fogdensity = sceneset["camera"]["fogdensity"]      # rgb sigma + w scale
+    fogatt = sceneset["camera"].get("fogattenuation")
     ml = sceneset["mainlight"]
 
     inv00 = 1.0 / proj[0, 0]
@@ -53,10 +60,15 @@ def build_fog_volume(sceneset, *, proj, invview, shadow=None, normalquery=None,
     wz = iv[2, 0] * vx + iv[2, 1] * vy + iv[2, 2] * vz + iv[2, 3]
     worldpos = jnp.stack([wx, wy, wz], -1)
 
-    # height-fog density (exponential falloff above base_height)
-    sigma = (fogdensity[3]
-             * jnp.exp(-jnp.maximum(wy - base_height, 0.0)
-                       * height_falloff))
+    # density falloff: directional (reference fogattenuation dot) when
+    # provided, else exponential height falloff above base_height
+    if fogatt is not None:
+        d_ = (fogatt[0] * wx + fogatt[1] * wy + fogatt[2] * wz)
+        sigma = fogdensity[3] * jnp.exp(-jnp.maximum(d_, 0.0))
+    else:
+        sigma = (fogdensity[3]
+                 * jnp.exp(-jnp.maximum(wy - base_height, 0.0)
+                           * height_falloff))
     sigma_rgb = fogdensity[:3] * sigma[..., None]
 
     # main-light in-scatter, shadowed when an ESM is available.  The

@@ -94,8 +94,12 @@ class RenderParams:
 
     fogdensity: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros(4, np.float32))
+    # directional fog-density falloff vector: density = fogdensity.a *
+    # exp(-max(dot(fogattenuation, worldpos), 0)) (reference:
+    # fog.density.comp:116; reference default (0, 0.5, 0)).  The default
+    # reproduces the engine's historical height falloff (0.15 above y=0).
     fogattenuation: np.ndarray = dataclasses.field(
-        default_factory=lambda: np.array([0.5, 0.5, 0.5], np.float32))
+        default_factory=lambda: np.array([0.0, 0.15, 0.0], np.float32))
 
     colorlut = None
 
@@ -163,6 +167,7 @@ def make_sceneset(camera, params: RenderParams, *, point_lights=(), spot_lights=
             ssaostrength=np.float32(params.ssaostrength),
             bloomstrength=np.float32(params.bloomstrength),
             fogdensity=np.asarray(params.fogdensity, np.float32),
+            fogattenuation=np.asarray(params.fogattenuation, np.float32),
         ),
         mainlight=_mainlight(camera, params),
         pointlights=dict(
