@@ -68,14 +68,20 @@ def color_grade(lut, color):
 
 
 def composite(hdr, exposure, *, bloom=None, bloom_strength=0.0, ssr=None,
-              dof_blur=None, dof_amount=None, lut=None):
+              dof_blur=None, dof_amount=None, lut=None, glow=None):
     """Combine HDR color + effects, tonemap, optional grade -> display RGB.
 
     Mirrors the composite pass combine order (reference:
     data/composite.frag): SSR add, DoF mix, bloom add, exposure,
     tonemap, LUT grade.  Returns float RGB in [0,1] (sRGB-encoded).
+
+    glow: pre-combined additive term (SSR*weight + bloom summed at
+    quarter res, ONE shared upsample) — only valid when DoF is off,
+    where the reference combine order makes the two adds associative.
     """
     color = hdr
+    if glow is not None:
+        color = color + glow
     if ssr is not None:
         color = color + ssr[..., :3] * ssr[..., 3:4]
     if dof_blur is not None and dof_amount is not None:

@@ -189,7 +189,7 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset):
             lum = jnp.exp(loglum / (cfg.height * cfg.width))
 
             # SSR from all-gathered quarter-res fields (exact)
-            ssr_img = None
+            ssr_img = ssr_q = None
             if cfg.enable_ssr and cfg.ssr_mode == "binned":
                 from ..ops.ssr2 import ssr_binned
                 q = 4
@@ -207,14 +207,22 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset):
                         gbuffer["mask"].astype(jnp.float32), q)) > 0.5,
                     proj, sceneset["view"],
                     envbrdf_lut=ibl["envbrdf"] if ibl else None)
-                ssr_up = resize_up_dense(ssr_q, h, w)    # full res, exact
-                ssr_img = jax.lax.dynamic_slice_in_dim(
-                    ssr_up, y0, band_h, 0)
-                ssr_img = ssr_img * sceneset["camera"].get(
-                    "ssrstrength", jnp.float32(1.0))
+                # rgb only — composite adds rgb*weight (see frame.py)
+                s_ssr = sceneset["camera"].get("ssrstrength",
+                                               jnp.float32(1.0))
+                ssr_q = ssr_q.at[..., :3].multiply(s_ssr)
+                if cfg.enable_depth_of_field:
+                    # DoF mixes between the SSR and bloom adds — SSR
+                    # upsamples separately (matches frame.py)
+                    ssr_up = resize_up_dense(ssr_q, h, w)
+                    ssr_img = jax.lax.dynamic_slice_in_dim(
+                        ssr_up, y0, band_h, 0)
+                    ssr_q = None
 
-            # bloom from the all-gathered quarter-res image (exact)
-            bloom_img = None
+            # bloom from the all-gathered quarter-res image (exact);
+            # with DoF off, SSR folds in at quarter res and the two
+            # share ONE full-res upsample (`glow`, matches frame.py)
+            bloom_img = glow = None
             if cfg.enable_bloom:
                 from ..ops.bloom import bloom as bloom_op
                 from ..ops.blur import downsample2
@@ -222,9 +230,21 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset):
                     downsample2(downsample2(hdr)), "tiles", axis=0,
                     tiled=True)
                 bq = bloom_op(hdr_full, sceneset["camera"]["bloomstrength"],
-                              pre_downsampled=True)     # full res (h, w)
-                bloom_img = jax.lax.dynamic_slice_in_dim(
-                    bq, y0, band_h, 0)
+                              pre_downsampled=True,
+                              upsample=cfg.enable_depth_of_field)
+                if cfg.enable_depth_of_field:      # bq at full res (h, w)
+                    bloom_img = jax.lax.dynamic_slice_in_dim(
+                        bq, y0, band_h, 0)
+                else:                              # bq at quarter res
+                    if ssr_q is not None:
+                        bq = bq + ssr_q[..., :3] * ssr_q[..., 3:4]
+                        ssr_q = None
+                    glow = jax.lax.dynamic_slice_in_dim(
+                        resize_up_dense(bq, h, w), y0, band_h, 0)
+            if ssr_q is not None:          # SSR alone (bloom off, DoF off)
+                glow = jax.lax.dynamic_slice_in_dim(
+                    resize_up_dense(ssr_q[..., :3] * ssr_q[..., 3:4], h, w),
+                    y0, band_h, 0)
 
             dof_blur = dof_amount = None
             if cfg.enable_depth_of_field:
@@ -244,7 +264,8 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset):
             rgb = composite_ops.composite(hdr, 1.0, bloom=bloom_img,
                                           bloom_strength=1.0, ssr=ssr_img,
                                           dof_blur=dof_blur,
-                                          dof_amount=dof_amount, lut=lut)
+                                          dof_amount=dof_amount, lut=lut,
+                                          glow=glow)
             image = composite_ops.to_u8_image(rgb)
             return image, lum[None]
 

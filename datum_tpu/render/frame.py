@@ -1109,7 +1109,7 @@ def _frame(cfg: FrameConfig, device, draws, sceneset, prev=None):
     lum = jnp.exp(jnp.mean(jnp.log(1e-4 + hdr[:cfg.height, :cfg.width] @ lum_w)))
 
     # screen-space reflections (reference: ssr.comp + Hi-Z)
-    ssr_img = None
+    ssr_img = ssr_q = None
     if cfg.enable_ssr and cfg.ssr_mode == "binned":
         # direction-binned dense march at quarter res (ops/ssr2.py):
         # every march sample is a uniform image shift — zero gathers
@@ -1125,9 +1125,15 @@ def _frame(cfg: FrameConfig, device, draws, sceneset, prev=None):
             downsample_pool(gbuffer["mask"].astype(jnp.float32), q) > 0.5,
             sceneset["proj"], sceneset["view"],
             envbrdf_lut=ibl["envbrdf"] if ibl else None)
-        ssr_img = resize_up_dense(ssr_q, h, w)
-        ssr_img = ssr_img * sceneset["camera"].get("ssrstrength",
-                                                   jnp.float32(1.0))
+        # scale the rgb only: the composite adds rgb*weight, so scaling
+        # all 4 channels would square the strength
+        s_ssr = sceneset["camera"].get("ssrstrength", jnp.float32(1.0))
+        ssr_q = ssr_q.at[..., :3].multiply(s_ssr)
+        if cfg.enable_depth_of_field:
+            # DoF mixes BETWEEN the SSR and bloom adds (composite.frag
+            # combine order) — SSR must upsample separately
+            ssr_img = resize_up_dense(ssr_q, h, w)
+            ssr_q = None
     elif cfg.enable_ssr:
         from ..ops.ssr import ssr as ssr_op
         from ..ops.blur import downsample_pool, resize_up_dense
@@ -1139,14 +1145,29 @@ def _frame(cfg: FrameConfig, device, draws, sceneset, prev=None):
                        sceneset["proj"], sceneset["view"],
                        envbrdf_lut=ibl["envbrdf"] if ibl else None)
         ssr_img = resize_up_dense(ssr_h, h, w)
-        ssr_img = ssr_img * sceneset["camera"].get("ssrstrength",
-                                                   jnp.float32(1.0))
+        ssr_img = ssr_img.at[..., :3].multiply(
+            sceneset["camera"].get("ssrstrength", jnp.float32(1.0)))
 
-    # bloom (reference: bloom.luma + separable blurs)
-    bloom_img = None
+    # bloom (reference: bloom.luma + separable blurs).  With DoF off,
+    # bloom and SSR are both additive (composite.frag order: +ssr,
+    # +bloom) and both live at quarter res — sum them there and pay ONE
+    # full-res upsample (`glow`) instead of two.
+    bloom_img = glow = None
     if cfg.enable_bloom:
         from ..ops.bloom import bloom as bloom_op
-        bloom_img = bloom_op(hdr, sceneset["camera"]["bloomstrength"])
+        if cfg.enable_depth_of_field:
+            bloom_img = bloom_op(hdr, sceneset["camera"]["bloomstrength"])
+        else:
+            bloom_q = bloom_op(hdr, sceneset["camera"]["bloomstrength"],
+                               upsample=False)
+            if ssr_q is not None:
+                bloom_q = bloom_q + ssr_q[..., :3] * ssr_q[..., 3:4]
+                ssr_q = None
+            from ..ops.blur import resize_up_dense
+            glow = resize_up_dense(bloom_q, h, w)
+    if ssr_q is not None:              # SSR alone (bloom off, DoF off)
+        from ..ops.blur import resize_up_dense
+        glow = resize_up_dense(ssr_q[..., :3] * ssr_q[..., 3:4], h, w)
 
     # depth of field: half-res blur mixed by focal distance
     dof_blur = dof_amount = None
@@ -1165,7 +1186,7 @@ def _frame(cfg: FrameConfig, device, draws, sceneset, prev=None):
     rgb = composite_ops.composite(hdr, 1.0, bloom=bloom_img,
                                   bloom_strength=1.0, ssr=ssr_img,
                                   dof_blur=dof_blur, dof_amount=dof_amount,
-                                  lut=lut)
+                                  lut=lut, glow=glow)
 
     # device sprite/overlay pass: ordered alpha blend in display space
     # (reference: OVERLAY pass sprite pipeline, renderer.cpp:6760-6789)
