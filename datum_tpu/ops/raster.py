@@ -161,9 +161,17 @@ def triangle_setup_comps(comps, shared, width, height, tiles_x, tiles_y,
         jnp.stack([a20, a21, a22], -1)], axis=-2)     # (T, 3, 3)
     zc = jnp.stack([z0, z1, z2], -1)
 
+    # conservative screen-depth upper bound: inside a w>0 triangle the
+    # interpolated z/w is a convex combination of the vertex z/w, so
+    # d <= max_i(z_i/w_i).  Behind-eye (w<=0) triangles get the max
+    # bound 1.0 (never lets the raster early-exit skip them).
+    zb = jnp.maximum(jnp.maximum(z0 * iw0, z1 * iw1), z2 * iw2)
+    zbound = jnp.where(w_ok, jnp.clip(zb, 0.0, 1.0), 1.0)
+
     return dict(
         adj=adj, det=det, zc=zc, row16=row16, zmax=jnp.maximum(
             jnp.maximum(z0, z1), z2),
+        zbound=zbound,
         bbox_soa=(tx0, ty0, tx1, ty1),
         tile_bbox=jnp.stack([tx0, ty0, tx1, ty1], axis=-1),
         valid=binned, big=big,

@@ -247,12 +247,38 @@ def pack_tile_setup_attrs(setup, bins, big_ids, tris, uv, normal, tri_material,
     return rows.reshape(ids.shape[0], E // SHADE_PACK, SHADE_PACK * 64)
 
 
+def suffix_zbound_groups(setup, bins, big_ids, pack):
+    """Per-group SUFFIX max of the entry depth bound, in kernel walk
+    order (big entries first, then the tile's bin segment).
+
+    szmax[t, g] = max over entries in groups >= g of setup['zbound']
+    (a proven upper bound on any fragment's reverse-Z depth).  Once the
+    tile's MIN depth reaches szmax[g], no remaining entry can pass the
+    strict `d > depth` test — the raster loop skips the rest (early-z
+    exit; bit-identical outputs).  Padding entries contribute 0.
+    """
+    ids = jnp.concatenate(
+        [jnp.broadcast_to(big_ids[None, :],
+                          (bins.shape[0], big_ids.shape[0])), bins], axis=1)
+    zb = jnp.where(ids >= 0, setup["zbound"][jnp.maximum(ids, 0)], 0.0)
+    E = ids.shape[1]
+    gm = zb.reshape(ids.shape[0], E // pack, pack).max(-1)
+    return jnp.flip(jax.lax.cummax(jnp.flip(gm, 1), axis=1), 1)
+
+
 def _raster_shade_kernel(tile_ids_ref, counts_ref, rows_all, out_refs,
                          *, tiles_x, width, height,
-                         tiles_per_step=1, extended=False, peel_all=None):
+                         tiles_per_step=1, extended=False, peel_all=None,
+                         szmax_all=None):
     """peel_all: optional (R, TILE_H, TILE_W) reverse-Z depth — fragments
     at or nearer than it are rejected (depth peeling: pass layer N-1's
-    depth to raster layer N)."""
+    depth to raster layer N).
+
+    szmax_all: optional (R, n_groups) suffix depth bounds
+    (suffix_zbound_groups) enabling the early-z exit: once the tile's
+    min depth exceeds the bound of everything remaining, each further
+    group costs one scalar compare + branch instead of the full
+    interpolate+select block."""
     i = pl.program_id(0)
     yy = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
     xx = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
@@ -274,7 +300,7 @@ def _raster_shade_kernel(tile_ids_ref, counts_ref, rows_all, out_refs,
         rows = rows_all.at[rstep]
         peel = None if peel_all is None else peel_all[rstep]
 
-        def body(g, carry):
+        def group_work(g, carry):
             for q in range(P):
                 o = q * 64
                 depth = carry[0]
@@ -320,8 +346,26 @@ def _raster_shade_kernel(tile_ids_ref, counts_ref, rows_all, out_refs,
                               for j in range(N_PLANES))
             return carry
 
+        if szmax_all is None:
+            body = group_work
+        else:
+            # early-z exit: the carry's last slot tracks the tile's min
+            # depth; groups whose suffix bound can't beat it reduce to a
+            # scalar compare + branch (bit-identical — skipped entries
+            # provably fail the strict depth test)
+            def body(g, carry):
+                def work(c):
+                    out = group_work(g, c[:-1])
+                    return out + (jnp.min(out[0]),)
+                # szmax is (n_groups, R): the dynamic g index rides the
+                # sublane dim (Mosaic forbids dynamic lane indexing)
+                return jax.lax.cond(szmax_all[g, rstep] > carry[-1],
+                                    work, lambda c: c, carry)
+
         zeros = jnp.zeros((TILE_H, TILE_W), jnp.float32)
         init = (zeros, zeros - 1.0) + tuple(zeros for _ in range(N_PLANES - 2))
+        if szmax_all is not None:
+            init = init + (jnp.float32(0.0),)
         count_groups = (counts_ref[2 + slot] + (P - 1)) // P
         carry = jax.lax.fori_loop(0, big_groups, body, init)
         out = jax.lax.fori_loop(bin_group0, bin_group0 + count_groups, body,
@@ -332,7 +376,8 @@ def _raster_shade_kernel(tile_ids_ref, counts_ref, rows_all, out_refs,
 
 def _raster_shade_kernel_2p(tile_ids_ref, counts_ref, rows_all, out_refs,
                             *, tiles_x, width, height,
-                            tiles_per_step=1, extended=False, peel_all=None):
+                            tiles_per_step=1, extended=False, peel_all=None,
+                            szmax_all=None):
     """Two-phase variant of _raster_shade_kernel: a cheap depth prepass
     finds each pixel's winning ENTRY SLOT, then a second walk
     interpolates attributes only for groups that won >= 1 pixel in the
@@ -370,7 +415,7 @@ def _raster_shade_kernel_2p(tile_ids_ref, counts_ref, rows_all, out_refs,
             return e0, e1, s, inside, d
 
         # ---- phase 1: depth + winning slot (entry index, f32-exact)
-        def depth_body(g, carry):
+        def depth_work(g, carry):
             depth, slot = carry
             for q in range(P):
                 o = q * 64
@@ -383,12 +428,25 @@ def _raster_shade_kernel_2p(tile_ids_ref, counts_ref, rows_all, out_refs,
                 slot = jnp.where(passed, k, slot)
             return depth, slot
 
+        if szmax_all is None:
+            depth_body = depth_work
+            init_extra = ()
+        else:
+            def depth_body(g, carry):      # early-z exit (see one-phase)
+                def work(c):
+                    d_, s_ = depth_work(g, c[:-1])
+                    return d_, s_, jnp.min(d_)
+                return jax.lax.cond(szmax_all[g, rstep] > carry[-1],
+                                    work, lambda c: c, carry)
+            init_extra = (jnp.float32(0.0),)
+
         zeros = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        init = (zeros, zeros - 1.0)
+        init = (zeros, zeros - 1.0) + init_extra
         count_groups = (counts_ref[2 + slot_i] + (P - 1)) // P
         carry = jax.lax.fori_loop(0, big_groups, depth_body, init)
-        depth, slot = jax.lax.fori_loop(
+        carry = jax.lax.fori_loop(
             bin_group0, bin_group0 + count_groups, depth_body, carry)
+        depth, slot = carry[0], carry[1]
 
         # ---- phase 2: attributes only for groups that won pixels
         def attr_winner(g, planes):
@@ -444,7 +502,7 @@ def raster_shade_pallas(setup, bins, big_ids, counts, tris, uv, normal,
                         tri_material, materials, tiles_x, tiles_y, width, height,
                         tile_ids=None, interpret=False, tangent=None,
                         matmaps=None, planes_2d=False, alpha_in_alb=False,
-                        peel_depth=None, two_phase=False):
+                        peel_depth=None, two_phase=False, early_z=True):
     """Fused raster + attribute/material interpolation.
 
     Returns dict of full-res planes: depth, vis (int32), uv (H,W,2),
@@ -481,15 +539,14 @@ def raster_shade_pallas(setup, bins, big_ids, counts, tris, uv, normal,
     kern = _raster_shade_kernel_2p if two_phase else _raster_shade_kernel
 
     def kernel_wrap(tile_ids_ref, counts_ref, rows_ref, *rest):
-        if has_peel:
-            peel_ref, outs = rest[0], list(rest[1:])
-        else:
-            peel_ref, outs = None, list(rest)
+        rest = list(rest)
+        peel_ref = rest.pop(0) if has_peel else None
+        szmax_ref = rest.pop(0) if early_z else None
         kern(tile_ids_ref, counts_ref, rows_ref,
-             outs,
+             rest,
              tiles_x=tiles_x, width=width, height=height,
              tiles_per_step=R, extended=extended,
-             peel_all=peel_ref)
+             peel_all=peel_ref, szmax_all=szmax_ref)
 
     in_specs = [pl.BlockSpec((R, n_groups, SHADE_PACK * 64),
                              lambda i, *_: (i, 0, 0))]
@@ -500,6 +557,13 @@ def raster_shade_pallas(setup, bins, big_ids, counts, tris, uv, normal,
         args.append(tile_image(peel_depth, tiles_x, tyl_))
         in_specs.append(pl.BlockSpec((R, TILE_H, TILE_W),
                                      lambda i, *_: (i, 0, 0)))
+    if early_z:
+        # transposed (n_groups, n_tiles): the kernel's dynamic group
+        # index must ride the sublane dim
+        szmax = suffix_zbound_groups(setup, bins, big_ids, SHADE_PACK).T
+        args.append(szmax)
+        in_specs.append(pl.BlockSpec((n_groups, R),
+                                     lambda i, *_: (0, i)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles // R,),
@@ -566,7 +630,8 @@ def pack_tile_setup_depth(setup, bins, big_ids):
 
 
 def _depth_kernel(counts_ref, rows_ref, depth_ref,
-                  *, tiles_x, width, height, tiles_per_step):
+                  *, tiles_x, width, height, tiles_per_step,
+                  szmax_ref=None):
     """Depth-only variant of _raster_kernel (shadow cascades): no
     barycentrics, no id plane, no per-triangle reciprocal; walks
     tiles_per_step consecutive tiles per grid step, DEPTH_PACK packed
@@ -590,7 +655,7 @@ def _depth_kernel(counts_ref, rows_ref, depth_ref,
         xn = (tx.astype(jnp.float32) * TILE_W + xx + 0.5) * (2.0 / width) - 1.0
         rows = rows_ref.at[r]
 
-        def body(g, depth):
+        def group_work(g, depth):
             for q in range(P):
                 o = q * 16
                 e0 = rows[g, o + 0] * xn + rows[g, o + 1] * yn + rows[g, o + 2]
@@ -604,16 +669,26 @@ def _depth_kernel(counts_ref, rows_ref, depth_ref,
                 depth = jnp.where(inside & (d > depth) & (d <= 1.0), d, depth)
             return depth
 
-        init = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        if szmax_ref is None:
+            body, init = group_work, jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        else:
+            def body(g, carry):            # early-z exit (see shade kernel)
+                def work(c):
+                    d_ = group_work(g, c[0])
+                    return d_, jnp.min(d_)
+                return jax.lax.cond(szmax_ref[g, r] > carry[1],
+                                    work, lambda c: c, carry)
+            init = (jnp.zeros((TILE_H, TILE_W), jnp.float32),
+                    jnp.float32(0.0))
         count_groups = (counts_ref[2 + tile] + (P - 1)) // P
         depth = jax.lax.fori_loop(0, big_groups, body, init)
         depth = jax.lax.fori_loop(bin_group0, bin_group0 + count_groups,
                                   body, depth)
-        depth_ref[r, :, :] = depth
+        depth_ref[r, :, :] = depth if szmax_ref is None else depth[0]
 
 
 def raster_depth_pallas(setup, bins, big_ids, counts, tiles_x, tiles_y,
-                        width, height, interpret=False):
+                        width, height, interpret=False, early_z=True):
     """Depth-only pallas raster (shadow maps).  Returns (H, W) depth."""
     assert big_ids.shape[0] % DEPTH_PACK == 0
     rows = pack_tile_setup_depth(setup, bins, big_ids)
@@ -627,22 +702,29 @@ def raster_depth_pallas(setup, bins, big_ids, counts, tiles_x, tiles_y,
     trip = jnp.concatenate([big_count[None], jnp.int32(B)[None],
                             counts.astype(jnp.int32)])
 
-    def kernel_wrap(counts_ref, rows_ref, depth_ref):
-        _depth_kernel(counts_ref, rows_ref, depth_ref,
+    def kernel_wrap(counts_ref, rows_ref, *rest):
+        szmax_ref = rest[0] if early_z else None
+        _depth_kernel(counts_ref, rows_ref, rest[-1],
                       tiles_x=tiles_x, width=width, height=height,
-                      tiles_per_step=R)
+                      tiles_per_step=R, szmax_ref=szmax_ref)
 
+    in_specs = [pl.BlockSpec((R, n_groups, DEPTH_PACK * 16),
+                             lambda i, *_: (i, 0, 0))]
+    args = [trip, rows]
+    if early_z:
+        szmax = suffix_zbound_groups(setup, bins, big_ids, DEPTH_PACK).T
+        args.append(szmax)                 # (n_groups, n_tiles), see above
+        in_specs.append(pl.BlockSpec((n_groups, R), lambda i, *_: (0, i)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles // R,),
-        in_specs=[pl.BlockSpec((R, n_groups, DEPTH_PACK * 16),
-                               lambda i, *_: (i, 0, 0))],
+        in_specs=in_specs,
         out_specs=[pl.BlockSpec((R, TILE_H, TILE_W), lambda i, *_: (i, 0, 0))],
     )
     out_shape = [jax.ShapeDtypeStruct((n_tiles, TILE_H, TILE_W), jnp.float32)]
     (planes,) = pl.pallas_call(kernel_wrap, grid_spec=grid_spec,
                                out_shape=out_shape, interpret=interpret)(
-        trip, rows)
+        *args)
     from .raster import _untile
     return _untile(planes, tiles_x, tiles_y)
 

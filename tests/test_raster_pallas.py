@@ -230,3 +230,68 @@ def test_two_phase_kernel_matches_one_phase(rng):
                                               np.asarray(out[k]), err_msg=k)
         else:
             ref = out
+
+
+def test_early_z_exit_bit_identical(rng):
+    """early_z on/off bit-exactness on a depth-complex stack of quads.
+
+    The stack is pushed NEAR-FIRST (the bin order depth_prio produces),
+    so the suffix-zbound gate actually fires after the first group —
+    the remaining groups must be provably skippable without changing
+    any output plane.
+    """
+    import jax.numpy as jnp
+    from datum_tpu.ops.raster_pallas import (raster_depth_pallas,
+                                             raster_shade_pallas)
+
+    # 24 full-ish screen quads, depth 0.9 (near, reverse-Z) down to 0.1,
+    # plus a sprinkle of random triangles behind them
+    n_layers, pts, tris = 24, [], []
+    for i in range(n_layers):
+        z = 0.9 - 0.8 * i / (n_layers - 1)
+        s = 1.2 - 0.01 * i
+        b = len(pts)
+        pts += [[-s, -s, z, 1], [s, -s, z, 1], [-s, s, z, 1], [s, s, z, 1]]
+        tris += [[b, b + 1, b + 2], [b + 2, b + 1, b + 3]]
+    extra = rng.randn(30, 3).astype(np.float32)
+    for t in rng.randint(0, 30, (20, 3)):
+        if len(set(t.tolist())) == 3:
+            b = len(pts)
+            for j in t:
+                pts.append([extra[j, 0], extra[j, 1], 0.05, 1.0])
+            tris.append([b, b + 1, b + 2])
+    clip = jnp.asarray(np.asarray(pts, np.float32))
+    tris = jnp.asarray(np.asarray(tris, np.int32))
+    T = tris.shape[0]
+    uv = jnp.asarray(rng.rand(clip.shape[0], 2).astype(np.float32))
+    nrm = jnp.asarray(rng.randn(clip.shape[0], 3).astype(np.float32))
+    tri_mat = jnp.asarray(rng.randint(0, 4, T).astype(np.int32))
+    materials = dict(
+        color=jnp.asarray(rng.rand(4, 4).astype(np.float32)),
+        emissive=jnp.zeros(4), metalness=jnp.full(4, 0.3),
+        roughness=jnp.full(4, 0.6), reflectivity=jnp.full(4, 0.5),
+        albedomap=jnp.zeros(4, jnp.int32),
+    )
+
+    setup = R.triangle_setup(clip, tris, W, H, TX, TY)
+    bins, counts, big = R.bin_triangles(setup, T, TX, TY, 64, 16)
+
+    outs = {}
+    for ez in (False, True):
+        for tp in (False, True):
+            outs[(ez, tp)] = raster_shade_pallas(
+                setup, bins, big, counts, tris, uv, nrm, tri_mat,
+                materials, TX, TY, W, H, interpret=True, early_z=ez,
+                two_phase=tp)
+    ref = outs[(False, False)]
+    for key, out in outs.items():
+        for k in ref:
+            np.testing.assert_array_equal(np.asarray(ref[k]),
+                                          np.asarray(out[k]),
+                                          err_msg=f"{key} {k}")
+
+    d_off = raster_depth_pallas(setup, bins, big, counts, TX, TY, W, H,
+                                interpret=True, early_z=False)
+    d_on = raster_depth_pallas(setup, bins, big, counts, TX, TY, W, H,
+                               interpret=True, early_z=True)
+    np.testing.assert_array_equal(np.asarray(d_off), np.asarray(d_on))
