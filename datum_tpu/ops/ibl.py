@@ -159,6 +159,53 @@ def build_specular_mips(cube, n_mips=6, samples=64):
     return mips
 
 
+def _sh2_basis(d):
+    """Band-2 real SH basis (..., 3) -> (..., 5), same constants/order
+    as sh_project."""
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    import jax.numpy as _jnp
+    return _jnp.stack([1.092548 * x * y, 1.092548 * y * z,
+                       0.315392 * (3 * z * z - 1), 1.092548 * z * x,
+                       0.546274 * (x * x - y * y)], -1)
+
+
+# Sloan's SH-rotation sampling trick: band 2 rotates via projection at 5
+# fixed directions whose band-2 basis matrix is invertible
+_K = np.float32(1.0 / np.sqrt(2.0))
+_SH2_DIRS = np.array([[1, 0, 0], [0, 0, 1], [_K, _K, 0],
+                      [_K, 0, _K], [0, _K, _K]], np.float32)
+
+
+def _sh2_basis_np(d):
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    return np.stack([1.092548 * x * y, 1.092548 * y * z,
+                     0.315392 * (3 * z * z - 1), 1.092548 * z * x,
+                     0.546274 * (x * x - y * y)], -1)
+
+
+_SH2_INV = np.linalg.inv(_sh2_basis_np(_SH2_DIRS)).astype(np.float32)
+
+
+def rotate_sh9(sh, r_inv):
+    """Rotate SH-9 coefficients so that SH(out, n) == SH(sh, r_inv @ n).
+
+    r_inv is the world->env rotation (inverse skybox orientation): the
+    rotated coefficients evaluate the env's irradiance with WORLD
+    directions, matching the reference's env invtransform on the diffuse
+    direction (reference: data/lighting.comp:192).  Band 0 is invariant;
+    band 1 rotates as the vector (x=c3, y=c1, z=c2); band 2 via the
+    5-direction projection trick (exact — the band is closed under
+    rotation).
+    """
+    r = r_inv.T                                     # env -> world
+    u = jnp.stack([sh[3], sh[1], sh[2]], 0)         # (3, C) in x,y,z
+    u2 = r @ u
+    b1 = jnp.stack([u2[1], u2[2], u2[0]], 0)        # back to (y, z, x)
+    nd = _SH2_DIRS @ r                              # rows: r_inv @ N_i
+    b2 = jnp.asarray(_SH2_INV) @ (_sh2_basis(nd) @ sh[4:9])
+    return jnp.concatenate([sh[0:1], b1, b2], axis=0)
+
+
 def sh_project(cube):
     """Cubemap -> SH-9 irradiance coefficients (9, 3).
 

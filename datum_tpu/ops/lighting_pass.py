@@ -101,6 +101,10 @@ def shade_deferred(gbuffer, depth, sceneset, *, proj, invview,
         r = 2.0 * jnp.sum(normal * eyevec, -1, keepdims=True) * normal - eyevec
         sdir = brdf.specular_dominant_direction(normal, r, rough)
         ddir = brdf.diffuse_dominant_direction(normal, eyevec, rough)
+        # skybox orientation: global env lookups rotate world dirs into
+        # env space (reference: lighting.comp:192-193 invtransform)
+        skyrot = sceneset["camera"].get("skyrot_inv",
+                                        jnp.eye(3, dtype=jnp.float32))
         if "sh" in ibl and "flatq" in ibl and ibl.get("envprobes") is None \
                 and env_scale > 1 and h % env_scale == 0 and w % env_scale == 0:
             # fast path: env radiance terms at 1/env_scale res (2 quad
@@ -121,7 +125,7 @@ def shade_deferred(gbuffer, depth, sceneset, *, proj, invview,
             ndv = jnp.clip(jnp.sum(normal * eyevec, -1), 0.0, 1.0)
             ndv_h = downsample_pool(ndv[..., None] * mk, p)[..., 0] / mk_h[..., 0]
             lod_h = rough_h * (len(mips) - 1)
-            spec_h = sample_cubemap_lod_quad(ibl["flatq"], sdir_h,
+            spec_h = sample_cubemap_lod_quad(ibl["flatq"], sdir_h @ skyrot.T,
                                              lod_h)[..., :3]
             lut = ibl["envbrdf"]
             s = lut.shape[0]
@@ -138,15 +142,16 @@ def shade_deferred(gbuffer, depth, sceneset, *, proj, invview,
             # needs a normalized direction (cubemap taps normalize
             # implicitly)
             env_diffuse = brdf.probe_irradiance(
-                ibl["sh"], brdf.normalize(ddir)) / brdf.PI
+                ibl["sh"], brdf.normalize(ddir) @ skyrot.T) / brdf.PI
         else:
             lod = rough * (len(mips) - 1)
+            sdir_e, ddir_e = sdir @ skyrot.T, ddir @ skyrot.T
             if "flat" in ibl:   # 8 gathers/pixel vs 4 per mip level
-                env_specular = sample_cubemap_lod_flat(ibl["flat"], sdir,
+                env_specular = sample_cubemap_lod_flat(ibl["flat"], sdir_e,
                                                        lod)[..., :3]
             else:
-                env_specular = sample_cubemap_lod(mips, sdir, lod)[..., :3]
-            env_diffuse = sample_cubemap(mips[-1], ddir)[..., :3]
+                env_specular = sample_cubemap_lod(mips, sdir_e, lod)[..., :3]
+            env_diffuse = sample_cubemap(mips[-1], ddir_e)[..., :3]
             lut = ibl["envbrdf"]
             s = lut.shape[0]
             ndv = jnp.clip(jnp.sum(normal * eyevec, -1), 0.0, 1.0)

@@ -133,6 +133,14 @@ def expand_draws(geom, draw_mesh, draw_count, max_v, max_t):
                 tris=tris, tri_draw=tri_draw, t_valid=t_valid)
 
 
+def _skyrot(sceneset):
+    """World->env rotation for global environment lookups (reference:
+    environments[0].invtransform = inverse(params.skyboxorientation),
+    renderer.cpp:6347).  Identity when the sceneset doesn't carry it."""
+    return sceneset["camera"].get("skyrot_inv",
+                                  jnp.eye(3, dtype=jnp.float32))
+
+
 def _assemble_gplanes(cfg, planes, device, sceneset, ibl, shadowmaps, w, h,
                       y0=0, full_h=None):
     """Material + environment + sun-shadow plane assembly for ONE layer
@@ -184,8 +192,11 @@ def _assemble_gplanes(cfg, planes, device, sceneset, ibl, shadowmaps, w, h,
                - eye_h)
         sdir_h = brdf.specular_dominant_direction(nrm_h, r_h, rough_h)
         mips_n = len(ibl["mips"])
-        spec_h = sample_cubemap_lod_quad(ibl["flatq"], brdf.normalize(sdir_h),
-                                         rough_h * (mips_n - 1))[..., :3]
+        # global env samples rotate by the skybox orientation (probes
+        # below keep world-space dirs — local boxes are world-authored)
+        spec_h = sample_cubemap_lod_quad(
+            ibl["flatq"], brdf.normalize(sdir_h) @ _skyrot(sceneset).T,
+            rough_h * (mips_n - 1))[..., :3]
 
         # box-projected env probes (reference: lighting.comp:187-207):
         # quarter-res override fields — specular blends into the
@@ -401,7 +412,11 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
 
     ss2 = dict(sceneset)
     if ibl is not None:
-        ss2["_sh"] = ibl["sh"]
+        # rotate the SH-9 coefficients by the skybox orientation so the
+        # kernel's per-pixel SH eval with WORLD normals matches the
+        # reference's rotated env diffuse (lighting.comp:192)
+        from ..ops.ibl import rotate_sh9
+        ss2["_sh"] = rotate_sh9(ibl["sh"], _skyrot(sceneset))
     else:
         # DC-only SH reproducing the constant-ambient fallback:
         # basis0 * c0 / pi = 0.2  =>  c0 = 0.2 * pi / 0.886227
@@ -422,6 +437,9 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
         lod = jnp.maximum(sceneset["camera"].get("skyboxlod",
                                                  jnp.float32(-1.0)), 0.0)
         rays_q = downsample_pool(rays, 4)
+        # skybox orientation: world ray -> env-space ray (reference:
+        # renderer.cpp:6221 skyview = inverse(skyboxorientation) * ...)
+        rays_q = rays_q @ _skyrot(sceneset).T
         sky_q = sample_cubemap_lod_quad(
             ibl["flatq"], rays_q,
             jnp.broadcast_to(lod, rays_q.shape[:-1]))[..., :3]
@@ -997,6 +1015,7 @@ def _frame(cfg: FrameConfig, device, draws, sceneset, prev=None):
         rays = jnp.stack([rx, ry, -jnp.ones_like(rx)], -1)
         rays = rays @ sceneset["invview"][:3, :3].T
         rays = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
+        rays = rays @ _skyrot(sceneset).T     # skybox orientation
         # skyboxlod: -1 = sharp (mip 0), >= 0 selects a blurred mip
         # (reference: RenderParams::skyboxlod)
         lod = jnp.maximum(sceneset["camera"].get("skyboxlod",

@@ -47,6 +47,17 @@ def _spot_shadowview(light):
     return (proj @ view).astype(np.float32)
 
 
+def _skyrot_inv(params):
+    """Inverse rotation of params.skyboxorientation (quat w,x,y,z) as a
+    (3, 3) matrix — identity when the param is absent/default."""
+    from ..math.quaternion import quat_to_matrix
+
+    q = np.asarray(getattr(params, "skyboxorientation",
+                           [1.0, 0.0, 0.0, 0.0]), np.float32)
+    r = np.asarray(quat_to_matrix(q), np.float32)
+    return r.T      # rotation inverse = transpose
+
+
 def _mainlight(camera, params):
     from .shadow import prepare_shadowview
 
@@ -168,6 +179,11 @@ def make_sceneset(camera, params: RenderParams, *, point_lights=(), spot_lights=
             bloomstrength=np.float32(params.bloomstrength),
             fogdensity=np.asarray(params.fogdensity, np.float32),
             fogattenuation=np.asarray(params.fogattenuation, np.float32),
+            # inverse skybox orientation: world dir -> env-space dir for
+            # every global-environment lookup (reference: renderer.cpp:6347
+            # environments[0].invtransform = inverse(skyboxorientation),
+            # applied in lighting.comp:191-193; :6221 skyview)
+            skyrot_inv=_skyrot_inv(params),
         ),
         mainlight=_mainlight(camera, params),
         pointlights=dict(

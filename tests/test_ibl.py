@@ -196,3 +196,74 @@ def test_flat_lod_matches_dense_lod():
     flat = sample_cubemap_lod_flat(flatten_cube_mips(mips), d, lod)
     np.testing.assert_allclose(np.asarray(flat), np.asarray(dense),
                                atol=1e-5)
+
+
+def test_rotate_sh9_matches_rotated_eval(rng):
+    """SH(rotate_sh9(c, Rinv), n) == SH(c, Rinv @ n) for any rotation.
+
+    (The per-band cosine-lobe convolution weights in probe_irradiance
+    are rotation-invariant, so validating through it covers the raw
+    basis too; maximum() clamp avoided via a positive DC offset.)"""
+    import jax.numpy as jnp
+
+    from datum_tpu.math.quaternion import quat_axis_angle, quat_to_matrix
+    from datum_tpu.ops.brdf import probe_irradiance
+    from datum_tpu.ops.ibl import rotate_sh9
+
+    sh = rng.randn(9, 3).astype(np.float32) * 0.2
+    sh[0] += 3.0                      # keep evaluations positive
+    for seed in range(3):
+        axis = rng.randn(3).astype(np.float32)
+        axis /= np.linalg.norm(axis)
+        q = quat_axis_angle(axis, 0.3 + 1.1 * seed)
+        r_inv = np.asarray(quat_to_matrix(q), np.float32).T
+
+        d = rng.randn(64, 3).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+        a = probe_irradiance(jnp.asarray(rotate_sh9(jnp.asarray(sh),
+                                                    jnp.asarray(r_inv))),
+                             jnp.asarray(d))
+        b = probe_irradiance(jnp.asarray(sh), jnp.asarray(d @ r_inv.T))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_skybox_orientation_rotates_background():
+    """params.skyboxorientation rotates the visible sky (reference:
+    renderer.cpp:6221 skyview, :6347 environment invtransform)."""
+    import jax.numpy as jnp
+
+    from datum_tpu.math import Transform
+    from datum_tpu.math.quaternion import quat_axis_angle
+    from datum_tpu.ops.common import FrameConfig
+    from datum_tpu.render import (Camera, RenderContext, RenderList,
+                                  RenderParams)
+    from datum_tpu.render.envmap import EnvMap
+
+    cfg = FrameConfig(width=128, height=64, max_vertices=512,
+                      max_triangles=512, max_instances=2, bin_capacity=32,
+                      big_capacity=8, enable_shadows=False)
+    ctx = RenderContext(cfg)
+    cube = np.full((6, 16, 16, 3), 0.05, np.float32)
+    cube[0] = [4.0, 0.2, 0.2]          # +X red
+    cube[5] = [0.2, 0.2, 4.0]          # -Z blue
+    ctx.set_skybox(EnvMap.from_cubemap(jnp.asarray(cube), 3, samples=4))
+
+    cam = Camera()
+    cam.set_projection(np.radians(60), 2.0)
+    cam.lookat(np.array([0.0, 0.0, 0.0]), np.array([0.0, 0.0, -4.0]),
+               np.array([0.0, 1.0, 0.0]))
+    rl = RenderList()
+    params = RenderParams(width=128, height=64)
+
+    base = ctx.render(cam, rl, params).astype(np.float32)
+    c0 = base[24:40, 48:80].mean((0, 1))
+    assert c0[2] > 2 * c0[0], f"expected blue -Z face, got {c0}"
+
+    # +90 deg about Y: R^-1 maps the camera's -Z view ray onto +X
+    params.skyboxorientation = np.asarray(
+        quat_axis_angle([0.0, 1.0, 0.0], np.pi / 2), np.float32)
+    rot = ctx.render(cam, rl, params).astype(np.float32)
+    c1 = rot[24:40, 48:80].mean((0, 1))
+    assert c1[0] > 2 * c1[2], f"expected red +X face, got {c1}"
