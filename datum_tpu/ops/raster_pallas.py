@@ -488,10 +488,16 @@ def _raster_shade_kernel_2p(tile_ids_ref, counts_ref, rows_all, out_refs,
             return jax.lax.cond(hit, lambda p: attr_winner(g, p),
                                 lambda p: p, planes)
 
+        # walk no further than the last winning slot's group: everything
+        # beyond it can't satisfy `hit` (slots only come from phase 1)
+        g_hi = (jnp.max(slot).astype(jnp.int32) // P) + 1
         init_p = (zeros - 1.0,) + tuple(zeros for _ in range(N_PLANES - 2))
-        planes = jax.lax.fori_loop(0, big_groups, attr_body, init_p)
-        planes = jax.lax.fori_loop(bin_group0, bin_group0 + count_groups,
-                                   attr_body, planes)
+        planes = jax.lax.fori_loop(0, jnp.minimum(big_groups, g_hi),
+                                   attr_body, init_p)
+        planes = jax.lax.fori_loop(
+            bin_group0,
+            jnp.clip(g_hi, bin_group0, bin_group0 + count_groups),
+            attr_body, planes)
 
         out = (depth,) + planes
         for j in range(N_PLANES):
