@@ -81,6 +81,10 @@ class FrameConfig:
     # attribute walk (skips the interpolate+select block for occluded
     # triangles); bit-identical outputs, selectable for A/B timing
     raster_two_phase: bool = False
+    # early-z exit: suffix depth bounds let the raster/shadow kernels
+    # stop walking a bin once everything remaining is provably occluded
+    # (bit-identical); off only for A/B timing
+    raster_early_z: bool = True
     # none|nearest_half|nearest|bilinear: legacy 256^2 pool paths;
     # mip|mip_half: texture system v2 — native-size mip chains with
     # combined albedo+surface+normal quad rows (one gather per sample,

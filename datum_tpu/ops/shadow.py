@@ -27,7 +27,7 @@ POISSON = np.stack([_r * np.cos(_a), _r * np.sin(_a)], -1).astype(np.float32)
 
 def _render_cascade_stack(p0, p1, p2, shared, shadowview, *, res,
                           bin_capacity, big_capacity, use_pallas,
-                          interpret):
+                          interpret, early_z=True):
     """One vertically stacked depth raster over the given slice subset
     (SoA corner components pre-gathered).  Returns (S, res, res)."""
     n_slices = shadowview.shape[0]
@@ -74,7 +74,7 @@ def _render_cascade_stack(p0, p1, p2, shared, shadowview, *, res,
         from .raster_pallas import raster_depth_pallas
         depth = raster_depth_pallas(setup, bins, big, counts,
                                     tiles_x, tiles_y, res, vh,
-                                    interpret=interpret)
+                                    interpret=interpret, early_z=early_z)
     else:
         depth, _ = raster_ops.raster(setup, bins, big, tiles_x, tiles_y,
                                      res, vh)
@@ -83,7 +83,8 @@ def _render_cascade_stack(p0, p1, p2, shared, shadowview, *, res,
 
 def render_shadow_cascades(world_pos, tris, shadowview, *, res=1024,
                            bin_capacity=128, big_capacity=32, use_pallas=False,
-                           interpret=False, far_res=None, near_slices=2):
+                           interpret=False, far_res=None, near_slices=2,
+                           early_z=True):
     """Rasterize depth-only cascades in ONE pass (two with mixed res).
 
     All S slices render into a vertically stacked virtual framebuffer
@@ -113,7 +114,7 @@ def render_shadow_cascades(world_pos, tris, shadowview, *, res=1024,
     shared = ((tris[:, 0] == tris[:, 1]) | (tris[:, 1] == tris[:, 2])
               | (tris[:, 0] == tris[:, 2]))
     kw = dict(bin_capacity=bin_capacity, big_capacity=big_capacity,
-              use_pallas=use_pallas, interpret=interpret)
+              use_pallas=use_pallas, interpret=interpret, early_z=early_z)
 
     n_slices = shadowview.shape[0]
     if far_res is None or far_res == res or n_slices <= near_slices:
@@ -312,7 +313,8 @@ def spot_factor_quarter(depth, spot_esm, shadowview, *, proj, invview,
 
 def render_spot_maps_parabolic(world_pos, tris, spotview_rigid, spot_far,
                                n_maps, *, res=256, bin_capacity=128,
-                               big_capacity=32, interpret=False):
+                               big_capacity=32, interpret=False,
+                               early_z=True):
     """Parabolic spot shadow maps (reference: data/transform.inc:187
     map_parabolic + src/renderer/spotmap.cpp).
 
@@ -375,7 +377,8 @@ def render_spot_maps_parabolic(world_pos, tris, spotview_rigid, spot_far,
         max_span=4, depth_prio=jnp.clip(setup["zmax"], 0.0, 1.0))
     from .raster_pallas import raster_depth_pallas
     depth = raster_depth_pallas(setup, bins, big, counts, tiles_x, tiles_y,
-                                res, vh, interpret=interpret)
+                                res, vh, interpret=interpret,
+                                early_z=early_z)
     return depth.reshape(n, res, res)
 
 

@@ -382,7 +382,8 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
                     cfg.max_spot_shadows, res=cfg.spot_shadow_res,
                     bin_capacity=cfg.shadow_bin_capacity,
                     big_capacity=cfg.big_capacity,
-                    interpret=cfg.pallas_interpret)
+                    interpret=cfg.pallas_interpret,
+                    early_z=cfg.raster_early_z)
             sesm = build_spot_esm(spotmaps)
             spotsf = jnp.stack([
                 resize_up_dense(
@@ -541,7 +542,8 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
                 device["materials"], tx_, ty_, w_t, gh_t, tangent=twt,
                 matmaps=device["matmaps"], planes_2d=True, alpha_in_alb=True,
                 interpret=cfg.pallas_interpret, tile_ids=tid_t,
-                peel_depth=peel, two_phase=cfg.raster_two_phase)
+                peel_depth=peel, two_phase=cfg.raster_two_phase,
+                early_z=cfg.raster_early_z)
             peel = planes_t["depth"]       # next layer peels against this
             # only keep fragments nearer than the opaque surface
             visf_t = jnp.where(planes_t["depth"] > depth_t,
@@ -845,7 +847,7 @@ def _frame(cfg: FrameConfig, device, draws, sceneset, prev=None):
             big_capacity=cfg.big_capacity, use_pallas=cfg.use_pallas,
             interpret=cfg.pallas_interpret,
             far_res=(cfg.shadow_far_res if cfg.shadow_mode == "esm"
-                     else None))
+                     else None), early_z=cfg.raster_early_z)
         if cfg.shadow_mode == "esm":
             shadowmaps = build_esm(raw, sceneset["mainlight"]["shadowview"])
         else:
@@ -890,7 +892,7 @@ def _frame(cfg: FrameConfig, device, draws, sceneset, prev=None):
             device["materials"], tx, ty, w, h, tangent=wtangent,
             matmaps=device["matmaps"], planes_2d=True,
             interpret=cfg.pallas_interpret,
-            two_phase=cfg.raster_two_phase)
+            two_phase=cfg.raster_two_phase, early_z=cfg.raster_early_z)
         depth = planes["depth"]
         vis = jnp.round(planes["visf"]).astype(jnp.int32)
         hdr, mask, gbuffer, ao_state = _shade_with_kernel(
@@ -910,6 +912,8 @@ def _frame(cfg: FrameConfig, device, draws, sceneset, prev=None):
         kw = {}
         if fused_mip:
             kw = dict(tangent=wtangent, matmaps=device["matmaps"])
+        if shade_fn is raster_shade_pallas:
+            kw["early_z"] = cfg.raster_early_z
         planes = shade_fn(
             setup, bins, big_ids, counts, ex["tris"], uv, wnormal, tri_mat,
             device["materials"], tx, ty, w, h,

@@ -31,6 +31,10 @@ def main():
     extra = {}
     if variant == "two_phase":
         extra = dict(raster_two_phase=True)
+    elif variant == "two_phase_no_ez":
+        extra = dict(raster_two_phase=True, raster_early_z=False)
+    elif variant == "no_early_z":
+        extra = dict(raster_early_z=False)
     elif variant == "clusters":
         extra = dict(use_light_clusters=True, tile_light_capacity=64)
 
