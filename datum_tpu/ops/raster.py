@@ -166,7 +166,10 @@ def triangle_setup_comps(comps, shared, width, height, tiles_x, tiles_y,
     # d <= max_i(z_i/w_i).  Behind-eye (w<=0) triangles get the max
     # bound 1.0 (never lets the raster early-exit skip them).
     zb = jnp.maximum(jnp.maximum(z0 * iw0, z1 * iw1), z2 * iw2)
-    zbound = jnp.where(w_ok, jnp.clip(zb, 0.0, 1.0), 1.0)
+    # non-finite guard: a NaN bound would poison the suffix-max chain
+    # (NaN > x is False -> groups wrongly skipped); degenerate geometry
+    # gets the safe bound 1.0 instead
+    zbound = jnp.where(w_ok & jnp.isfinite(zb), jnp.clip(zb, 0.0, 1.0), 1.0)
 
     return dict(
         adj=adj, det=det, zc=zc, row16=row16, zmax=jnp.maximum(
