@@ -27,24 +27,38 @@ def main():
     import sys
     import threading
 
-    # fail FAST if the device is unreachable (the axon tunnel can hang
-    # indefinitely on backend init — a silent hang eats the driver's
-    # whole bench budget; an explicit error line does not)
-    ready = threading.Event()
+    # the axon plugin ignores the JAX_PLATFORMS env var — honor it here
+    # so CPU smoke-runs (DATUM_BENCH_W/H/N overrides) never touch the
+    # tunnel
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    # fail FAST if the device is unreachable or hangs mid-run (the axon
+    # tunnel can hang indefinitely on backend init OR on any dispatch —
+    # a silent hang eats the driver's whole bench budget; an explicit
+    # error line does not).  Each phase re-arms the deadline.
+    state = {"deadline": time.monotonic() + 240, "phase": "backend init"}
 
     def _watchdog():
-        if not ready.wait(240):
-            print(json.dumps({
-                "metric": "datumtest_full_frame_time_1080p", "value": -1.0,
-                "unit": "ms", "vs_baseline": 0.0,
-                "error": "device unreachable: backend init timed out"}))
-            sys.stdout.flush()
-            os._exit(3)
+        while True:
+            wait = state["deadline"] - time.monotonic()
+            if wait <= 0:
+                print(json.dumps({
+                    "metric": "datumtest_full_frame_time_1080p",
+                    "value": -1.0, "unit": "ms", "vs_baseline": 0.0,
+                    "error": f"device hang during {state['phase']}"}))
+                sys.stdout.flush()
+                os._exit(3)
+            threading.Event().wait(min(wait, 10.0))
+
+    def _arm(phase, seconds):
+        state["phase"] = phase
+        state["deadline"] = time.monotonic() + seconds
 
     threading.Thread(target=_watchdog, daemon=True).start()
     import jax.numpy as _jnp
     jax.block_until_ready(_jnp.ones((8, 8)) @ _jnp.ones((8, 8)))
-    ready.set()
+    _arm("scene build", 600)
 
     from datum_tpu.scenes import datumtest_scene
     from datum_tpu.render import frame as frame_mod
@@ -62,14 +76,19 @@ def main():
     ctx, camera, params, make_rl = datumtest_scene(
         width=W, height=H, sphere_detail=24, n_point_lights=8,
         max_vertices=1 << 15, max_triangles=1 << 15,
-        bin_capacity=160, big_capacity=64, bin_max_span=8,
+        # the tuned capacity is for the 1080p tile count; debug sizes
+        # auto-size (deep bins where tiles are few, FrameConfig rule)
+        bin_capacity=160 if (W, H) == (1920, 1088) else None,
+        big_capacity=64, bin_max_span=8,
         use_pallas=True, shadow_factor_scale=4,
         enable_material_maps=True, texture_filter="mip_half",
         enable_ssao=True, enable_fog=True, enable_ssr=True,
         max_spot_shadows=1, max_particle_quads=512,
         max_translucent_draws=2, max_translucent_tris=2048,
         max_decals_active=2, decal_textures=False,
-        translucent_lit_scale=2, shadow_far_res=512)
+        translucent_lit_scale=2, shadow_far_res=512,
+        # CPU smoke-runs execute the Pallas kernels in interpret mode
+        pallas_interpret=(os.environ.get("JAX_PLATFORMS") == "cpu"))
     device = jax.device_put(ctx.device_state())
 
     def frame_inputs(t):
@@ -108,6 +127,7 @@ def main():
             return_overflow=True, depth_prio=prio)
         return overflow
 
+    _arm("bin-overflow guard", 600)
     for i in range(3):
         draws, sceneset = frame_inputs(0.1 * i)
         ov = int(bin_overflow_of(device, draws, sceneset))
@@ -157,10 +177,12 @@ def main():
             return out["luminance"] + 1e-9 * img_keep
         return jax.lax.fori_loop(0, N, body, lum0)
 
+    _arm("chain compile + warm run", 1500)
     lum0 = jax.device_put(np.float32(0.1))
     _ = float(run_chain(stacked, device, lum0))    # compile + warm
     times = []
     for rep in range(3):
+        _arm(f"timed rep {rep}", 300)
         lum0 = jax.device_put(np.float32(0.1 + 1e-6 * rep))
         t0 = time.perf_counter()
         _ = float(run_chain(stacked, device, lum0))
