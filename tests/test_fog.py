@@ -110,3 +110,43 @@ def test_fogplane_fades_with_distance():
     assert d_far > d_near + 5, f"fogplane near {d_near} far {d_far}"
     # fog is grey-blue: blue channel rises in the distance
     assert img[far][..., 2].mean() > base[far][..., 2].mean() + 10
+
+
+def test_directional_fogattenuation_density():
+    """camera.fogattenuation drives the reference's directional density
+    falloff: density = fogdensity.a * exp(-max(dot(att, worldpos), 0))
+    (reference: fog.density.comp:116).  With att = (0, k, 0) the fog
+    thins with altitude; flipping the camera below y=0 must show MORE
+    fog than above it."""
+    from datum_tpu.math.matrix import perspective_proj
+
+    proj = jnp.asarray(perspective_proj(np.radians(60), 16 / 9, 0.1))
+
+    def vol_at(cam_y, att):
+        ss = _sceneset(0.4)
+        ss["camera"]["fogattenuation"] = np.asarray(att, np.float32)
+        invview = jnp.eye(4).at[1, 3].set(cam_y)
+        return np.asarray(fog_ops.build_fog_volume(
+            ss, proj=proj, invview=invview, fog_w=16, fog_h=8, fog_d=12))
+
+    att = (0.0, 0.6, 0.0)
+    t_high = vol_at(6.0, att)[..., 3]
+    t_low = vol_at(-6.0, att)[..., 3]
+    # below base height the dot clamps to 0 -> full density everywhere;
+    # high camera sees exponentially thinner fog
+    assert t_low[-1].mean() < t_high[-1].mean(), (t_low[-1].mean(),
+                                                  t_high[-1].mean())
+
+    # numpy cross-check of the density law on one froxel column: the
+    # column's view ray has its own y slope (row 4 of 8 is 0.125 NDC
+    # above center), so worldpos y = cam_y + ry * dist
+    k = 0.6
+    ds = np.asarray(fog_ops.froxel_depths(12))
+    inv11 = 1.0 / float(np.asarray(proj)[1, 1])
+    ry = inv11 * ((4 + 0.5) / 8 * 2.0 - 1.0)
+    ys = 6.0 + ry * ds
+    sigma = 0.4 * np.exp(-np.maximum(k * ys, 0.0))
+    dz = np.diff(np.concatenate([[0.0], ds]))
+    expect_t = np.exp(-np.cumsum(sigma * dz))
+    got_t = t_high[:, 4, 8]
+    np.testing.assert_allclose(got_t, expect_t, rtol=5e-2)
