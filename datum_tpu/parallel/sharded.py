@@ -20,6 +20,11 @@ renderer.cpp:6423-6853, distributed over devices):
 
 The legacy reduced path (XLA raster + basic deferred) remains for
 configs without the Pallas fast path.
+
+Known limits vs the single-device frame: the device sprite/overlay
+pass (display-space regions straddle band edges — composite overlays
+on the gathered image via render/overlay.py instead) and temporal AO
+history threading (ssao_temporal) are not sharded.
 """
 
 from __future__ import annotations
