@@ -35,7 +35,11 @@ def build_fog_volume(sceneset, *, proj, invview, shadow=None, normalquery=None,
     fog.density.comp:116  density = fogdensity.a *
     exp(-max(dot(fogattenuation, position), 0))) when the sceneset
     carries camera.fogattenuation; otherwise the legacy height falloff
-    (height_falloff above base_height) applies."""
+    (height_falloff above base_height) applies.  NOTE: make_sceneset
+    always packs fogattenuation (default (0, 0.15, 0) == the legacy
+    law at base_height 0), so the height_falloff/base_height kwargs
+    only matter for hand-built scenesets — set
+    RenderParams.fogattenuation instead."""
     fogdensity = sceneset["camera"]["fogdensity"]      # rgb sigma + w scale
     fogatt = sceneset["camera"].get("fogattenuation")
     ml = sceneset["mainlight"]

@@ -159,14 +159,14 @@ def build_specular_mips(cube, n_mips=6, samples=64):
     return mips
 
 
-def _sh2_basis(d):
+def _sh2_basis(d, xp=jnp):
     """Band-2 real SH basis (..., 3) -> (..., 5), same constants/order
-    as sh_project."""
+    as sh_project.  xp: array namespace (np for the host-side constant
+    below, jnp in traced code)."""
     x, y, z = d[..., 0], d[..., 1], d[..., 2]
-    import jax.numpy as _jnp
-    return _jnp.stack([1.092548 * x * y, 1.092548 * y * z,
-                       0.315392 * (3 * z * z - 1), 1.092548 * z * x,
-                       0.546274 * (x * x - y * y)], -1)
+    return xp.stack([1.092548 * x * y, 1.092548 * y * z,
+                     0.315392 * (3 * z * z - 1), 1.092548 * z * x,
+                     0.546274 * (x * x - y * y)], -1)
 
 
 # Sloan's SH-rotation sampling trick: band 2 rotates via projection at 5
@@ -174,16 +174,7 @@ def _sh2_basis(d):
 _K = np.float32(1.0 / np.sqrt(2.0))
 _SH2_DIRS = np.array([[1, 0, 0], [0, 0, 1], [_K, _K, 0],
                       [_K, 0, _K], [0, _K, _K]], np.float32)
-
-
-def _sh2_basis_np(d):
-    x, y, z = d[..., 0], d[..., 1], d[..., 2]
-    return np.stack([1.092548 * x * y, 1.092548 * y * z,
-                     0.315392 * (3 * z * z - 1), 1.092548 * z * x,
-                     0.546274 * (x * x - y * y)], -1)
-
-
-_SH2_INV = np.linalg.inv(_sh2_basis_np(_SH2_DIRS)).astype(np.float32)
+_SH2_INV = np.linalg.inv(_sh2_basis(_SH2_DIRS, xp=np)).astype(np.float32)
 
 
 def rotate_sh9(sh, r_inv):

@@ -163,9 +163,14 @@ def triangle_setup_comps(comps, shared, width, height, tiles_x, tiles_y,
 
     # conservative screen-depth upper bound: inside a w>0 triangle the
     # interpolated z/w is a convex combination of the vertex z/w, so
-    # d <= max_i(z_i/w_i).  Behind-eye (w<=0) triangles get the max
-    # bound 1.0 (never lets the raster early-exit skip them).
+    # d <= max_i(z_i/w_i) in exact arithmetic.  The kernel evaluates d
+    # through the adjugate depth plane, whose f32 rounding can land a
+    # few ulps above this bound — pad by ~32 ulps relative so the
+    # early-z skip stays conservative under rounding (fragments beyond
+    # that slop are degenerate-sliver z-fights).  Behind-eye (w<=0)
+    # triangles get the max bound 1.0 (never skipped).
     zb = jnp.maximum(jnp.maximum(z0 * iw0, z1 * iw1), z2 * iw2)
+    zb = zb + jnp.abs(zb) * 4e-6 + 1e-9
     # non-finite guard: a NaN bound would poison the suffix-max chain
     # (NaN > x is False -> groups wrongly skipped); degenerate geometry
     # gets the safe bound 1.0 instead

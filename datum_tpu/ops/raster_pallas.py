@@ -181,7 +181,7 @@ SHADE_PACK = 2        # triangles per 128-lane row (64 slots each)
 
 def pack_tile_setup_attrs(setup, bins, big_ids, tris, uv, normal, tri_material,
                           materials, tangent=None, matmaps=None,
-                          alpha_in_alb=False):
+                          alpha_in_alb=False, ids=None):
     """Setup+attribute rows, 2 triangles packed per 128-lane row.
 
     Entry layout within its 64-lane half: [adj*sgn 0-8, zs 9-11, valid 12,
@@ -236,9 +236,8 @@ def pack_tile_setup_attrs(setup, bins, big_ids, tris, uv, normal, tri_material,
         pieces += [jnp.zeros((T, 64 - 42), jnp.float32)]
     flat = jnp.concatenate(pieces, axis=-1)           # (T, 64)
 
-    ids = jnp.concatenate(
-        [jnp.broadcast_to(big_ids[None, :], (bins.shape[0], big_ids.shape[0])), bins],
-        axis=1)
+    if ids is None:
+        ids = _entry_ids(bins, big_ids)
     E = ids.shape[1]
     assert E % SHADE_PACK == 0
     ok = (ids >= 0)[..., None]
@@ -247,19 +246,24 @@ def pack_tile_setup_attrs(setup, bins, big_ids, tris, uv, normal, tri_material,
     return rows.reshape(ids.shape[0], E // SHADE_PACK, SHADE_PACK * 64)
 
 
-def suffix_zbound_groups(setup, bins, big_ids, pack):
-    """Per-group SUFFIX max of the entry depth bound, in kernel walk
-    order (big entries first, then the tile's bin segment).
-
-    szmax[t, g] = max over entries in groups >= g of setup['zbound']
-    (a proven upper bound on any fragment's reverse-Z depth).  Once the
-    tile's MIN depth reaches szmax[g], no remaining entry can pass the
-    strict `d > depth` test — the raster loop skips the rest (early-z
-    exit; bit-identical outputs).  Padding entries contribute 0.
-    """
-    ids = jnp.concatenate(
+def _entry_ids(bins, big_ids):
+    """(n_tiles, B+K) entry-id table in kernel walk order (big first)."""
+    return jnp.concatenate(
         [jnp.broadcast_to(big_ids[None, :],
                           (bins.shape[0], big_ids.shape[0])), bins], axis=1)
+
+
+def suffix_zbound_groups(setup, ids, pack):
+    """Per-group SUFFIX max of the entry depth bound, in kernel walk
+    order (ids from _entry_ids — the same table the row packers gather
+    with, so the gather isn't duplicated).
+
+    szmax[t, g] = max over entries in groups >= g of setup['zbound']
+    (a proven upper bound on any fragment's reverse-Z depth, padded by
+    f32 rounding slop).  Once the tile's MIN depth reaches szmax[g], no
+    remaining entry can pass the strict `d > depth` test — the raster
+    loop skips the rest (early-z exit).  Padding entries contribute 0.
+    """
     zb = jnp.where(ids >= 0, setup["zbound"][jnp.maximum(ids, 0)], 0.0)
     E = ids.shape[1]
     gm = zb.reshape(ids.shape[0], E // pack, pack).max(-1)
@@ -522,9 +526,11 @@ def raster_shade_pallas(setup, bins, big_ids, counts, tris, uv, normal,
     """
     assert big_ids.shape[0] % SHADE_PACK == 0
     extended = tangent is not None
+    ids = _entry_ids(bins, big_ids)
     rows = pack_tile_setup_attrs(setup, bins, big_ids, tris, uv, normal,
                                  tri_material, materials, tangent=tangent,
-                                 matmaps=matmaps, alpha_in_alb=alpha_in_alb)
+                                 matmaps=matmaps, alpha_in_alb=alpha_in_alb,
+                                 ids=ids)
     n_groups = rows.shape[1]
     # tile_ids: global tile of each bins row (1:1, see raster_pallas)
     if tile_ids is None:
@@ -566,7 +572,7 @@ def raster_shade_pallas(setup, bins, big_ids, counts, tris, uv, normal,
     if early_z:
         # transposed (n_groups, n_tiles): the kernel's dynamic group
         # index must ride the sublane dim
-        szmax = suffix_zbound_groups(setup, bins, big_ids, SHADE_PACK).T
+        szmax = suffix_zbound_groups(setup, ids, SHADE_PACK).T
         args.append(szmax)
         in_specs.append(pl.BlockSpec((n_groups, R),
                                      lambda i, *_: (0, i)))
@@ -615,7 +621,7 @@ DEPTH_TILES_PER_STEP = 16   # amortize per-grid-step latency: shadow
 DEPTH_PACK = 8              # triangles per 128-lane row (16 slots each)
 
 
-def pack_tile_setup_depth(setup, bins, big_ids):
+def pack_tile_setup_depth(setup, bins, big_ids, ids=None):
     """Depth-only rows, 8 triangles packed per 128-lane row.
 
     Returns (n_tiles, E/8, 128) where lane r*16+j holds slot j of entry
@@ -625,9 +631,8 @@ def pack_tile_setup_depth(setup, bins, big_ids):
     """
     flat = setup["row16"]                             # (T, 16) prebuilt SoA
 
-    ids = jnp.concatenate(
-        [jnp.broadcast_to(big_ids[None, :], (bins.shape[0], big_ids.shape[0])),
-         bins], axis=1)                               # (n_tiles, E)
+    if ids is None:
+        ids = _entry_ids(bins, big_ids)               # (n_tiles, E)
     E = ids.shape[1]
     assert E % DEPTH_PACK == 0
     ok = ids >= 0
@@ -697,7 +702,8 @@ def raster_depth_pallas(setup, bins, big_ids, counts, tiles_x, tiles_y,
                         width, height, interpret=False, early_z=True):
     """Depth-only pallas raster (shadow maps).  Returns (H, W) depth."""
     assert big_ids.shape[0] % DEPTH_PACK == 0
-    rows = pack_tile_setup_depth(setup, bins, big_ids)
+    ids = _entry_ids(bins, big_ids)
+    rows = pack_tile_setup_depth(setup, bins, big_ids, ids=ids)
     n_groups = rows.shape[1]
     n_tiles = tiles_x * tiles_y
     R = DEPTH_TILES_PER_STEP
@@ -718,7 +724,7 @@ def raster_depth_pallas(setup, bins, big_ids, counts, tiles_x, tiles_y,
                              lambda i, *_: (i, 0, 0))]
     args = [trip, rows]
     if early_z:
-        szmax = suffix_zbound_groups(setup, bins, big_ids, DEPTH_PACK).T
+        szmax = suffix_zbound_groups(setup, ids, DEPTH_PACK).T
         args.append(szmax)                 # (n_groups, n_tiles), see above
         in_specs.append(pl.BlockSpec((n_groups, R), lambda i, *_: (0, i)))
     grid_spec = pltpu.PrefetchScalarGridSpec(

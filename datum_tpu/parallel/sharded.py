@@ -81,7 +81,7 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset):
                 big_capacity=cfg.big_capacity, use_pallas=cfg.use_pallas,
                 interpret=cfg.pallas_interpret,
                 far_res=(cfg.shadow_far_res if cfg.shadow_mode == "esm"
-                         else None))
+                         else None), early_z=cfg.raster_early_z)
             shadowmaps = (build_esm(raw, sceneset["mainlight"]["shadowview"])
                           if cfg.shadow_mode == "esm" else raw)
 
@@ -96,7 +96,8 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset):
                     cfg.max_spot_shadows, res=cfg.spot_shadow_res,
                     bin_capacity=cfg.shadow_bin_capacity,
                     big_capacity=cfg.big_capacity,
-                    interpret=cfg.pallas_interpret)
+                    interpret=cfg.pallas_interpret,
+                    early_z=cfg.raster_early_z)
             else:
                 from ..ops.shadow import render_spot_maps
                 spotmaps = render_spot_maps(
@@ -148,7 +149,9 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset):
                 aux["wnormal"], aux["tri_mat"], device["materials"],
                 tx, ty, w, h, tangent=aux["wtangent"],
                 matmaps=device["matmaps"], planes_2d=True,
-                interpret=cfg.pallas_interpret, tile_ids=tile_ids)
+                interpret=cfg.pallas_interpret, tile_ids=tile_ids,
+                two_phase=cfg.raster_two_phase,
+                early_z=cfg.raster_early_z)
             depth = planes["depth"]                       # (band_h, w)
 
             # SSAO: reduced-res field all-gathered so horizon taps cross
