@@ -27,7 +27,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .common import TILE_H
 
 SHADE_ROWS = 16     # rows per grid step: 24+ full-width plane blocks and
                     # the kernel's live temporaries must fit scoped VMEM
@@ -124,7 +123,7 @@ def _eval_light(worldp, nrm, eye, spec, alpha, lp, li, la):
     w = ndl * att * (fall * fall)
     dif = (w * fd * li[0], w * fd * li[1], w * fd * li[2])
     spc = tuple(w * INV_PI * fi * lj for fi, lj in zip(fr, li))
-    return dif, spc
+    return dif, spc, lv
 
 
 # plane input order (all (H, W) f32)
@@ -317,8 +316,8 @@ def _shade_kernel(counts_ref, params_ref, lights_ref, spots_ref, probes_ref,
                         lights_ref[li_, 5])
                 la = (lights_ref[li_, 6], lights_ref[li_, 7],
                       lights_ref[li_, 8], lights_ref[li_, 9])
-                d_i, s_i = _eval_light(_wp, _nr, _eye, _spec, _alpha,
-                                       lp, lint, la)
+                d_i, s_i, _ = _eval_light(_wp, _nr, _eye, _spec, _alpha,
+                                          lp, lint, la)
                 return (tuple(a + d for a, d in zip(da_, d_i)),
                         tuple(a + s for a, s in zip(sa_, s_i)))
 
@@ -336,15 +335,21 @@ def _shade_kernel(counts_ref, params_ref, lights_ref, spots_ref, probes_ref,
             da, sa = acc
             for j in range(point_chunk):
                 idx = c * point_chunk + j
-                lp = (lights_ref[idx, 0], lights_ref[idx, 1],
-                      lights_ref[idx, 2])
-                li = (lights_ref[idx, 3], lights_ref[idx, 4],
-                      lights_ref[idx, 5])
-                la = (lights_ref[idx, 6], lights_ref[idx, 7],
-                      lights_ref[idx, 8], lights_ref[idx, 9])
+                # clamp the read: the last chunk may index past the
+                # table when rows % point_chunk != 0 — Mosaic scalar
+                # loads are unchecked on hardware and garbage bits can
+                # be NaN (NaN * on(0) = NaN); the `on` mask handles the
+                # contribution (matches lighting_pass.py:259)
+                ridx = jnp.minimum(idx, lights_ref.shape[0] - 1)
+                lp = (lights_ref[ridx, 0], lights_ref[ridx, 1],
+                      lights_ref[ridx, 2])
+                li = (lights_ref[ridx, 3], lights_ref[ridx, 4],
+                      lights_ref[ridx, 5])
+                la = (lights_ref[ridx, 6], lights_ref[ridx, 7],
+                      lights_ref[ridx, 8], lights_ref[ridx, 9])
                 on = (idx < n_point).astype(jnp.float32)
-                d_i, s_i = _eval_light(worldp, nrm, eye, spec_col, alpha,
-                                       lp, li, la)
+                d_i, s_i, _ = _eval_light(worldp, nrm, eye, spec_col, alpha,
+                                          lp, li, la)
                 da = tuple(a + on * d for a, d in zip(da, d_i))
                 sa = tuple(a + on * s for a, s in zip(sa, s_i))
             return (da, sa)
@@ -359,15 +364,17 @@ def _shade_kernel(counts_ref, params_ref, lights_ref, spots_ref, probes_ref,
     n_maps = len(spotsf_refs)
 
     def _spot_eval(idx, shadow):
-        lp = (spots_ref[idx, 0], spots_ref[idx, 1], spots_ref[idx, 2])
-        li = (spots_ref[idx, 3], spots_ref[idx, 4], spots_ref[idx, 5])
-        la = (spots_ref[idx, 6], spots_ref[idx, 7], spots_ref[idx, 8],
-              spots_ref[idx, 9])
-        sd = (spots_ref[idx, 10], spots_ref[idx, 11], spots_ref[idx, 12])
-        cut = spots_ref[idx, 13]
-        d_i, s_i = _eval_light(worldp, nrm, eye, spec_col, alpha, lp, li, la)
-        tolight = sub3(lp, worldp)
-        lv2 = normalize3(tolight)
+        # clamp the read (see chunk_body): more factor planes than spot
+        # rows must not read past the table
+        r = jnp.minimum(idx, spots_ref.shape[0] - 1)
+        lp = (spots_ref[r, 0], spots_ref[r, 1], spots_ref[r, 2])
+        li = (spots_ref[r, 3], spots_ref[r, 4], spots_ref[r, 5])
+        la = (spots_ref[r, 6], spots_ref[r, 7], spots_ref[r, 8],
+              spots_ref[r, 9])
+        sd = (spots_ref[r, 10], spots_ref[r, 11], spots_ref[r, 12])
+        cut = spots_ref[r, 13]
+        d_i, s_i, lv2 = _eval_light(worldp, nrm, eye, spec_col, alpha,
+                                    lp, li, la)
         cone = sat((-dot3(sd, lv2) - cut) * 20.0)
         on = (idx < n_spot).astype(jnp.float32) * cone * shadow
         return (tuple(on * d for d in d_i), tuple(on * s for s in s_i))
@@ -529,6 +536,9 @@ def shade_deferred_pallas(gplanes, sceneset, *, proj, invview,
 
     n_maps = 0 if spotsf is None else spotsf.shape[0]
 
+    assert local_H % SHADE_ROWS == 0, (
+        f"shade_deferred_pallas needs height % {SHADE_ROWS} == 0 "
+        f"(got {local_H}) — pad planes to the tile grid first")
     grid = local_H // SHADE_ROWS
     band = lambda i, *_: (i, 0)
     full = lambda i, *_: (0, 0)
