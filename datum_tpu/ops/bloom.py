@@ -17,6 +17,16 @@ SIGMA = 8.0
 RADIUS = 16
 
 
+def bloom_seed(quarter):
+    """Luma-thresholded, tonemapped bloom seed at the given (reduced)
+    resolution — shared by the single-device chain and the sharded
+    halo-exchange path so the seed math can't drift."""
+    luma = quarter @ jnp.array([0.299, 0.587, 0.114], jnp.float32)
+    t = jnp.clip(luma - CUTOFF, 0.0, 1.0)
+    t = t * t * (3.0 - 2.0 * t)   # smoothstep(0,1, luma-cutoff)
+    return tonemap(quarter * t[..., None])
+
+
 def bloom(hdr, strength=1.0, pre_downsampled=False, upsample=True):
     """hdr (H, W, 3) -> blurred tonemapped overflow at full res.
 
@@ -32,11 +42,7 @@ def bloom(hdr, strength=1.0, pre_downsampled=False, upsample=True):
     import jax
 
     quarter = hdr if pre_downsampled else downsample2(downsample2(hdr))
-    luma = quarter @ jnp.array([0.299, 0.587, 0.114], jnp.float32)
-    t = jnp.clip(luma - CUTOFF, 0.0, 1.0)
-    t = t * t * (3.0 - 2.0 * t)   # smoothstep(0,1, luma-cutoff)
-    seeded = tonemap(quarter * t[..., None])
-    blurred = gaussian_blur(seeded, SIGMA * 0.5)
+    blurred = gaussian_blur(bloom_seed(quarter), SIGMA * 0.5)
     if not upsample:
         return blurred * strength
     from .blur import resize_up_dense

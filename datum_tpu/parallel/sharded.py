@@ -51,15 +51,42 @@ def render_frame_sharded(cfg: FrameConfig, mesh, device, draws, sceneset):
     n_dev = mesh.devices.size
     if cfg.tiles_y % n_dev != 0:
         raise ValueError(f"tiles_y={cfg.tiles_y} must divide over {n_dev} devices")
-    if cfg.use_pallas and cfg.use_shade_kernel:
+    # same fast-path eligibility gates as the single-device frame
+    # (frame.py use_shade_kernel): mip filter + non-mxu kernel + ESM-only
+    # shadows + quad/SH env tables — otherwise the reduced path, so the
+    # two backends never silently diverge on ineligible configs
+    ibl = device.get("ibl")
+    fused_mip = (cfg.use_pallas and cfg.texture_filter.startswith("mip")
+                 and cfg.raster_kernel != "mxu")
+    full_ok = (
+        cfg.use_shade_kernel and fused_mip
+        and (ibl is None or ("sh" in ibl and "flatq" in ibl
+                             and (ibl.get("envprobes") is None
+                                  or "flatqs" in ibl["envprobes"])))
+        and (not cfg.enable_shadows or cfg.shadow_mode == "esm"))
+    if full_ok:
         return _render_sharded_full(cfg, mesh, device, draws, sceneset)
     return _render_sharded_reduced(cfg, mesh, device, draws, sceneset)
+
+
+def _band_luminance(hdr, y0, cfg, axis):
+    """Log-average luminance over the visible (uncropped) pixels of a
+    row band, psum-reduced over the mesh — matches frame.py's
+    single-device reduce."""
+    rows_ok = (y0 + jnp.arange(hdr.shape[0]) < cfg.height)[:, None]
+    cols_ok = (jnp.arange(hdr.shape[1]) < cfg.width)[None, :]
+    ok = (rows_ok & cols_ok).astype(jnp.float32)
+    lum_w = jnp.array([0.2126, 0.7152, 0.0722], jnp.float32)
+    loglum = jnp.sum(jnp.log(1e-4 + hdr @ lum_w) * ok)
+    loglum = jax.lax.psum(loglum, axis)
+    return jnp.exp(loglum / (cfg.height * cfg.width))
 
 
 def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset):
     """The FULL fast path (Pallas raster + shade megakernel + SSAO/fog/
     SSR/OIT/spot shadows/decals/translucents) over tile-row shards."""
     n_dev = mesh.devices.size
+    axis = mesh.axis_names[0]
     tx, ty = cfg.tiles_x, cfg.tiles_y
     w, h = cfg.padded_width, cfg.padded_height
     tiles_per_dev = (ty // n_dev) * tx
@@ -67,9 +94,10 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset):
 
     @jax.jit
     def frame(device, draws, sceneset):
-        geom, ex, uv, clip, wnormal, wtangent, worldp, viewproj = \
+        # geom carries the dynamic-vertex (ocean) patch — it must flow
+        # into the shard body, NOT be re-read from the device pool
+        geom, ex, uv, clip, wnormal, wtangent, worldp, _ = \
             _vertex_stage(cfg, device, draws, sceneset)
-        ibl = device.get("ibl")
 
         # ---- replicated light-space passes
         shadowmaps = None
@@ -137,7 +165,7 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset):
             from ..ops.blur import downsample_pool, resize_up_dense
             from ..ops import brdf
 
-            dev = jax.lax.axis_index("tiles")
+            dev = jax.lax.axis_index(axis)
             tile0 = dev * tiles_per_dev
             tile_ids = tile0 + jnp.arange(tiles_per_dev, dtype=jnp.int32)
             y0 = (tile0 // tx) * TILE_H
@@ -161,14 +189,20 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset):
             if cfg.enable_ssao and cfg.ssao_scale > 0:
                 from ..ops.ssao import hbao, make_hbao_params
                 dec = max(int(round(1.0 / cfg.ssao_scale)), 1)
+                if band_h % dec:
+                    raise ValueError(
+                        f"ssao_scale {cfg.ssao_scale}: decimation {dec} "
+                        f"must divide the band height {band_h} — the "
+                        "per-band downsample would tear the gathered "
+                        "field at band edges")
                 dd_l = downsample_pool(depth, dec, reduce="first")
                 nn_l = jnp.stack(
                     [downsample_pool(planes["nx"], dec, reduce="first"),
                      downsample_pool(planes["ny"], dec, reduce="first"),
                      downsample_pool(planes["nz"], dec, reduce="first")],
                     -1)
-                dd = jax.lax.all_gather(dd_l, "tiles", axis=0, tiled=True)
-                nn = jax.lax.all_gather(nn_l, "tiles", axis=0, tiled=True)
+                dd = jax.lax.all_gather(dd_l, axis, axis=0, tiled=True)
+                nn = jax.lax.all_gather(nn_l, axis, axis=0, tiled=True)
                 nn = brdf.normalize(nn) * 0.5 + 0.5
                 ao_full = hbao(dd, nn, proj, sceneset["view"],
                                params=make_hbao_params())
@@ -185,16 +219,10 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset):
             hdr, mask, gbuffer, _ = _shade_with_kernel(
                 cfg, planes, device, sceneset, draws, ibl, shadowmaps,
                 aux["worldp"], dict(tris=aux["tris"]), w, band_h,
-                geom=device["geometry"], band=band)
+                geom=aux["geom"], band=band)
 
             # luminance over visible pixels (psum across shards)
-            rows_ok = (y0 + jnp.arange(band_h) < cfg.height)[:, None]
-            cols_ok = (jnp.arange(w) < cfg.width)[None, :]
-            ok = (rows_ok & cols_ok).astype(jnp.float32)
-            lum_w = jnp.array([0.2126, 0.7152, 0.0722], jnp.float32)
-            loglum = jnp.sum(jnp.log(1e-4 + hdr @ lum_w) * ok)
-            loglum = jax.lax.psum(loglum, "tiles")
-            lum = jnp.exp(loglum / (cfg.height * cfg.width))
+            lum = _band_luminance(hdr, y0, cfg, axis)
 
             # SSR from all-gathered quarter-res fields (exact)
             ssr_img = ssr_q = None
@@ -202,7 +230,7 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset):
                 from ..ops.ssr2 import ssr_binned
                 q = 4
                 gather = lambda x: jax.lax.all_gather(
-                    x, "tiles", axis=0, tiled=True)
+                    x, axis, axis=0, tiled=True)
                 ssr_q = ssr_binned(
                     gather(downsample_pool(hdr, q)),
                     gather(downsample_pool(depth, q, reduce="first")),
@@ -226,6 +254,24 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset):
                     ssr_img = jax.lax.dynamic_slice_in_dim(
                         ssr_up, y0, band_h, 0)
                     ssr_q = None
+            elif cfg.enable_ssr:
+                # dda fallback at half res from all-gathered fields
+                # (matches frame.py's elif branch)
+                from ..ops.ssr import ssr as ssr_op
+                gather = lambda x: jax.lax.all_gather(
+                    x, axis, axis=0, tiled=True)
+                gb_h = {k: (gather(downsample_pool(v, 2, reduce="first"))
+                            if hasattr(v, "ndim") else v)
+                        for k, v in gbuffer.items()}
+                ssr_h = ssr_op(gather(downsample_pool(hdr, 2)),
+                               gather(downsample_pool(depth, 2,
+                                                      reduce="first")),
+                               gb_h, proj, sceneset["view"],
+                               envbrdf_lut=ibl["envbrdf"] if ibl else None)
+                ssr_up = resize_up_dense(ssr_h, h, w)
+                ssr_up = ssr_up.at[..., :3].multiply(
+                    sceneset["camera"].get("ssrstrength", jnp.float32(1.0)))
+                ssr_img = jax.lax.dynamic_slice_in_dim(ssr_up, y0, band_h, 0)
 
             # bloom from the all-gathered quarter-res image (exact);
             # with DoF off, SSR folds in at quarter res and the two
@@ -235,7 +281,7 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset):
                 from ..ops.bloom import bloom as bloom_op
                 from ..ops.blur import downsample2
                 hdr_full = jax.lax.all_gather(
-                    downsample2(downsample2(hdr)), "tiles", axis=0,
+                    downsample2(downsample2(hdr)), axis, axis=0,
                     tiled=True)
                 bq = bloom_op(hdr_full, sceneset["camera"]["bloomstrength"],
                               pre_downsampled=True,
@@ -258,7 +304,7 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset):
             if cfg.enable_depth_of_field:
                 from ..ops.blur import downsample2, gaussian_blur
                 hq = jax.lax.all_gather(
-                    downsample2(hdr), "tiles", axis=0, tiled=True)
+                    downsample2(hdr), axis, axis=0, tiled=True)
                 blurred = resize_up_dense(gaussian_blur(hq, 3.0, 6), h, w)
                 dof_blur = jax.lax.dynamic_slice_in_dim(
                     blurred, y0, band_h, 0)
@@ -278,7 +324,8 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset):
             return image, lum[None]
 
         aux = dict(tris=ex["tris"], uv=uv, wnormal=wnormal,
-                   wtangent=wtangent, worldp=worldp, tri_mat=tri_mat)
+                   wtangent=wtangent, worldp=worldp, tri_mat=tri_mat,
+                   geom=geom)
         if shadowmaps is None:
             shadowmaps = jnp.zeros((1, 1, 1), jnp.float32)
         if spotmaps is None:
@@ -287,9 +334,9 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset):
             fogvol = jnp.zeros((1, 1, 1, 1), jnp.float32)
         sharded = shard_map(
             shard_body, mesh=mesh,
-            in_specs=(P("tiles"), P("tiles"), P(), P(), P(), P(), P(),
+            in_specs=(P(axis), P(axis), P(), P(), P(), P(), P(),
                       P(), P(), P(), P()),
-            out_specs=(P("tiles"), P("tiles")),
+            out_specs=(P(axis), P(axis)),
             check_vma=False,     # pallas_call outputs carry no vma info
         )
         image, lum = sharded(bins, counts, device, draws, sceneset,
@@ -305,6 +352,7 @@ def _render_sharded_reduced(cfg: FrameConfig, mesh, device, draws, sceneset):
     """Legacy reduced path: XLA raster + basic deferred + bloom with
     ppermute halo exchange (configs without the Pallas fast path)."""
     n_dev = mesh.devices.size
+    axis = mesh.axis_names[0]
 
     @partial(jax.jit, static_argnames=())
     def frame(device, draws, sceneset):
@@ -333,15 +381,16 @@ def _render_sharded_reduced(cfg: FrameConfig, mesh, device, draws, sceneset):
                           if cfg.shadow_mode == "esm" else raw)
         setup = raster_ops.triangle_setup(clip, ex["tris"], w, h, tx, ty,
                                           cull=-1 if cfg.backface_cull else 0)
-        bins, counts, big_ids = raster_ops.bin_triangles(
-            setup, cfg.max_triangles, tx, ty, cfg.bin_capacity, cfg.big_capacity)
+        bins, counts, big_ids, overflow = raster_ops.bin_triangles(
+            setup, cfg.max_triangles, tx, ty, cfg.bin_capacity,
+            cfg.big_capacity, return_overflow=True)
 
         attrs = dict(uv=uv, normal=wnormal, tangent=wtangent)
 
         def shard_body(bins_shard, setup, big_ids, attrs, aux, materials,
                        textures, sceneset, shadowmaps):
             # which band of tile-rows does this device own?
-            dev = jax.lax.axis_index("tiles")
+            dev = jax.lax.axis_index(axis)
             tiles_per_dev = (ty // n_dev) * tx
             tile0 = dev * tiles_per_dev
             tile_ids = tile0 + jnp.arange(tiles_per_dev, dtype=jnp.int32)
@@ -361,14 +410,7 @@ def _render_sharded_reduced(cfg: FrameConfig, mesh, device, draws, sceneset):
                 full_size=(h, w), y0=y0)
 
             # log-average luminance over the *visible* (uncropped) pixels
-            lh = hdr.shape[0]
-            rows_ok = (y0 + jnp.arange(lh) < cfg.height)[:, None]
-            cols_ok = (jnp.arange(hdr.shape[1]) < cfg.width)[None, :]
-            ok = (rows_ok & cols_ok).astype(jnp.float32)
-            lum_w = jnp.array([0.2126, 0.7152, 0.0722], jnp.float32)
-            loglum = jnp.sum(jnp.log(1e-4 + hdr @ lum_w) * ok)
-            loglum = jax.lax.psum(loglum, "tiles")
-            lum = jnp.exp(loglum / (cfg.height * cfg.width))
+            lum = _band_luminance(hdr, y0, cfg, axis)
 
             # bloom on shards: the blur kernel reaches across band edges,
             # so shards exchange halo rows over ICI with ppermute before
@@ -377,28 +419,28 @@ def _render_sharded_reduced(cfg: FrameConfig, mesh, device, draws, sceneset):
             bloom_img = None
             if cfg.enable_bloom:
                 from ..ops.blur import downsample2, gaussian_blur, resize_up_dense
-                from ..ops.bloom import CUTOFF, SIGMA
-                from ..ops.composite import tonemap
+                from ..ops.bloom import SIGMA, bloom_seed
 
-                quarter = downsample2(downsample2(hdr))
-                luma = quarter @ jnp.array([0.299, 0.587, 0.114], jnp.float32)
-                t = jnp.clip(luma - CUTOFF, 0.0, 1.0)
-                t = t * t * (3.0 - 2.0 * t)
-                seeded = tonemap(quarter * t[..., None])
+                seeded = bloom_seed(downsample2(downsample2(hdr)))
 
                 halo = min(16, seeded.shape[0])
                 fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
                 bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
-                from_above = jax.lax.ppermute(seeded[-halo:], "tiles", fwd)
-                from_below = jax.lax.ppermute(seeded[:halo], "tiles", bwd)
+                from_above = jax.lax.ppermute(seeded[-halo:], axis, fwd)
+                from_below = jax.lax.ppermute(seeded[:halo], axis, bwd)
                 # zero the wrap-around halos at the frame edges
                 first = (dev == 0).astype(jnp.float32)
                 last = (dev == n_dev - 1).astype(jnp.float32)
                 ext = jnp.concatenate([from_above * (1 - first),
                                        seeded,
                                        from_below * (1 - last)], axis=0)
-                blurred = gaussian_blur(ext, SIGMA * 0.5)[halo:-halo]
-                bloom_img = resize_up_dense(blurred, hdr.shape[0], hdr.shape[1])
+                blurred = gaussian_blur(ext, SIGMA * 0.5)
+                # upsample WITH the halo rows still attached, then slice
+                # the band: a band-local upsample would edge-clamp at the
+                # boundary and seam the bloom the halo exchange prevents
+                up = resize_up_dense(blurred, 4 * blurred.shape[0],
+                                     hdr.shape[1])
+                bloom_img = up[4 * halo:4 * halo + hdr.shape[0]]
                 bloom_img = bloom_img * sceneset["camera"]["bloomstrength"]
 
             rgb = composite_ops.composite(hdr, 1.0, bloom=bloom_img,
@@ -412,12 +454,13 @@ def _render_sharded_reduced(cfg: FrameConfig, mesh, device, draws, sceneset):
             shadowmaps = jnp.zeros((1, 1, 1), jnp.float32)
         sharded = shard_map(
             shard_body, mesh=mesh,
-            in_specs=(P("tiles"), P(), P(), P(), P(), P(), P(), P(), P()),
-            out_specs=(P("tiles"), P("tiles")),
+            in_specs=(P(axis), P(), P(), P(), P(), P(), P(), P(), P()),
+            out_specs=(P(axis), P(axis)),
         )
         image, lum = sharded(bins, setup, big_ids, attrs, aux,
                              device["materials"], device["textures"], sceneset,
                              shadowmaps)
-        return dict(image=image[:cfg.height, :cfg.width], luminance=lum[0])
+        return dict(image=image[:cfg.height, :cfg.width], luminance=lum[0],
+                    bin_overflow=overflow)
 
     return frame(device, draws, sceneset)
