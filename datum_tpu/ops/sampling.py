@@ -18,6 +18,21 @@ WRAP_REPEAT = 0
 WRAP_CLAMP = 1
 
 
+def _bilerp(t00, t01, t10, t11, fx, fy):
+    """Shared bilinear mix — keep every sampling path on one recipe."""
+    top = t00 + (t01 - t00) * fx
+    bot = t10 + (t11 - t10) * fx
+    return top + (bot - top) * fy
+
+
+def _to_f32(v):
+    """u8 textures normalize to [0,1]; everything else passes through —
+    ONE rule for every path in this module."""
+    if v.dtype == jnp.uint8:
+        return v.astype(jnp.float32) * (1.0 / 255.0)
+    return v.astype(jnp.float32)
+
+
 def _wrap_uv(u, size, mode):
     if mode == WRAP_REPEAT:
         return jnp.mod(u, size)
@@ -41,16 +56,10 @@ def sample_bilinear(tex, tex_ids, uv, mode=WRAP_REPEAT):
     y0w, y1w = _wrap_uv(y0, s, mode), _wrap_uv(y0 + 1, s, mode)
 
     def fetch(yy, xx):
-        v = tex[tex_ids, yy, xx]
-        return v.astype(jnp.float32) / 255.0 if tex.dtype == jnp.uint8 else v.astype(jnp.float32)
+        return _to_f32(tex[tex_ids, yy, xx])
 
-    t00 = fetch(y0w, x0w)
-    t01 = fetch(y0w, x1w)
-    t10 = fetch(y1w, x0w)
-    t11 = fetch(y1w, x1w)
-    top = t00 + (t01 - t00) * fx
-    bot = t10 + (t11 - t10) * fx
-    return top + (bot - top) * fy
+    return _bilerp(fetch(y0w, x0w), fetch(y0w, x1w),
+                   fetch(y1w, x0w), fetch(y1w, x1w), fx, fy)
 
 
 def sample_image_bilinear(img, uv, mode=WRAP_CLAMP):
@@ -64,13 +73,9 @@ def sample_image_bilinear(img, uv, mode=WRAP_CLAMP):
     fy = (y - y0)[..., None]
     xs = (_wrap_uv(x0, w, mode), _wrap_uv(x0 + 1, w, mode))
     ys = (_wrap_uv(y0, h, mode), _wrap_uv(y0 + 1, h, mode))
-    t00 = img[ys[0], xs[0]].astype(jnp.float32)
-    t01 = img[ys[0], xs[1]].astype(jnp.float32)
-    t10 = img[ys[1], xs[0]].astype(jnp.float32)
-    t11 = img[ys[1], xs[1]].astype(jnp.float32)
-    top = t00 + (t01 - t00) * fx
-    bot = t10 + (t11 - t10) * fx
-    return top + (bot - top) * fy
+    return _bilerp(_to_f32(img[ys[0], xs[0]]), _to_f32(img[ys[0], xs[1]]),
+                   _to_f32(img[ys[1], xs[0]]), _to_f32(img[ys[1], xs[1]]),
+                   fx, fy)
 
 
 def cubemap_face_uv(d):
@@ -138,13 +143,9 @@ def sample_cubemap(cube, d):
     fy = (y - y0)[..., None]
     x0c, x1c = jnp.clip(x0, 0, s - 1), jnp.clip(x0 + 1, 0, s - 1)
     y0c, y1c = jnp.clip(y0, 0, s - 1), jnp.clip(y0 + 1, 0, s - 1)
-    t00 = cube[face, y0c, x0c].astype(jnp.float32)
-    t01 = cube[face, y0c, x1c].astype(jnp.float32)
-    t10 = cube[face, y1c, x0c].astype(jnp.float32)
-    t11 = cube[face, y1c, x1c].astype(jnp.float32)
-    top = t00 + (t01 - t00) * fx
-    bot = t10 + (t11 - t10) * fx
-    return top + (bot - top) * fy
+    return _bilerp(_to_f32(cube[face, y0c, x0c]), _to_f32(cube[face, y0c, x1c]),
+                   _to_f32(cube[face, y1c, x0c]), _to_f32(cube[face, y1c, x1c]),
+                   fx, fy)
 
 
 def sample_cubemap_lod(cube_mips, d, lod):
@@ -177,7 +178,7 @@ def flatten_cube_mips(cube_mips):
     off = 0
     for m in cube_mips:
         s = int(m.shape[1])
-        flats.append(jnp.asarray(m).reshape(-1, m.shape[-1]).astype(jnp.float32))
+        flats.append(_to_f32(jnp.asarray(m).reshape(-1, m.shape[-1])))
         bases.append(off)
         sizes.append(s)
         off += 6 * s * s
@@ -199,13 +200,8 @@ def _flat_bilinear(table, base, s, face, uv):
     y1c = jnp.clip(y0 + 1, 0, s - 1)
     row = base + (face * s + y0c) * s
     row1 = base + (face * s + y1c) * s
-    t00 = table[row + x0c]
-    t01 = table[row + x1c]
-    t10 = table[row1 + x0c]
-    t11 = table[row1 + x1c]
-    top = t00 + (t01 - t00) * fx
-    bot = t10 + (t11 - t10) * fx
-    return top + (bot - top) * fy
+    return _bilerp(table[row + x0c], table[row + x1c],
+                   table[row1 + x0c], table[row1 + x1c], fx, fy)
 
 
 def sample_cubemap_lod_flat(flat, d, lod):
@@ -262,7 +258,7 @@ def flatten_cube_mips_quad(cube_mips):
     flats, bases, sizes = [], [], []
     off = 0
     for m in cube_mips:
-        m = jnp.asarray(m, jnp.float32)
+        m = _to_f32(jnp.asarray(m))
         s = int(m.shape[1])
         flats.append(jnp.concatenate(
             [quad_pack(m[f]) for f in range(6)], axis=0))
@@ -290,11 +286,8 @@ def _quad_bilinear(table, base, s, face, uv, channels):
     # correctly because rows clamp their own neighbors
     row = table[base + (face * s + y0c) * s + x0c]          # (..., 4C)
     c = channels
-    t00, t01 = row[..., 0:c], row[..., c:2 * c]
-    t10, t11 = row[..., 2 * c:3 * c], row[..., 3 * c:4 * c]
-    top = t00 + (t01 - t00) * fx
-    bot = t10 + (t11 - t10) * fx
-    return top + (bot - top) * fy
+    return _bilerp(row[..., 0:c], row[..., c:2 * c],
+                   row[..., 2 * c:3 * c], row[..., 3 * c:4 * c], fx, fy)
 
 
 def sample_cubemap_lod_quad(flatq, d, lod):

@@ -32,18 +32,21 @@ def _pow2_ceil(n: int) -> int:
 
 
 def _resize_bilinear_np(img: np.ndarray, size: int) -> np.ndarray:
-    """Host-side bilinear resample of (H, W, C) u8 to (size, size, C)."""
+    """Host-side bilinear resample of (H, W, C) u8 to (size, size, C).
+
+    Neighbors wrap (REPEAT) to match the table's declared wrap mode —
+    edge-clamped resampling would seam tiling textures at u/v = 0."""
     h, w = img.shape[:2]
     if (h, w) == (size, size):
         return img
     y = (np.arange(size) + 0.5) * h / size - 0.5
     x = (np.arange(size) + 0.5) * w / size - 0.5
-    y0 = np.clip(np.floor(y).astype(np.int64), 0, h - 1)
-    x0 = np.clip(np.floor(x).astype(np.int64), 0, w - 1)
-    y1 = np.minimum(y0 + 1, h - 1)
-    x1 = np.minimum(x0 + 1, w - 1)
-    fy = np.clip(y - y0, 0, 1)[:, None, None]
-    fx = np.clip(x - x0, 0, 1)[None, :, None]
+    fy = np.clip(y - np.floor(y), 0, 1)[:, None, None]
+    fx = np.clip(x - np.floor(x), 0, 1)[None, :, None]
+    y0 = np.floor(y).astype(np.int64) % h
+    x0 = np.floor(x).astype(np.int64) % w
+    y1 = (y0 + 1) % h
+    x1 = (x0 + 1) % w
     a = img[y0][:, x0].astype(np.float32)
     b = img[y0][:, x1].astype(np.float32)
     c = img[y1][:, x0].astype(np.float32)
@@ -103,9 +106,20 @@ def build_matmap_pool(materials, tex_images, max_size=256):
             bases[mi], sizes[mi] = cache[triple]
             continue
         imgs = [tex_images[t] for t in triple]
-        size = max(_pow2_ceil(max(i.shape[0], i.shape[1])) for i in imgs)
-        size = min(max(size, 1), min(max_size, MAX_SIZE))
-        mips = [_mip_chain(_resize_bilinear_np(i, size)) for i in imgs]
+        native = max(_pow2_ceil(max(i.shape[0], i.shape[1])) for i in imgs)
+        native = max(native, 1)
+        # cap must be a power of two (the mip offset formula and the
+        # chain reshape are pow2-exact) — floor a stray value like 300
+        cap = min(max_size, MAX_SIZE)
+        cap = 1 << max(cap.bit_length() - 1, 0)
+        size = min(native, cap)
+        # build the chain from the NATIVE pow2 size and drop the levels
+        # above the cap: downscaling to the cap with one bilinear tap
+        # (2x2 footprint) aliases mip 0 and the whole chain inherits it;
+        # the box chain is a proper area average at every level
+        drop = native.bit_length() - size.bit_length()
+        mips = [_mip_chain(_resize_bilinear_np(i, native))[drop:]
+                for i in imgs]
         n_mips = len(mips[0])
         rows = []
         for l in range(n_mips):
@@ -120,6 +134,8 @@ def build_matmap_pool(materials, tex_images, max_size=256):
     if not chunks:
         chunks = [np.zeros((1, 48), np.uint8)]
         off = 1
-    assert off < MAX_ROWS, (
-        f"material-map table {off} rows exceeds f32-exact plane range")
+    if off >= MAX_ROWS:   # not an assert: stripped under python -O
+        raise ValueError(
+            f"material-map table {off} rows exceeds the f32-exact plane "
+            f"range ({MAX_ROWS}) — lower matmap_max_size or dedupe maps")
     return np.concatenate(chunks, axis=0), bases, sizes
