@@ -43,6 +43,7 @@ class AssetManager:
         self._assets: dict[int, Asset] = {}
         self._resident: OrderedDict[int, object] = OrderedDict()
         self._loading: set[int] = set()
+        self._failed: dict[int, BaseException] = {}
         self._sizes: dict[int, int] = {}
         self._used = 0
         self._budget = budget_bytes
@@ -69,15 +70,23 @@ class AssetManager:
 
     # --- payload streaming ------------------------------------------------
     def request(self, asset_id: int):
-        """Non-blocking: decoded payload if resident, else None (schedules load)."""
+        """Non-blocking: decoded payload if resident, else None (schedules
+        load).  A decode that raised is NOT retried — error() exposes the
+        exception (silent per-frame retry loops hide corrupt packs)."""
         with self._lock:
             if asset_id in self._resident:
                 self._resident.move_to_end(asset_id)
                 return self._resident[asset_id]
-            if asset_id not in self._loading and asset_id in self._assets:
+            if (asset_id not in self._loading and asset_id in self._assets
+                    and asset_id not in self._failed):
                 self._loading.add(asset_id)
                 self._pool.submit(self._background_load, asset_id)
             return None
+
+    def error(self, asset_id: int):
+        """The exception a background decode raised for this id, if any."""
+        with self._lock:
+            return self._failed.get(asset_id)
 
     def load_sync(self, asset_id: int):
         """Blocking load (decoded payload), bypassing the worker pool."""
@@ -85,8 +94,9 @@ class AssetManager:
             if asset_id in self._resident:
                 self._resident.move_to_end(asset_id)
                 return self._resident[asset_id]
+            asset = self._assets[asset_id]
         payload = self._decode(asset_id)
-        self._install(asset_id, payload)
+        self._install(asset_id, payload, asset)
         return payload
 
     def ready(self, asset_id: int) -> bool:
@@ -95,8 +105,14 @@ class AssetManager:
 
     def _background_load(self, asset_id: int):
         try:
-            payload = self._decode(asset_id)
-            self._install(asset_id, payload)
+            with self._lock:
+                asset = self._assets.get(asset_id)
+            if asset is not None:
+                payload = self._decode(asset_id)
+                self._install(asset_id, payload, asset)
+        except BaseException as exc:      # surfaced via error(); no retry
+            with self._lock:
+                self._failed[asset_id] = exc
         finally:
             with self._lock:
                 self._loading.discard(asset_id)
@@ -117,9 +133,17 @@ class AssetManager:
         }
         return decoders[asset.type]()
 
-    def _install(self, asset_id: int, payload):
-        size = self._assets[asset_id].info.datasize
+    def _install(self, asset_id: int, payload, asset=None):
         with self._lock:
+            cur = self._assets.get(asset_id)
+            if cur is None or (asset is not None and cur is not asset):
+                return      # catalog changed mid-load (hot reload): stale
+            size = cur.info.datasize
+            # a concurrent load_sync/background pair may both install:
+            # replace, don't double-count
+            if asset_id in self._resident:
+                self._used -= self._sizes.pop(asset_id, 0)
+                del self._resident[asset_id]
             # LRU-evict cold payloads over budget (resident set acts as the
             # slot ring; barriers pin everything while > 0)
             while self._used + size > self._budget and self._resident and self._barriers == 0:
@@ -168,9 +192,13 @@ class PackWatcher:
 
         self._mgr = manager
         self._mtimes = {}
-        self._bases = {}
+        self._bases = {}        # path -> (base id, reserved id count)
         for base, reader in self._iter_packs():
-            self._bases[reader.path] = base
+            if reader.path is None:
+                continue        # loaded from bytes: nothing to watch
+            # reserved id range: load() assigns the NEXT pack's base as
+            # max global id + 1, so this pack owns [base, base+max+1)
+            self._bases[reader.path] = (base, max(reader.assets) + 1)
             try:
                 self._mtimes[reader.path] = os.stat(reader.path).st_mtime_ns
             except OSError:
@@ -192,7 +220,7 @@ class PackWatcher:
 
         changed = []
         mgr = self._mgr
-        for path, base in list(self._bases.items()):
+        for path, (base, reserved) in list(self._bases.items()):
             try:
                 m = os.stat(path).st_mtime_ns
             except OSError:
@@ -207,10 +235,31 @@ class PackWatcher:
                     if pi == path:
                         mgr._packs[i] = reader
                 for local_id, info in reader.assets.items():
+                    if local_id >= reserved:
+                        # the pack GREW past its reserved id range —
+                        # those global ids belong to the next pack
+                        from ..debug.debug import log_once
+                        log_once(f"hot reload {path}: new asset "
+                                 f"{local_id} exceeds the pack's "
+                                 f"reserved {reserved} ids; restart to "
+                                 "pick it up")
+                        continue
                     aid = base + local_id
                     mgr._assets[aid] = Asset(aid, reader, local_id, info)
                     if aid in mgr._resident:
                         mgr._used -= mgr._sizes.pop(aid, 0)
                         del mgr._resident[aid]
+                    mgr._failed.pop(aid, None)
                     changed.append(aid)
+                # assets REMOVED by the rebuild: drop their catalog
+                # entries (a stale entry would serve the old reader)
+                for local_id in range(reserved):
+                    aid = base + local_id
+                    a = mgr._assets.get(aid)
+                    if (a is not None and a.pack is not reader
+                            and local_id not in reader.assets):
+                        del mgr._assets[aid]
+                        if aid in mgr._resident:
+                            mgr._used -= mgr._sizes.pop(aid, 0)
+                            del mgr._resident[aid]
         return changed

@@ -40,6 +40,20 @@ class MeshHandle:
         return Bound3(self.mincorner, self.maxcorner)
 
 
+def _to_rgba_u8(image):
+    """Promote any image (float [0,1] or u8; gray/RGB/RGBA) to RGBA u8 —
+    the ONE input rule for texture/sprite slots."""
+    img = np.asarray(image)
+    if img.dtype != np.uint8:
+        img = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    if img.ndim == 2:
+        img = np.stack([img] * 3 + [np.full_like(img, 255)], -1)
+    if img.shape[2] == 3:
+        img = np.concatenate(
+            [img, np.full(img.shape[:2] + (1,), 255, np.uint8)], -1)
+    return img
+
+
 class GeometryPool:
     """Append-only host mirror of the device geometry pool."""
 
@@ -59,7 +73,6 @@ class GeometryPool:
         self.n_vertices = 0
         self.n_triangles = 0
         self.n_meshes = 0
-        self.dirty = True
 
     def add_mesh(self, vertices, indices, mincorner=None, maxcorner=None,
                  rig=None) -> MeshHandle:
@@ -98,7 +111,6 @@ class GeometryPool:
         self.n_vertices += nv
         self.n_triangles += nt
         self.n_meshes += 1
-        self.dirty = True
         if mincorner is None:
             mincorner, maxcorner = pos.min(0), pos.max(0)
         return MeshHandle(m, nv, nt, mincorner, maxcorner)
@@ -237,13 +249,7 @@ class RenderContext:
 
     def add_texture(self, image: np.ndarray) -> int:
         """Add an RGBA uint8 image (any size; resampled to TEX_SIZE)."""
-        img = np.asarray(image)
-        if img.dtype != np.uint8:
-            img = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
-        if img.ndim == 2:
-            img = np.stack([img] * 3 + [np.full_like(img, 255)], -1)
-        if img.shape[2] == 3:
-            img = np.concatenate([img, np.full(img.shape[:2] + (1,), 255, np.uint8)], -1)
+        img = _to_rgba_u8(image)
         i = self.n_textures
         self.tex_native[i] = img
         self.textures[i] = _resample_nearest(img, TEX_SIZE)
@@ -261,14 +267,7 @@ class RenderContext:
         vertically) for the device sprite pass (reference: Sprite
         resource, src/renderer/sprite.{h,cpp}).  Returns a sprite id
         for RenderList.push_sprite."""
-        img = np.asarray(image)
-        if img.dtype != np.uint8:
-            img = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
-        if img.ndim == 2:
-            img = np.stack([img] * 3 + [np.full_like(img, 255)], -1)
-        if img.shape[2] == 3:
-            img = np.concatenate(
-                [img, np.full(img.shape[:2] + (1,), 255, np.uint8)], -1)
+        img = _to_rgba_u8(image)
         i = len(self._overlay_images)
         self._overlay_images.append((img, int(layers)))
         self._overlay_cache = None
@@ -298,7 +297,9 @@ class RenderContext:
                 entries = entries + [fa]
             if not entries:
                 entries = [np.full((1, 1, 4), 255, np.uint8)]
-            aw = max(64, min(1024, max(e.shape[1] for e in entries)))
+            # pow2 width >= the widest entry (a fixed cap would clip
+            # wide font atlases at the blit)
+            aw = max(64, max(e.shape[1] for e in entries))
             aw = int(2 ** np.ceil(np.log2(aw)))
             shelves, cx, cy, sh_h = [], 0, 0, 0
             rects = []
@@ -349,19 +350,18 @@ class RenderContext:
                 surfacemap=jnp.asarray(self.mat_surfacemap),
                 normalmap=jnp.asarray(self.mat_normalmap),
             )
-            # param edits change packed10; map edits change the table too
+            if {"albedomap", "surfacemap", "normalmap"} & fields.keys():
+                # map-binding edits change the texel table
+                self._device.pop("matmaps", None)
+            # param-only edits just re-pack the packed10 rows (the mip
+            # table depends only on the map triples)
             self._rebuild_matmaps(self._device)
 
     def update_texture(self, i, image):
         """Live-edit one texture slot (reference: Texture::update via a
         TransferLump) — patches the device pool in place instead of
         re-uploading all slots."""
-        img = np.asarray(image)
-        if img.dtype != np.uint8:
-            img = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
-        if img.shape[2] == 3:
-            img = np.concatenate(
-                [img, np.full(img.shape[:2] + (1,), 255, np.uint8)], -1)
+        img = _to_rgba_u8(image)
         self.tex_native[i] = img
         img = _resample_nearest(img, TEX_SIZE)
         self.textures[i] = img
@@ -454,20 +454,30 @@ class RenderContext:
         bilinear + mips in a single gather (render/texturepool.py)."""
         from .texturepool import build_matmap_pool
 
-        triples = [(int(self.mat_albedomap[m]), int(self.mat_surfacemap[m]),
-                    int(self.mat_normalmap[m]))
-                   for m in range(max(self.n_materials, 1))]
-        table, base, size = build_matmap_pool(
-            triples, self.tex_native,
-            max_size=getattr(self.config, "matmap_max_size", 256))
         nm = self.mat_color.shape[0]
-        base_full = np.zeros(nm, np.int32)
-        size_full = np.ones(nm, np.int32)
-        base_full[:len(triples)] = base
-        size_full[:len(triples)] = size
-        device["matmaps"] = dict(table=jnp.asarray(table),
-                                 base=jnp.asarray(base_full),
-                                 size=jnp.asarray(size_full))
+        mm = device.get("matmaps")
+        if mm is not None:
+            # param-only edit: the texel table depends only on the map
+            # triples — reuse it and just re-pack the material rows
+            # (rebuilding ran full host mip generation per frame when
+            # animating a color/roughness)
+            base_full = np.asarray(mm["base"], np.int32)
+            size_full = np.asarray(mm["size"], np.int32)
+        else:
+            triples = [(int(self.mat_albedomap[m]),
+                        int(self.mat_surfacemap[m]),
+                        int(self.mat_normalmap[m]))
+                       for m in range(max(self.n_materials, 1))]
+            table, base, size = build_matmap_pool(
+                triples, self.tex_native,
+                max_size=getattr(self.config, "matmap_max_size", 256))
+            base_full = np.zeros(nm, np.int32)
+            size_full = np.ones(nm, np.int32)
+            base_full[:len(triples)] = base
+            size_full[:len(triples)] = size
+            device["matmaps"] = dict(table=jnp.asarray(table),
+                                     base=jnp.asarray(base_full),
+                                     size=jnp.asarray(size_full))
         # combined per-material row for the raster packer: ONE gather
         # fetches color+params+map ids (per-op gather overhead dominates
         # small lookups on TPU)
@@ -539,6 +549,7 @@ class RenderContext:
                     offset=np.int32(0), count=np.int32(0))
         cfg = self.config
         scale = float(getattr(params, "scale", 1.0) or 1.0)
+        sprites_display = None
         if scale != 1.0:
             # render the fbo at scaled resolution, then blit up to the
             # viewport (reference: RenderParams::scale,
@@ -548,6 +559,10 @@ class RenderContext:
             sw = max(int(round(cfg.width * scale)) & ~1, 2)
             sh = max(int(round(cfg.height * scale)) & ~1, 2)
             cfg = _dc.replace(cfg, width=sw, height=sh)
+            # overlay sprites keep DISPLAY-space coordinates: composite
+            # them after the blit, like the reference's overlay pass
+            # (renderer.cpp:6797-6804 blit, then :6760-6789 overlay)
+            sprites_display = draws.pop("sprites", None)
         prev = None
         if cfg.ssao_temporal and cfg.enable_ssao:
             prev = getattr(self, "_ao_prev", None)
@@ -577,6 +592,17 @@ class RenderContext:
             xi = (np.arange(self.config.width) * img.shape[1]
                   // self.config.width).clip(0, img.shape[1] - 1)
             img = img[yi][:, xi]
+            if sprites_display is not None:
+                from ..ops.sprite_pass import composite_sprites
+                rgb = jnp.asarray(img, jnp.float32) / 255.0
+                rgb = composite_sprites(
+                    rgb, sprites_display,
+                    self.device_state()["overlay_atlas"],
+                    region=min(self.config.overlay_region,
+                               self.config.padded_width,
+                               self.config.padded_height))
+                img = np.asarray(jnp.clip(rgb * 255.0 + 0.5, 0,
+                                          255).astype(jnp.uint8))
         return img
 
 

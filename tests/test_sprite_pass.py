@@ -233,3 +233,38 @@ class TestSpriteFrame:
         centre = img[cfg.height // 2 - 6:cfg.height // 2 + 6,
                      cfg.width // 2 - 6:cfg.width // 2 + 6]
         assert centre[..., 0].mean() > 10
+
+
+def test_overlay_sprites_display_space_under_scale():
+    """With params.scale != 1 the overlay composites AFTER the upscale
+    blit at DISPLAY coordinates (reference order: renderer.cpp:6797
+    blit, then :6760 overlay) — sprites must land exactly where pushed,
+    at their native size."""
+    cfg = FrameConfig(width=256, height=128, max_vertices=1024,
+                      max_triangles=1024, max_instances=8,
+                      bin_capacity=64, big_capacity=8,
+                      enable_shadows=False, enable_ssao=False,
+                      enable_ssr=False, enable_bloom=False,
+                      max_overlay_sprites=4, overlay_region=64)
+    ctx = RenderContext(cfg)
+    icon = np.zeros((16, 16, 4), np.uint8)
+    icon[:, :, 1] = 255
+    icon[:, :, 3] = 255
+    sid = ctx.add_sprite(icon)
+
+    cam = Camera()
+    cam.set_projection(np.radians(60), cfg.width / cfg.height)
+    cam.lookat(np.array([0.0, 1.0, 5.0]), np.array([0.0, 0.0, 0.0]),
+               np.array([0.0, 1.0, 0.0]))
+    rl = RenderList()
+    rl.push_sprite((200, 90, 16, 16), sid)
+    params = RenderParams(width=cfg.width, height=cfg.height)
+    params.scale = 0.5
+
+    img = ctx.render(cam, rl, params)
+    assert img.shape == (128, 256, 3)
+    patch = img[92:104, 202:214]
+    assert patch[..., 1].mean() > 150, patch[..., 1].mean()
+    # nothing at the half-scale position (100, 45)
+    wrong = img[47:55, 102:110]
+    assert wrong[..., 1].mean() < 60, wrong[..., 1].mean()
