@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..math import Transform
-from ..math.transform import tf_blend
+from ..math.transform import tf_blend, tf_lerp
 
 
 class Pose:
@@ -86,7 +86,11 @@ class Animator:
              scale=(1.0, 1.0, 1.0)):
         if self._joints is None:
             self._build_skeleton(animation)
-        jointmap = [self._name_to_joint.get(j["name"], 0) for j in animation.joints]
+        # joints absent from the skeleton map to -1 and are SKIPPED in
+        # update (mapping them to joint 0 blended foreign transforms
+        # into the root, deforming the whole character)
+        jointmap = [self._name_to_joint.get(j["name"], -1)
+                    for j in animation.joints]
         ch = _Channel(animation, jointmap)
         ch.weight = weight
         ch.rate = rate
@@ -103,7 +107,7 @@ class Animator:
         for ch in self.channels:
             if ch.rate != 0.0:
                 ch.time += ch.rate * dt
-                if ch.looping:
+                if ch.looping and ch.animation.duration > 0.0:
                     ch.time = ch.time % ch.animation.duration
                 elif ch.time <= 0.0 or ch.time >= ch.animation.duration:
                     ch.rate = 0.0
@@ -122,6 +126,8 @@ class Animator:
             anim = ch.animation
             for ai, joint in enumerate(anim.joints):
                 ji = ch.jointmap[ai]
+                if ji < 0:
+                    continue            # joint not in this skeleton
                 i0 = joint["index"]
                 count = joint["count"]
                 idx = i0
@@ -131,15 +137,19 @@ class Animator:
                 alpha = 0.0 if t1 <= t0 else float(np.clip((ch.time - t0) / (t1 - t0), 0, 1))
                 a = Transform.from_flat(anim.transforms[idx])
                 b = Transform.from_flat(anim.transforms[min(idx + 1, i0 + count - 1)])
-                from ..math.transform import tf_lerp
                 tr = tf_lerp(a, b, alpha)
                 local = (Transform.translation(ch.scale * tr.translation_vec())
                          * Transform.rotation(tr.rotation_quat()))
                 acc[ji] = tf_blend(acc[ji], local, ch.weight)
 
         world = [None] * nj
+        ident = Transform.identity()
         for i, joint in enumerate(self._joints):
-            local = acc[i].normalized()
+            # a joint with no accumulated weight (all channels at 0, or
+            # none of the playing clips cover it) holds bind pose
+            # instead of normalizing the zero dual-quat (divide by 0)
+            zero = float(np.dot(acc[i].real, acc[i].real)) < 1e-12
+            local = ident if zero else acc[i].normalized()
             p = joint["parent"]
             world[i] = local if p == i or world[p] is None else world[p] * local
             bone = joint["bone"]

@@ -116,7 +116,7 @@ class PointLightComponent:
                  range_=None):
         self.entity = entity
         self.intensity = np.asarray(intensity, np.float32)
-        att = np.asarray(attenuation, np.float32)
+        att = np.array(attenuation, np.float32)   # copy: never alias the caller
         if att.shape == (3,):
             att = np.append(att, 0.0)
         if range_ is not None:
@@ -140,7 +140,7 @@ class SpotLightComponent:
                  cutoff=0.7, range_=None):
         self.entity = entity
         self.intensity = np.asarray(intensity, np.float32)
-        att = np.asarray(attenuation, np.float32)
+        att = np.array(attenuation, np.float32)   # copy: never alias the caller
         if att.shape == (3,):
             att = np.append(att, 0.0)
         if range_ is not None:

@@ -81,6 +81,9 @@ class Model:
                                       transform or Transform.identity())
         scene.add_component(root, NameComponent, f"model:{model_asset_id}")
         children = []
+        # flat parenting matches the reference: Model::load ignores the
+        # wire format's childcount (always 0 from objparser) and parents
+        # every instance to the model root (model.cpp:123-125, :208-213)
         for inst in decoded["instances"]:
             e = scene.create_entity()
             local = Transform.from_flat(inst["transform"])

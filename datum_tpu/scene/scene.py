@@ -48,6 +48,21 @@ class Scene:
     def destroy_entity(self, entity: EntityId):
         if not self.valid(entity):
             return
+        from .components import TransformComponent
+        ts = self._storages.get(TransformComponent)
+        if ts is not None and ts.has(entity):
+            # unlink from the hierarchy: children re-root (their local
+            # becomes their world-relative pose under identity) and the
+            # parent's child list drops the dead node — a destroyed
+            # parent must not keep composing into live children
+            tc = ts.get(entity)
+            parent = getattr(tc, "parent", None)
+            if parent is not None and tc in getattr(parent, "children", ()):
+                parent.children.remove(tc)
+            for child in list(getattr(tc, "children", ())):
+                w = child.world          # resolve THROUGH the dying
+                child.parent = None      # parent before unlinking
+                child.set_local(w)
         for storage in self._storages.values():
             if storage.has(entity):
                 storage.remove(entity)

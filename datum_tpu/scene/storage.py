@@ -21,6 +21,12 @@ class DefaultStorage:
 
     def add(self, entity, *args, **kwargs):
         comp = self._factory(entity, *args, **kwargs)
+        if entity in self._index:
+            # re-adding replaces the row in place (appending would
+            # orphan the old component: systems keep iterating it and a
+            # later swap-remove can resurrect the stale index)
+            self._rows[self._index[entity]] = comp
+            return comp
         self._index[entity] = len(self._rows)
         self._entities.append(entity)
         self._rows.append(comp)

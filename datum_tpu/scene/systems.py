@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..math.bound import bound_expand
 from .components import (
     ActorComponent, MeshComponent, ParticleSystemComponent, PointLightComponent,
     SpotLightComponent, TransformComponent,
@@ -60,6 +61,8 @@ def update_meshes(scene, camera, renderlist=None, occlusion=None):
                 if occlusion is not None else None)
     visible = []
     for comp in storage.rows():
+        if comp.mesh is None:       # placeholder component (same guard
+            continue                # as fill_occlusion)
         tc = scene.get_component(comp.entity, TransformComponent)
         world = tc.world
         comp.world_bound = comp.mesh.bound().transformed(world)
@@ -82,20 +85,24 @@ def update_actors(scene, camera, dt, renderlist=None):
     frustum = camera.frustum()
     visible = []
     for comp in storage.rows():
+        if comp.mesh is None:
+            continue
         tc = scene.get_component(comp.entity, TransformComponent)
         world = tc.world
         comp.world_bound = comp.mesh.bound().transformed(world)
         # conservative: animated bounds inflate by 25% (reference inflates
         # via rig extents)
-        from ..math.bound import bound_expand
         bound = bound_expand(comp.world_bound, 0.25 * comp.world_bound.radius)
         if frustum.intersects_bound(bound):
             if comp.animator is not None:
                 comp.animator.update(dt)
             visible.append(comp)
             if renderlist is not None and hasattr(renderlist, "push_actor"):
-                renderlist.push_actor(comp.mesh, world, comp.material,
-                                      comp.animator.palette())
+                if comp.animator is not None:
+                    renderlist.push_actor(comp.mesh, world, comp.material,
+                                          comp.animator.palette())
+                else:           # no animator: draw as a static mesh
+                    renderlist.push_mesh(comp.mesh, world, comp.material)
     return visible
 
 
