@@ -39,8 +39,25 @@ def load():
         return _lib or None
     if _stale():
         try:
-            res = subprocess.run(["make", "-C", _HERE, "-s"],
-                                 capture_output=True, text=True, timeout=120)
+            # build under a file lock and link to a temp name that is
+            # os.rename'd into place: concurrent processes would
+            # otherwise race make and can dlopen a half-written .so
+            import fcntl
+            lockf = open(os.path.join(_HERE, ".build.lock"), "w")
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            try:
+                if _stale():      # re-check under the lock
+                    tmp = f"libdatum_native.tmp{os.getpid()}.so"
+                    res = subprocess.run(
+                        ["make", "-C", _HERE, "-s", f"LIB={tmp}"],
+                        capture_output=True, text=True, timeout=120)
+                    if res.returncode == 0:
+                        os.replace(os.path.join(_HERE, tmp), _SO)
+                else:
+                    res = subprocess.CompletedProcess([], 0, "", "")
+            finally:
+                fcntl.flock(lockf, fcntl.LOCK_UN)
+                lockf.close()
             if res.returncode != 0:
                 warnings.warn(
                     "datum_tpu native build failed (pure-Python fallbacks "
@@ -66,3 +83,10 @@ def load():
         ctypes.c_long]
     _lib = lib
     return lib
+
+
+def probe(symbol: str):
+    """The loaded CDLL if it exports `symbol`, else None — the shared
+    tri-state helper the occlusion/particle callers used to duplicate."""
+    lib = load()
+    return lib if lib is not None and hasattr(lib, symbol) else None

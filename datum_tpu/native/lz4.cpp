@@ -185,9 +185,10 @@ finish:
       --litlen;
       --iend;
     }
-    if (anchor == src && litlen == 0 && insize > 0) {
+    if (anchor == src && litlen == 0) {
+      // nothing fit (or empty input with no room for the end token)
       *srclen = 0;
-      return 0;  // nothing fit at all
+      return 0;
     }
     uint8_t *token = op++;
     *token = (uint8_t)((litlen >= 15 ? 15 : litlen) << 4);

@@ -61,14 +61,13 @@ def ocean_maps(h0, kx, ky, k, omega, t, choppiness=1.5):
     h0_conj = jnp.conj(h0[(-jnp.arange(h0.shape[0])) % h0.shape[0]][:, (-jnp.arange(h0.shape[1])) % h0.shape[1]])
     hk = h0 * rot + h0_conj * jnp.conj(rot)
 
-    height = jnp.fft.ifft2(hk).real * (h0.shape[0] * h0.shape[1])
-
     ksafe = jnp.where(k == 0, 1e-12, k)
-    dx = jnp.fft.ifft2(1j * kx / ksafe * hk).real * (h0.shape[0] * h0.shape[1])
-    dz = jnp.fft.ifft2(1j * ky / ksafe * hk).real * (h0.shape[0] * h0.shape[1])
-
-    sx = jnp.fft.ifft2(1j * kx * hk).real * (h0.shape[0] * h0.shape[1])
-    sz = jnp.fft.ifft2(1j * ky * hk).real * (h0.shape[0] * h0.shape[1])
+    # ONE batched inverse FFT over the five spectra (height, dx, dz,
+    # sx, sz) instead of five separate FFT dispatches
+    spectra = jnp.stack([hk, 1j * kx / ksafe * hk, 1j * ky / ksafe * hk,
+                         1j * kx * hk, 1j * ky * hk])
+    height, dx, dz, sx, sz = (
+        jnp.fft.ifft2(spectra).real * (h0.shape[0] * h0.shape[1]))
 
     disp = jnp.stack([-choppiness * dx, height, -choppiness * dz], -1)
     normal = jnp.stack([-sx, jnp.ones_like(sx), -sz], -1)
@@ -106,10 +105,15 @@ def displace_grid(base_xz, disp, normal, patch_size, swell=(0.0, 0.0, 0.0, 1.0))
 
     amp, dx_, dz_, wl = swell
     if amp:
-        ph = (base_xz[:, 0] * dx_ + base_xz[:, 2] * dz_) * (2 * np.pi / wl)
+        freq = 2 * np.pi / wl
+        ph = (base_xz[:, 0] * dx_ + base_xz[:, 2] * dz_) * freq
         pos = pos.at[:, 1].add(amp * jnp.sin(ph))
-        nrm = nrm.at[:, 0].add(-amp * jnp.cos(ph) * dx_)
-        nrm = nrm.at[:, 2].add(-amp * jnp.cos(ph) * dz_)
+        # analytic slope of amp*sin(freq * d.x) is amp*freq*cos — the
+        # frequency factor matters (reference: ocean.gen.comp:98
+        # phi = frequency * amplitude drives the swell normal)
+        slope = amp * freq * jnp.cos(ph)
+        nrm = nrm.at[:, 0].add(-slope * dx_)
+        nrm = nrm.at[:, 2].add(-slope * dz_)
         nrm = nrm / jnp.linalg.norm(nrm, axis=-1, keepdims=True)
     return pos.astype(jnp.float32), nrm.astype(jnp.float32)
 
@@ -162,6 +166,8 @@ def ocean_lut_uv(pos, nrm, cam_pos, foamplane=(0.0, 1.0, 0.0, 0.0),
     dist = jnp.maximum(waterdepth - height, 0.0)
     hw = height - foamwaveheight
     wavefoam = jnp.clip(hw * hw * hw * foamwavescale, 0.0, 1.0)
+    # NOTE: exact reference formula (ocean.frag:96) — including its
+    # degenerate foamshorescale=0 case (clamp(height, 0, 1) then)
     shorefoam = jnp.clip(height - (dist - foamshoreheight) * foamshorescale,
                          0.0, 1.0) * 0.27
     foam = jnp.clip(wavefoam + shorefoam, 0.0, 1.0)

@@ -22,10 +22,8 @@ _native_lib = False
 def _native_occlusion():
     global _native_lib
     if _native_lib is False:
-        from ..asset.lz4 import _load_native
-        lib = _load_native()
-        _native_lib = lib if lib is not None and hasattr(
-            lib, "datum_occlusion_fill") else None
+        from ..native import probe
+        _native_lib = probe("datum_occlusion_fill")
     return _native_lib
 
 

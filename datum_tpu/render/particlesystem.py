@@ -25,10 +25,8 @@ def _native_particles():
     """ctypes handle to the native particle integrator, or None."""
     global _native_lib
     if _native_lib is False:
-        from ..asset.lz4 import _load_native
-        lib = _load_native()
-        _native_lib = lib if lib is not None and hasattr(
-            lib, "datum_particles_integrate") else None
+        from ..native import probe
+        _native_lib = probe("datum_particles_integrate")
     return _native_lib
 
 
@@ -158,6 +156,7 @@ class ParticleSystem:
         # integrate live particles — native fused SoA pass when the
         # runtime library is present (reference: particlesystem.cpp
         # update on worker threads), numpy masked updates otherwise
+        native_t01 = None
         a = inst.alive
         if a.any():
             acc = np.asarray(self.emitters[0].acceleration, np.float32)
@@ -178,7 +177,9 @@ class ParticleSystem:
             elif lib is not None:
                 import ctypes
                 n = len(inst.position)
-                t01 = np.empty(n, np.float32)
+                # filled by the native pass; reused by the over-life
+                # modules below (saves the numpy recompute)
+                native_t01 = np.empty(n, np.float32)
                 alive_u8 = inst.alive.view(np.uint8)
                 lib.datum_particles_integrate(
                     inst.position.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
@@ -186,7 +187,7 @@ class ParticleSystem:
                     inst.life.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                     inst.maxlife.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                     alive_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                    t01.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    native_t01.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                     ctypes.c_int32(n),
                     acc.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                     ctypes.c_float(dt))
@@ -203,7 +204,8 @@ class ParticleSystem:
                 inst.alive & (inst.emitter == ei))
             if not a.any():
                 continue
-            t01 = 1.0 - inst.life[a] / inst.maxlife[a]
+            t01 = (native_t01[a] if native_t01 is not None
+                   else 1.0 - inst.life[a] / inst.maxlife[a])
             if em.scale_over_life is not None:
                 s = em.scale_over_life.evaluate(t01)
                 inst.size[a] = inst.basesize[a][:, None] * np.stack([s, s], -1) \
@@ -218,12 +220,24 @@ class ParticleSystem:
         # emission
         for ei, em in enumerate(self.emitters):
             n_emit = 0
-            inst.emit_accum[ei] += em.rate * dt
-            n_emit += int(inst.emit_accum[ei])
-            inst.emit_accum[ei] -= int(inst.emit_accum[ei])
-            t_mod = inst.time % em.duration if em.looping else inst.time
+            # a non-looping emitter only emits during [0, duration]
+            expired = (not em.looping and em.duration > 0
+                       and inst.time - dt >= em.duration)
+            if not expired:
+                inst.emit_accum[ei] += em.rate * dt
+                n_emit += int(inst.emit_accum[ei])
+                inst.emit_accum[ei] -= int(inst.emit_accum[ei])
+            if em.looping and em.duration > 0:
+                t_mod = inst.time % em.duration
+            else:
+                t_mod = inst.time
             for btime, bcount in em.bursts:
-                if t_mod - dt <= btime < t_mod or (btime == 0.0 and inst.time <= dt):
+                fired = t_mod - dt <= btime < t_mod                     or (btime == 0.0 and inst.time <= dt)
+                if em.looping and em.duration > 0 and t_mod - dt < 0:
+                    # the loop period wrapped inside this step: the
+                    # window covers the end of the previous period too
+                    fired = fired or btime >= (t_mod - dt) % em.duration
+                if fired and not expired:
                     n_emit += bcount
             if n_emit <= 0:
                 continue
@@ -233,7 +247,6 @@ class ParticleSystem:
                 continue
             pos, dirs = self._emit_shape(em, n, rng)
             world_pos = transform.transform_point(pos)
-            origin = transform.translation_vec()
             from ..math.quaternion import quat_rotate
             world_dir = quat_rotate(transform.rotation_quat(), dirs)
             speed = em.velocity.sample(n, rng)
