@@ -22,7 +22,6 @@ from . import brdf
 def tile_frustum_planes(view, proj, tiles_x, tiles_y, width, height):
     """Per-tile 4 side planes in world space: (n_tiles, 4, 4) [n|d] with
     inside = n.p + d >= 0."""
-    invview = None  # computed by caller conventions: view is world->view
     # tile corner NDC coords
     tx = jnp.arange(tiles_x, dtype=jnp.float32)
     ty = jnp.arange(tiles_y, dtype=jnp.float32)
@@ -66,7 +65,7 @@ def tile_frustum_planes(view, proj, tiles_x, tiles_y, width, height):
     return jnp.concatenate([n_w, d[..., None]], -1)           # (T, 4, 4)
 
 
-def tile_depth_bounds(depth, proj, tiles_x, tiles_y):
+def tile_depth_bounds(depth, proj):
     """Per-tile view-distance interval from the depth plane.
 
     The practical equivalent of the reference's 24-way cluster z-slicing
@@ -144,7 +143,7 @@ def _untile(t, tiles_x, tiles_y):
             .reshape(tiles_y * TILE_H, tiles_x * TILE_W, *rest))
 
 
-def clustered_point_lights(worldpos, normal, eyevec, material, pl, lists, counts,
+def clustered_point_lights(worldpos, normal, eyevec, material, pl, lists,
                            tiles_x, tiles_y):
     """Accumulate point lights tile-major using the binned lists.
 

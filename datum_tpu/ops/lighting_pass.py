@@ -242,7 +242,7 @@ def shade_deferred(gbuffer, depth, sceneset, *, proj, invview,
         from .cluster import clustered_point_lights
         lists, ccounts, ctx_, cty_ = cluster
         d, s = clustered_point_lights(worldpos, normal, eyevec, material,
-                                      pl, lists, ccounts, ctx_, cty_)
+                                      pl, lists, ctx_, cty_)
         diffuse = diffuse + d
         specular = specular + s
     elif nlights > 0:

@@ -418,7 +418,7 @@ def spot_factor_quarter_parabolic(depth, spot_esm, view_rigid, far, *,
 
 def render_spot_maps(world_pos, tris, spotview, n_maps, *, res=256,
                      bin_capacity=128, big_capacity=32, use_pallas=False,
-                     interpret=False):
+                     interpret=False, early_z=True):
     """Depth maps for the first n_maps spot lights (reference:
     src/renderer/spotmap.cpp render_spotmaps — one D32 target per spot,
     parabolic in the reference, perspective here)."""
@@ -427,7 +427,8 @@ def render_spot_maps(world_pos, tris, spotview, n_maps, *, res=256,
     return render_shadow_cascades(world_pos, tris, spotview[:n_maps],
                                   res=res, bin_capacity=bin_capacity,
                                   big_capacity=big_capacity,
-                                  use_pallas=use_pallas, interpret=interpret)
+                                  use_pallas=use_pallas, interpret=interpret,
+                                  early_z=early_z)
 
 
 def spot_shadow_factor(worldpos, spotmap, shadowview, bias=2e-3):

@@ -106,14 +106,27 @@ def hbao(depth, normal_enc, proj, view, *, params, prev_ao=None, prevview=None,
     if prev_ao is not None and prevview is not None and invview is not None:
         reproj = (position @ (prevview[:3, :3] @ invview[:3, :3]).T
                   + (prevview[:3, :3] @ invview[:3, 3] + prevview[:3, 3]))
-        px = 0.5 * (proj[0, 0] * reproj[..., 0] / -reproj[..., 2]) + 0.5
-        py = 0.5 * (proj[1, 1] * reproj[..., 1] / -reproj[..., 2]) + 0.5
+        # guard the divide (a point at/behind the previous camera plane
+        # would produce Inf/NaN indices and weights)
+        rz = jnp.minimum(reproj[..., 2], -1e-6)
+        px = 0.5 * (proj[0, 0] * reproj[..., 0] / -rz) + 0.5
+        py = 0.5 * (proj[1, 1] * reproj[..., 1] / -rz) + 0.5
         sx = jnp.clip((px * w).astype(jnp.int32), 0, w - 1)
         sy = jnp.clip((py * h).astype(jnp.int32), 0, h - 1)
         prev = prev_ao[sy, sx]
         prevpos = _view_positions_at(prev[..., 1], sx, sy, proj, w, h)
+        # disocclusion: previous surface vs where THIS pixel reprojects
+        # (both in previous-frame view space — comparing against the
+        # current-frame position measured ego-motion, not geometry)
         tw = jnp.clip(5.0 * jnp.abs(prev[..., 0] - ao)
-                      + 0.001 * jnp.linalg.norm(prevpos - position, axis=-1), 0.1, 1.0)
+                      + 0.001 * jnp.linalg.norm(prevpos - reproj, axis=-1),
+                      0.1, 1.0)
+        # newly-revealed pixels (reprojected off-screen or behind the
+        # previous camera) take the fresh AO outright — clamped border
+        # history smeared a stale band along screen edges otherwise
+        onscreen = ((px >= 0.0) & (px < 1.0) & (py >= 0.0) & (py < 1.0)
+                    & (reproj[..., 2] < -1e-6))
+        tw = jnp.where(onscreen, tw, 1.0)
         ao = jnp.where(covered, prev[..., 0] + (ao - prev[..., 0]) * tw, ao)
 
     return jnp.stack([ao, depth], -1)

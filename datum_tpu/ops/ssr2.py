@@ -66,6 +66,11 @@ def ssr_binned(hdr_color, depth, normal_enc, spec_rgb, roughness, mask,
     ddx = sx1 - sx0
     ddy = sy1 - sy0
     dlen = jnp.sqrt(jnp.maximum(ddx * ddx + ddy * ddy, 1e-12))
+    # a reflection collinear with the view ray has ~zero screen-space
+    # motion: its clamped dlen would explode g and the acceptance band,
+    # recording a spurious first-step hit in an arbitrary bin — such
+    # pixels can't be marched in screen space at all
+    active = active & (dlen > 1e-3)
     ux = ddx / dlen                       # unit screen direction
     uy = ddy / dlen
     # 1/z gradient per unit screen distance (1/z is linear in screen)
@@ -78,7 +83,7 @@ def ssr_binned(hdr_color, depth, normal_enc, spec_rgb, roughness, mask,
     binf = jnp.mod(ang / (2.0 * np.pi) * K_BINS + 0.5, K_BINS)
     bin_id = jnp.floor(binf).astype(jnp.int32)
 
-    iz_scene = 1.0 / jnp.maximum(dist, 1e-6)         # = iz0 field
+    iz_scene = iz0                 # the surface's own 1/z field
 
     ii = jnp.arange(h, dtype=jnp.int32)[:, None]
     jj = jnp.arange(w, dtype=jnp.int32)[None, :]
@@ -105,11 +110,10 @@ def ssr_binned(hdr_color, depth, normal_enc, spec_rgb, roughness, mask,
             crossed = (ray_iz <= sc_iz) & (ray_iz >= sc_iz - band) \
                 & (sc_d > 0) & inb & prev_above
             newhit = sel & crossed & (~hit)
-            if True:
-                sc_c = jnp.roll(hdr_color, (-dy, -dx), axis=(0, 1))
-                hit_color = jnp.where(newhit[..., None], sc_c, hit_color)
-                hit_r = jnp.where(newhit, jnp.float32(r), hit_r)
-                hit = hit | newhit
+            sc_c = jnp.roll(hdr_color, (-dy, -dx), axis=(0, 1))
+            hit_color = jnp.where(newhit[..., None], sc_c, hit_color)
+            hit_r = jnp.where(newhit, jnp.float32(r), hit_r)
+            hit = hit | newhit
             prev_above = prev_above & (ray_iz > sc_iz - band)
 
     # fades (reference: ssr.comp:195-205 adapted)

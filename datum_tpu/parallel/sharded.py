@@ -133,7 +133,8 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset):
                     cfg.max_spot_shadows, res=cfg.spot_shadow_res,
                     bin_capacity=cfg.shadow_bin_capacity,
                     big_capacity=cfg.big_capacity, use_pallas=True,
-                    interpret=cfg.pallas_interpret)
+                    interpret=cfg.pallas_interpret,
+                    early_z=cfg.raster_early_z)
 
         fogvol = None
         if cfg.enable_fog:

@@ -401,7 +401,8 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
                     cfg.max_spot_shadows, res=cfg.spot_shadow_res,
                     bin_capacity=cfg.shadow_bin_capacity,
                     big_capacity=cfg.big_capacity, use_pallas=True,
-                    interpret=cfg.pallas_interpret)
+                    interpret=cfg.pallas_interpret,
+                    early_z=cfg.raster_early_z)
             sesm = build_spot_esm(spotmaps)
             spotsf = jnp.stack([
                 resize_up_dense(
@@ -702,7 +703,7 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
         pl_ = sceneset["pointlights"]
         ty_local = h // TILE_H
         full_ty = gh // TILE_H
-        zb = tile_depth_bounds(depth, proj, cfg.tiles_x, ty_local)
+        zb = tile_depth_bounds(depth, proj)
         lists, ccounts = bin_lights(
             pl_["position"], pl_["attenuation"][:, 3], pl_["count"],
             sceneset["view"], proj, cfg.tiles_x, full_ty, w, gh,
