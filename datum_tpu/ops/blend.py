@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from .common import TILE_H, TILE_W
-from .raster import _untile
+from .raster import _untile, tile_image as _tile
 
 
 def oit_weight(depth):
@@ -101,12 +101,8 @@ def raster_blend(setup, bins, big_ids, vert_uv, vert_color, tris,
     return _untile4(acc, tiles_x, tiles_y), _untile(reveal, tiles_x, tiles_y)
 
 
-def _tile(img, tiles_x, tiles_y):
-    return (img.reshape(tiles_y, TILE_H, tiles_x, TILE_W)
-            .transpose(0, 2, 1, 3).reshape(tiles_y * tiles_x, TILE_H, TILE_W))
-
-
 def _untile4(tiled, tiles_x, tiles_y):
+    """(n_tiles, TH, TW, C) -> (H, W, C): _untile with a channel axis."""
     n, th, tw, c = tiled.shape
     return (tiled.reshape(tiles_y, tiles_x, th, tw, c)
             .transpose(0, 2, 1, 3, 4).reshape(tiles_y * th, tiles_x * tw, c))

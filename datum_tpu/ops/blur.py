@@ -92,17 +92,26 @@ def shifted_gaussian_blur(img, sigma: float, radius: int = 3):
     return img[..., 0] if squeeze else img
 
 
-def gaussian_blur(img, sigma: float, radius: int | None = None):
+def gaussian_blur(img, sigma: float):
     """Gaussian approximated by 3 box-blur passes.
 
     Depthwise convs lower poorly on TPU (~70 ms at half-res r16); the
-    cumsum box formulation is pure dense adds.  3 boxes of width
-    ~sigma*sqrt(4/3) converge to a gaussian within ~3%.
+    cumsum box formulation is pure dense adds.  Each box of half-width
+    r has variance r(r+1)/3, so three iterated boxes need r(r+1) =
+    sigma^2 -> r = (sqrt(1+4 sigma^2)-1)/2 (the old r = 0.6*sigma gave
+    an effective sigma only ~0.65x the requested one — bloom/DoF were
+    visibly narrower than the reference's sigma-8/sigma-3 blurs).
     """
-    r = max(int(round(sigma * 0.6)), 1)
+    r = max(int((np.sqrt(1.0 + 4.0 * sigma * sigma) - 1.0) / 2.0), 1)
+    # mixed radii: upgrading k of the 3 boxes to r+1 picks the closest
+    # total variance to sigma^2 (integer radii alone overshoot by ~12%)
+    target = 3.0 * sigma * sigma
+    best_k = min(range(4), key=lambda k: abs(
+        (3 - k) * r * (r + 1) + k * (r + 1) * (r + 2) - target))
     out = img
-    for _ in range(3):
-        out = box_blur_1d(box_blur_1d(out, r, 1), r, 0)
+    for i in range(3):
+        ri = r + 1 if i < best_k else r
+        out = box_blur_1d(box_blur_1d(out, ri, 1), ri, 0)
     return out
 
 

@@ -64,8 +64,11 @@ def apply_decals(gbuffer, worldpos, decals, textures=None):
             # decal tangent frame = rows of the world->decal rotation
             nworld = (ntex[..., 0:1] * rot[0] + ntex[..., 1:2] * rot[1]
                       + ntex[..., 2:3] * rot[2])
+            # gate the normal override exactly like the color blend:
+            # alpha-cutout albedo texels must not bend normals either
             usen = ((nid >= 0) & inside & active)[..., None] \
-                * decals["color"][i, 3] * zfade[..., None]
+                * decals["color"][i, 3] * zfade[..., None] \
+                * (1 - use + tex[..., 3:4] * use)
             # the gbuffer normal is ENCODED (n*0.5+0.5): decode before
             # blending with the world-space decal normal, renormalize,
             # re-encode (blending/normalizing the encoded vector skewed
@@ -186,8 +189,11 @@ def apply_decals_planes(gpl, worldp, decals, mask, textures=None,
             nwz = resize_up_dense(
                 ntex_q[..., 0] * rot[0, 2] + ntex_q[..., 1] * rot[1, 2]
                 + ntex_q[..., 2] * rot[2, 2], h, w)
+            # same alpha/coverage gating as the color blend (maskf
+            # keeps background pixels' normal planes untouched)
             usen = ((nid >= 0).astype(jnp.float32) * inside * active
-                    * decals["color"][i, 3] * zfade)
+                    * decals["color"][i, 3] * zfade * maskf
+                    * (1 - use + ta * use))
             bx = out["nx"] * (1 - usen) + nwx * usen
             by = out["ny"] * (1 - usen) + nwy * usen
             bz = out["nz"] * (1 - usen) + nwz * usen

@@ -45,28 +45,6 @@ def quat_conj(q):
     return q * jnp.array([1.0, -1.0, -1.0, -1.0], q.dtype)
 
 
-def skin_blend(palette, bone_idx, bone_wt):
-    """4-bone dual-quaternion palette blend.
-
-    palette: (B, 8) flattened dual quats; bone_idx: (V, 4) int32;
-    bone_wt: (V, 4).  Returns blended (real (V,4), dual (V,4)),
-    normalised.  Hemisphere-aligns each bone quat against bone 0
-    (reference: data/transform.inc transform_blend).
-    """
-    dq = palette[bone_idx]                      # (V, 4, 8)
-    ref = dq[:, 0:1, :4]                        # (V, 1, 4)
-    sign = jnp.sign(jnp.sum(dq[..., :4] * ref, axis=-1, keepdims=True) + 1e-20)
-    w = (bone_wt * sign[..., 0])[..., None]     # (V, 4, 1)
-    blended = jnp.sum(dq * w, axis=1)           # (V, 8)
-    real, dual = blended[:, :4], blended[:, 4:]
-    # dual-quat normalise: unit real, dual orthogonalised
-    ln = jnp.linalg.norm(real, axis=-1, keepdims=True)
-    ln = jnp.maximum(ln, 1e-8)
-    real_n = real / ln
-    dual_n = (dual * ln - real * (jnp.sum(real * dual, -1, keepdims=True) / ln)) / (ln * ln)
-    return real_n, dual_n
-
-
 def transform_vertices_rigid(positions, normals, tangents, vtx_instance,
                              inst_world, viewproj):
     """Rigid path: world = M_inst * p; clip = VP * world.
@@ -159,7 +137,11 @@ def wind_bend(positions, wind, scale):
 def wind_detail_bend(positions, world_anchor, time, wind, scale):
     """Per-vertex flutter (reference: transform.inc:169-181
     transform_detailbend): two incommensurate triangle waves phased by
-    position."""
+    position.  NOTE: the phase = dot(v, vec3(sum(anchor))) formula is
+    the reference's EXACT math (transform.inc:173) including its
+    degenerate case (anchor components summing to 0 -> uniform phase).
+    render/frame.py inlines the same math on the SoA path — keep them
+    in sync."""
     phase = positions @ jnp.full((3,), jnp.sum(world_anchor), jnp.float32)
     w = jnp.stack([(time + phase) * 1.975, (time + phase) * 0.793], -1)
     waves = jnp.mod(w, 1.0) * 2.0 - 1.0

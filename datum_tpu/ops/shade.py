@@ -22,6 +22,38 @@ from .raster import resolve_barycentrics
 from .sampling import sample_bilinear
 
 
+def _tbn_normal(nrm, tan3, tan_w, nmap_rgb):
+    """Shaded normal from the interpolated TBN frame + a normal map
+    texel (reference: data/geometry.frag normal mapping) — ONE recipe
+    for every gbuffer encode path."""
+    tgt = brdf.normalize(tan3 - nrm * jnp.sum(tan3 * nrm, -1, keepdims=True))
+    btg = jnp.cross(nrm, tgt) * tan_w[..., None]
+    tn = nmap_rgb * 2.0 - 1.0
+    return brdf.normalize(tgt * tn[..., 0:1] + btg * tn[..., 1:2]
+                          + nrm * tn[..., 2:3])
+
+
+def _encode_gbuffer(albedo_rgb, emissive, metalness, reflectivity, roughness,
+                    shaded_n, mask):
+    """diffuse/specular/normal gbuffer planes + background zeroing —
+    the shared epilogue of all three resolve paths (the reference's
+    geometry.frag encode, data/geometry.frag:36-55)."""
+    m = brdf.make_material(albedo_rgb, emissive, metalness, reflectivity,
+                           roughness)
+    diffuse = jnp.concatenate([m["diffuse"], emissive[..., None]], -1)
+    specular = jnp.concatenate([m["specular"], roughness[..., None]], -1)
+    normal_out = jnp.concatenate(
+        [shaded_n * 0.5 + 0.5, jnp.zeros_like(emissive)[..., None]], -1)
+    bg = ~mask
+    zero = jnp.zeros_like(diffuse)
+    return dict(
+        diffuse=jnp.where(bg[..., None], zero, diffuse),
+        specular=jnp.where(bg[..., None], zero, specular),
+        normal=jnp.where(bg[..., None], zero, normal_out),
+        mask=mask,
+    )
+
+
 def resolve_gbuffer(vis, setup, tris, tri_instance, attrs, instances, materials,
                     textures, width, height, y0=0, material_maps=True, lam=None,
                     matmaps=None):
@@ -76,12 +108,7 @@ def resolve_gbuffer(vis, setup, tris, tri_instance, attrs, instances, materials,
             normal_id = materials["normalmap"][mat]
             surface_tex = sample_bilinear(textures, surface_id, uv)
             normal_tex = sample_bilinear(textures, normal_id, uv)
-        # TBN: gram-schmidt the interpolated frame, bitangent sign = tan.w
-        tgt = brdf.normalize(tan - nrm * jnp.sum(tan * nrm, -1, keepdims=True))
-        btg = jnp.cross(nrm, tgt) * tan_w[..., None]
-        tn = normal_tex[..., :3] * 2.0 - 1.0
-        shaded_n = brdf.normalize(
-            tgt * tn[..., 0:1] + btg * tn[..., 1:2] + nrm * tn[..., 2:3])
+        shaded_n = _tbn_normal(nrm, tan, tan_w, normal_tex[..., :3])
         surf_m, surf_r, surf_rough = (surface_tex[..., 0], surface_tex[..., 1],
                                       surface_tex[..., 3])
     else:
@@ -89,27 +116,12 @@ def resolve_gbuffer(vis, setup, tris, tri_instance, attrs, instances, materials,
         surf_m = surf_r = surf_rough = 1.0
 
     color = materials["color"][mat]                 # (H, W, 4)
-    metalness = materials["metalness"][mat] * surf_m
-    reflectivity = materials["reflectivity"][mat] * surf_r
-    roughness = materials["roughness"][mat] * surf_rough
-    emissive = materials["emissive"][mat]
-
-    m = brdf.make_material(albedo_tex[..., :3] * color[..., :3], emissive,
-                           metalness, reflectivity, roughness)
-
-    diffuse = jnp.concatenate([m["diffuse"], emissive[..., None]], -1)
-    specular = jnp.concatenate([m["specular"], roughness[..., None]], -1)
-    normal_out = jnp.concatenate([shaded_n * 0.5 + 0.5,
-                                  jnp.zeros_like(emissive)[..., None]], -1)
-
-    bg = ~mask
-    zero = jnp.zeros_like(diffuse)
-    return dict(
-        diffuse=jnp.where(bg[..., None], zero, diffuse),
-        specular=jnp.where(bg[..., None], zero, specular),
-        normal=jnp.where(bg[..., None], zero, normal_out),
-        mask=mask,
-    )
+    return _encode_gbuffer(albedo_tex[..., :3] * color[..., :3],
+                           materials["emissive"][mat],
+                           materials["metalness"][mat] * surf_m,
+                           materials["reflectivity"][mat] * surf_r,
+                           materials["roughness"][mat] * surf_rough,
+                           shaded_n, mask)
 
 
 def sample_matmaps(table, base, size, uv, pool=1, channel_first=False):
@@ -205,36 +217,14 @@ def gbuffer_from_planes(planes, textures, texture_filter="nearest",
             alb, srf, nmap = sample_matmaps(
                 matmaps["table"], planes["matmap_base"],
                 planes["matmap_size"], planes["uv"])
-        # TBN from interpolated vertex tangents (reference:
-        # data/geometry.frag normal mapping)
         tan = planes["tangent"]
-        tgt = brdf.normalize(tan[..., :3]
-                             - nrm * jnp.sum(tan[..., :3] * nrm, -1,
-                                             keepdims=True))
-        btg = jnp.cross(nrm, tgt) * tan[..., 3:4]
-        tn = nmap[..., :3] * 2.0 - 1.0
-        shaded_n = brdf.normalize(
-            tgt * tn[..., 0:1] + btg * tn[..., 1:2] + nrm * tn[..., 2:3])
-        metalness = planes["metalness"] * srf[..., 0]
-        reflectivity = planes["reflectivity"] * srf[..., 1]
-        roughness = planes["roughness"] * srf[..., 3]
-        m = brdf.make_material(alb[..., :3] * planes["color"],
-                               planes["emissive"], metalness,
-                               reflectivity, roughness)
-        diffuse = jnp.concatenate([m["diffuse"],
-                                   planes["emissive"][..., None]], -1)
-        specular = jnp.concatenate([m["specular"], roughness[..., None]], -1)
-        normal_out = jnp.concatenate(
-            [shaded_n * 0.5 + 0.5,
-             jnp.zeros_like(planes["emissive"])[..., None]], -1)
-        bg = ~mask
-        zero = jnp.zeros_like(diffuse)
-        return dict(
-            diffuse=jnp.where(bg[..., None], zero, diffuse),
-            specular=jnp.where(bg[..., None], zero, specular),
-            normal=jnp.where(bg[..., None], zero, normal_out),
-            mask=mask,
-        )
+        shaded_n = _tbn_normal(nrm, tan[..., :3], tan[..., 3], nmap[..., :3])
+        return _encode_gbuffer(alb[..., :3] * planes["color"],
+                               planes["emissive"],
+                               planes["metalness"] * srf[..., 0],
+                               planes["reflectivity"] * srf[..., 1],
+                               planes["roughness"] * srf[..., 3],
+                               shaded_n, mask)
 
     s = textures.shape[1]
     uv = planes["uv"]
@@ -265,18 +255,7 @@ def gbuffer_from_planes(planes, textures, texture_filter="nearest",
     else:
         albedo = sample_bilinear(textures, planes["albedo_id"], uv)
 
-    m = brdf.make_material(albedo[..., :3] * planes["color"],
+    return _encode_gbuffer(albedo[..., :3] * planes["color"],
                            planes["emissive"], planes["metalness"],
-                           planes["reflectivity"], planes["roughness"])
-    diffuse = jnp.concatenate([m["diffuse"], planes["emissive"][..., None]], -1)
-    specular = jnp.concatenate([m["specular"], planes["roughness"][..., None]], -1)
-    normal_out = jnp.concatenate(
-        [nrm * 0.5 + 0.5, jnp.zeros_like(planes["emissive"])[..., None]], -1)
-    bg = ~mask
-    zero = jnp.zeros_like(diffuse)
-    return dict(
-        diffuse=jnp.where(bg[..., None], zero, diffuse),
-        specular=jnp.where(bg[..., None], zero, specular),
-        normal=jnp.where(bg[..., None], zero, normal_out),
-        mask=mask,
-    )
+                           planes["reflectivity"], planes["roughness"],
+                           nrm, mask)

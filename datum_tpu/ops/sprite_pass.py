@@ -108,7 +108,11 @@ def composite_sprites(rgb, inst, atlas, region=128):
         inv_det = jnp.where(jnp.abs(det) < 1e-8, 0.0, 1.0 / det)
         u = (dx * ay[1] - dy * ay[0]) * inv_det
         v = (dy * ax[0] - dx * ax[1]) * inv_det
-        inside = ((u >= 0.0) & (u < 1.0) & (v >= 0.0) & (v < 1.0))
+        # a degenerate sprite (zero-area axes) must paint NOTHING: with
+        # inv_det zeroed, u=v=0 would otherwise pass the inside test for
+        # every region pixel
+        inside = ((u >= 0.0) & (u < 1.0) & (v >= 0.0) & (v < 1.0)
+                  & (jnp.abs(det) >= 1e-8))
 
         px = uv0[0] + u * (uv1[0] - uv0[0])
         py = uv0[1] + v * (uv1[1] - uv0[1])

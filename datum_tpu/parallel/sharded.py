@@ -306,7 +306,7 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset):
                 from ..ops.blur import downsample2, gaussian_blur
                 hq = jax.lax.all_gather(
                     downsample2(hdr), axis, axis=0, tiled=True)
-                blurred = resize_up_dense(gaussian_blur(hq, 3.0, 6), h, w)
+                blurred = resize_up_dense(gaussian_blur(hq, 3.0), h, w)
                 dof_blur = jax.lax.dynamic_slice_in_dim(
                     blurred, y0, band_h, 0)
                 dist = proj[2, 3] / (depth + proj[2, 2])

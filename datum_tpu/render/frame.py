@@ -1198,7 +1198,7 @@ def _frame(cfg: FrameConfig, device, draws, sceneset, prev=None):
     if cfg.enable_depth_of_field:
         from ..ops.blur import downsample2, gaussian_blur
         from ..ops.blur import resize_up_dense
-        blurred = resize_up_dense(gaussian_blur(downsample2(hdr), 3.0, 6), h, w)
+        blurred = resize_up_dense(gaussian_blur(downsample2(hdr), 3.0), h, w)
         dist = sceneset["proj"][2, 3] / (depth + sceneset["proj"][2, 2])
         amount = jnp.clip(jnp.abs(dist - sceneset["camera"]["focaldistance"])
                           / jnp.maximum(sceneset["camera"]["focalwidth"], 1e-3),
