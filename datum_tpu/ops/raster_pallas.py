@@ -270,6 +270,21 @@ def suffix_zbound_groups(setup, ids, pack):
     return jnp.flip(jax.lax.cummax(jnp.flip(gm, 1), axis=1), 1)
 
 
+def _szmax_blocks(szmax, R):
+    """Repack (n_tiles, n_groups) suffix bounds into per-grid-step
+    blocks of shape (n_steps, G8, 128): sublane = group (the kernel's
+    dynamic index — Mosaic forbids dynamic lane indexing), lane = the
+    static within-step tile slot, padded to the 128-lane tile so the
+    block equals the array's last two dims (any (sublane, R) block with
+    R not 128-divisible fails real-TPU lowering; interpret mode does
+    not enforce this).  Padding lanes/rows are never read."""
+    n_tiles, n_groups = szmax.shape
+    n_steps = n_tiles // R
+    s = szmax.reshape(n_steps, R, n_groups).transpose(0, 2, 1)
+    G8 = -(-n_groups // 8) * 8
+    return jnp.pad(s, ((0, 0), (0, G8 - n_groups), (0, 128 - R)))
+
+
 def _raster_shade_kernel(tile_ids_ref, counts_ref, rows_all, out_refs,
                          *, tiles_x, width, height,
                          tiles_per_step=1, extended=False, peel_all=None,
@@ -361,9 +376,9 @@ def _raster_shade_kernel(tile_ids_ref, counts_ref, rows_all, out_refs,
                 def work(c):
                     out = group_work(g, c[:-1])
                     return out + (jnp.min(out[0]),)
-                # szmax is (n_groups, R): the dynamic g index rides the
-                # sublane dim (Mosaic forbids dynamic lane indexing)
-                return jax.lax.cond(szmax_all[g, rstep] > carry[-1],
+                # szmax block is (1, G8, 128): the dynamic g index rides
+                # the sublane dim (Mosaic forbids dynamic lane indexing)
+                return jax.lax.cond(szmax_all[0, g, rstep] > carry[-1],
                                     work, lambda c: c, carry)
 
         zeros = jnp.zeros((TILE_H, TILE_W), jnp.float32)
@@ -440,7 +455,7 @@ def _raster_shade_kernel_2p(tile_ids_ref, counts_ref, rows_all, out_refs,
                 def work(c):
                     d_, s_ = depth_work(g, c[:-1])
                     return d_, s_, jnp.min(d_)
-                return jax.lax.cond(szmax_all[g, rstep] > carry[-1],
+                return jax.lax.cond(szmax_all[0, g, rstep] > carry[-1],
                                     work, lambda c: c, carry)
             init_extra = (jnp.float32(0.0),)
 
@@ -570,12 +585,10 @@ def raster_shade_pallas(setup, bins, big_ids, counts, tris, uv, normal,
         in_specs.append(pl.BlockSpec((R, TILE_H, TILE_W),
                                      lambda i, *_: (i, 0, 0)))
     if early_z:
-        # transposed (n_groups, n_tiles): the kernel's dynamic group
-        # index must ride the sublane dim
-        szmax = suffix_zbound_groups(setup, ids, SHADE_PACK).T
+        szmax = _szmax_blocks(suffix_zbound_groups(setup, ids, SHADE_PACK), R)
         args.append(szmax)
-        in_specs.append(pl.BlockSpec((n_groups, R),
-                                     lambda i, *_: (0, i)))
+        in_specs.append(pl.BlockSpec((1,) + szmax.shape[1:],
+                                     lambda i, *_: (i, 0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles // R,),
@@ -687,7 +700,7 @@ def _depth_kernel(counts_ref, rows_ref, depth_ref,
                 def work(c):
                     d_ = group_work(g, c[0])
                     return d_, jnp.min(d_)
-                return jax.lax.cond(szmax_ref[g, r] > carry[1],
+                return jax.lax.cond(szmax_ref[0, g, r] > carry[1],
                                     work, lambda c: c, carry)
             init = (jnp.zeros((TILE_H, TILE_W), jnp.float32),
                     jnp.float32(0.0))
@@ -724,9 +737,10 @@ def raster_depth_pallas(setup, bins, big_ids, counts, tiles_x, tiles_y,
                              lambda i, *_: (i, 0, 0))]
     args = [trip, rows]
     if early_z:
-        szmax = suffix_zbound_groups(setup, ids, DEPTH_PACK).T
-        args.append(szmax)                 # (n_groups, n_tiles), see above
-        in_specs.append(pl.BlockSpec((n_groups, R), lambda i, *_: (0, i)))
+        szmax = _szmax_blocks(suffix_zbound_groups(setup, ids, DEPTH_PACK), R)
+        args.append(szmax)                 # (n_steps, G8, 128), see above
+        in_specs.append(pl.BlockSpec((1,) + szmax.shape[1:],
+                                     lambda i, *_: (i, 0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles // R,),
