@@ -87,6 +87,7 @@ def main():
         max_translucent_draws=2, max_translucent_tris=2048,
         max_decals_active=2, decal_textures=False,
         translucent_lit_scale=2, shadow_far_res=512,
+        fog_sample_scale=8,
         # CPU smoke-runs execute the Pallas kernels in interpret mode
         pallas_interpret=(os.environ.get("JAX_PLATFORMS") == "cpu"))
     device = jax.device_put(ctx.device_state())

@@ -157,6 +157,11 @@ class FrameConfig:
     enable_bloom: bool = True        # dense conv chain - cheap
     enable_fog: bool = False
     fog_depth_range: float = FOG_DEPTH_RANGE
+    # screen-space fog tap stride: the 160x90 froxel grid spans ~12 px
+    # per cell at 1080p, so an 8x tap still Nyquist-covers it — and the
+    # gather is per-lookup bound (PERF.md lesson 1): 4->8 cuts the tap
+    # from ~3.5 ms to ~0.9 ms at 1080p
+    fog_sample_scale: int = 4
     # per-tile capacity for the forward/OIT rasters (particles +
     # translucent meshes) — far fewer triangles than the opaque pass, so
     # walking the opaque-sized bins wasted row DMA on every tile

@@ -137,13 +137,12 @@ def _fog_sample(depth, fogvol, proj, *, depth_range, exponent, sample_scale,
     while q > 1 and (h % q or w % q):
         q //= 2
 
-    # z-pair packed rows: each row carries slice k's xy-quad AND slice
-    # k+1's (clamped at the last slice), so the full trilinear tap is
-    # ONE 32-float row gather instead of two 16-float gathers — gather
-    # ISSUE throughput is the TPU wall, row width is nearly free
-    qt = jax.vmap(quad_pack)(fogvol)                     # (D, H*W, 16)
-    qt_next = jnp.concatenate([qt[1:], qt[-1:]], axis=0)
-    qtab = jnp.concatenate([qt, qt_next], axis=-1).reshape(-1, 32)
+    # two 16-float row gathers (slice k and k+1) against one quad-packed
+    # table.  The round-3 z-pair 32-float packed row measured SLOWER on
+    # the real chip (3.47 vs 3.15 ms at quarter res,
+    # profiling/prof_fogtap.py): gather cost is per-BYTE here, not
+    # per-issue, and the doubled table costs an extra 118 MB build/frame
+    qtab = jax.vmap(quad_pack)(fogvol).reshape(-1, 16)   # (D*H*W, 16)
 
     dq = downsample_pool(depth, q, reduce="first")
     hq, wq = dq.shape
@@ -175,9 +174,10 @@ def _fog_sample(depth, fogvol, proj, *, depth_range, exponent, sample_scale,
         bot = t10 + (t11 - t10) * fx
         return top + (bot - top) * fy
 
-    rows = qtab[k0 * (fog_h * fog_w) + cell]             # (hq, wq, 32)
-    fog_q = xy_bilerp(rows[..., :16])
-    return fog_q + (xy_bilerp(rows[..., 16:]) - fog_q) * fz, q
+    flat0 = k0 * (fog_h * fog_w) + cell                  # (hq, wq)
+    flat1 = jnp.minimum(k0 + 1, fog_d - 1) * (fog_h * fog_w) + cell
+    fog_q = xy_bilerp(qtab[flat0])
+    return fog_q + (xy_bilerp(qtab[flat1]) - fog_q) * fz, q
 
 
 def apply_fog(hdr, depth, fogvol, proj, *, depth_range=FOG_DEPTH_RANGE,

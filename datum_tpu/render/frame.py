@@ -464,7 +464,7 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
                 depth_range=cfg.fog_depth_range)
         fr_, fg_, fb_, ft_ = fog_ops.fog_planes(
             depth, fogvol, proj, depth_range=cfg.fog_depth_range,
-            y0=y0, full_height=gh)
+            sample_scale=cfg.fog_sample_scale, y0=y0, full_height=gh)
         gpl["fog_r"], gpl["fog_g"], gpl["fog_b"], gpl["fog_t"] = \
             fr_, fg_, fb_, ft_
 
@@ -1054,7 +1054,8 @@ def _frame(cfg: FrameConfig, device, draws, sceneset, prev=None):
             shadow=shadowmaps if (cfg.enable_shadows and cfg.shadow_mode == "esm") else None,
             depth_range=cfg.fog_depth_range)
         hdr = fog_ops.apply_fog(hdr, depth, fogvol, sceneset["proj"],
-                                depth_range=cfg.fog_depth_range)
+                                depth_range=cfg.fog_depth_range,
+                                sample_scale=cfg.fog_sample_scale)
 
     # analytic half-space fog planes (reference: data/fogplane.frag)
     if cfg.max_fog_planes > 0:

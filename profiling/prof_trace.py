@@ -48,7 +48,8 @@ def main():
         max_spot_shadows=1, max_particle_quads=512,
         max_translucent_draws=2, max_translucent_tris=2048,
         max_decals_active=2, decal_textures=False,
-        translucent_lit_scale=2, shadow_far_res=512, **extra)
+        translucent_lit_scale=2, shadow_far_res=512,
+        fog_sample_scale=8, **extra)
     device = jax.device_put(ctx.device_state())
 
     def frame_inputs(t):
