@@ -87,6 +87,12 @@ def main():
         max_translucent_draws=2, max_translucent_tris=2048,
         max_decals_active=2, decal_textures=False,
         translucent_lit_scale=2, shadow_far_res=512,
+        # fog taps at 8x stride (FrameConfig default is 4): the 160x90
+        # froxel grid spans ~12 px/cell at 1080p so 8x still Nyquist-
+        # covers it, but reduce='first' depth subsampling over 8x8
+        # blocks does coarsen fog halos at depth edges — the bench
+        # measures this reduced-quality fog-tap setting (4x costs
+        # ~+2.6 ms, ops/common.py note)
         fog_sample_scale=8,
         # CPU smoke-runs execute the Pallas kernels in interpret mode
         pallas_interpret=(os.environ.get("JAX_PLATFORMS") == "cpu"))

@@ -238,22 +238,31 @@ def upsample2_batch(stack):
     return axis_up(axis_up(stack, 1), 2)
 
 
-def resize_up_dense_batch(stack, out_h, out_w):
+def resize_up_dense_batch(stack, out_h, out_w, precision=None):
     """resize_up_dense over a channel-first (N, H, W) stack.
 
     Lowered as two static-matrix einsums (MXU): the roll+interleave
     chain's lane interleave forces HBM relayout copies — measured
     2.85 ms vs 1.46 ms for the 15-plane half->full gplane stack at
-    1080p (profiling/prof_upsample.py).  The matrices carry the same
-    half-pixel-center bilinear weights, so values match the dense
-    chain to matmul rounding."""
+    1080p (profiling/prof_upsample.py).  Two caveats vs the old chain:
+
+    * At default `precision` the TPU MXU computes f32 inputs in bf16
+      passes (measured max error ~3.3e-3 vs exact f32) — the 1.46 ms
+      number is bf16-compute.  That is below the bf16 quantum of the
+      megakernel's plane storage (shade_pallas casts all gplanes to
+      bf16), so the fast-path caller keeps the default; callers that
+      need exact f32 pass precision=jax.lax.Precision.HIGHEST.
+    * Value equality with the iterated-2x chain holds only at exactly
+      2x ratios: for larger ratios (e.g. the 4x sky upsample) the
+      matrix is a direct 2-tap bilinear between the two grids — a
+      genuinely different (sharper) filter than iterated 2x."""
     h, w = stack.shape[1], stack.shape[2]
     if (h, w) == (out_h, out_w):
         return stack
     my = jnp.asarray(_resample_matrix(h, out_h).T, stack.dtype)   # (O, h)
     mx = jnp.asarray(_resample_matrix(w, out_w), stack.dtype)     # (w, W)
-    out = jnp.einsum("Oh,nhw->nOw", my, stack)
-    return jnp.einsum("nOw,wW->nOW", out, mx)
+    out = jnp.einsum("Oh,nhw->nOw", my, stack, precision=precision)
+    return jnp.einsum("nOw,wW->nOW", out, mx, precision=precision)
 
 
 def _resample_matrix(n_in: int, n_out: int, nearest: bool = False):

@@ -141,7 +141,8 @@ def _fog_sample(depth, fogvol, proj, *, depth_range, exponent, sample_scale,
     # table.  The round-3 z-pair 32-float packed row measured SLOWER on
     # the real chip (3.47 vs 3.15 ms at quarter res,
     # profiling/prof_fogtap.py): gather cost is per-BYTE here, not
-    # per-issue, and the doubled table costs an extra 118 MB build/frame
+    # per-issue, and the doubled table costs an extra ~59 MB build/frame
+    # (118 MB total for the 64*90*160*32-float table vs 59 MB kept)
     qtab = jax.vmap(quad_pack)(fogvol).reshape(-1, 16)   # (D*H*W, 16)
 
     dq = downsample_pool(depth, q, reduce="first")
