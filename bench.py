@@ -126,8 +126,7 @@ def main():
             clip, ex["tris"], cfg.padded_width, cfg.padded_height,
             cfg.tiles_x, cfg.tiles_y, cull=-1 if cfg.backface_cull else 0,
             max_span=cfg.bin_max_span)
-        zw = clip[:, 2] / jnp.maximum(clip[:, 3], 1e-6)
-        prio = jnp.clip(zw[ex["tris"]].max(axis=1), 0.0, 1.0)
+        prio = setup["zbound"]
         *_, overflow = frame_mod.raster_ops.bin_triangles(
             setup, cfg.max_triangles, cfg.tiles_x, cfg.tiles_y,
             cfg.bin_capacity, cfg.big_capacity, max_span=cfg.bin_max_span,

@@ -202,18 +202,50 @@ def upsample2_dense(img):
     return axis_up(axis_up(img, 0), 1)
 
 
-def resize_up_dense(img, out_h, out_w):
-    """Upsample to (out_h, out_w) with gather-free x2 passes while the
-    ratio is a power of two; falls back to jax.image.resize for any
-    remainder."""
-    import jax
+def _up2_matrix(n: int) -> np.ndarray:
+    """(n, 2n) matrix of upsample2_dense's half-pixel 2x weights."""
+    m = np.zeros((n, 2 * n), np.float32)
+    i = np.arange(n)
+    m[i, 2 * i] += 0.75
+    m[np.maximum(i - 1, 0), 2 * i] += 0.25
+    m[i, 2 * i + 1] += 0.75
+    m[np.minimum(i + 1, n - 1), 2 * i + 1] += 0.25
+    return m
 
-    while img.shape[0] * 2 <= out_h and img.shape[1] * 2 <= out_w:
-        img = upsample2_dense(img)
-    if img.shape[0] != out_h or img.shape[1] != out_w:
-        img = jax.image.resize(img, (out_h, out_w) + img.shape[2:],
-                               method="linear")
-    return img
+
+def _updense_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_in, n_out) matrix composing iterated-2x rounds (the exact
+    weights of the old upsample2_dense chain) plus a final bilinear for
+    any non-pow2 remainder (what jax.image.resize 'linear' computed)."""
+    m = np.eye(n_in, dtype=np.float32)
+    n = n_in
+    while n * 2 <= n_out:
+        m = m @ _up2_matrix(n)
+        n *= 2
+    if n != n_out:
+        m = m @ _resample_matrix(n, n_out)
+    return m
+
+
+def resize_up_dense(img, out_h, out_w, precision=None):
+    """Upsample to (out_h, out_w) with iterated-2x half-pixel weights.
+
+    Lowered as TWO static-matrix contractions (MXU) instead of the old
+    roll+interleave chain — the chain cost ~12 dense full-size ops +
+    lane-interleave relayouts per call on an op-dispatch-bound frame
+    (PERF.md round-4).  The matrices COMPOSE the per-round 2x weights,
+    so values match the old chain to matmul rounding (bf16-compute on
+    TPU at default precision — below the bf16 quantum of the megakernel
+    plane storage; pass precision=HIGHEST for exact-f32 consumers)."""
+    h, w = img.shape[:2]
+    if (h, w) == (out_h, out_w):
+        return img
+    my = jnp.asarray(_updense_matrix(h, out_h).T)     # (out_h, h)
+    mx = jnp.asarray(_updense_matrix(w, out_w))       # (w, out_w)
+    if img.ndim == 2:
+        return jnp.einsum("Oh,hw->Ow", my, img, precision=precision) @ mx
+    out = jnp.einsum("Oh,hwc->Owc", my, img, precision=precision)
+    return jnp.einsum("Owc,wW->OWc", out, mx, precision=precision)
 
 
 def upsample2_batch(stack):

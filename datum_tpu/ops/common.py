@@ -83,8 +83,13 @@ class FrameConfig:
     raster_two_phase: bool = False
     # early-z exit: suffix depth bounds let the raster/shadow kernels
     # stop walking a bin once everything remaining is provably occluded
-    # (bit-identical); off only for A/B timing
-    raster_early_z: bool = True
+    # (bit-identical).  Round-4 TPU A/B (prof_trace vs no_early_z, bench
+    # scene ~32k tris): the per-group lax.cond made every kernel SLOWER
+    # (main raster 5.68 -> 3.24 ms off, depth rasters 1.01 -> 0.63) and
+    # the suffix-bound prep cost ~1.9 ms XLA-side -> default OFF.  Keep
+    # selectable for deep-bin content (stress scene) where skips can
+    # dominate; bin_zub band bounds make the prep ~free there.
+    raster_early_z: bool = False
     # none|nearest_half|nearest|bilinear: legacy 256^2 pool paths;
     # mip|mip_half: texture system v2 — native-size mip chains with
     # combined albedo+surface+normal quad rows (one gather per sample,

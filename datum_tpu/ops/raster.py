@@ -209,7 +209,7 @@ def triangle_setup(clip, tris, width, height, tiles_x, tiles_y, tri_valid=None,
 
 def bin_triangles(setup, n_tris, tiles_x, tiles_y, bin_capacity, big_capacity,
                   max_span=BIN_MAX_SPAN, return_overflow=False,
-                  depth_prio=None):
+                  depth_prio=None, return_zub=False):
     """Build per-tile triangle lists via pair-expansion + sort.
 
     Each binned triangle emits up to max_span (tile, tri) pairs over
@@ -284,9 +284,23 @@ def bin_triangles(setup, n_tris, tiles_x, tiles_y, bin_capacity, big_capacity,
     idx = starts[:-1, None] + jnp.arange(bin_capacity, dtype=jnp.int32)[None, :]
     idx = jnp.minimum(idx, skey.shape[0] - 1)
     k = skey[idx]                       # ONE gather; unpack tile/tri below
-    bins = jnp.where(
-        (k >> shift).astype(jnp.int32) == jnp.arange(n_tiles, dtype=jnp.int32)[:, None],
-        (k & ((1 << tri_bits) - 1)).astype(jnp.int32), -1)
+    entry_ok = ((k >> shift).astype(jnp.int32)
+                == jnp.arange(n_tiles, dtype=jnp.int32)[:, None])
+    bins = jnp.where(entry_ok,
+                     (k & ((1 << tri_bits) - 1)).astype(jnp.int32), -1)
+    bin_zub = None
+    if return_zub:
+        # per-entry depth upper bound recovered from the sort key's
+        # quantized band: dq = floor((1-prio)*levels) => prio <=
+        # 1 - dq/levels.  Dense unpack of the already-gathered keys —
+        # the early-z suffix bounds no longer need a second
+        # (n_tiles x E) gather of setup["zbound"] (~1.7 ms at 1080p).
+        # Requires depth_prio to upper-bound the kernel's interpolated
+        # fragment depth (zbound / ortho zmax do).
+        assert depth_prio is not None, "return_zub needs depth_prio"
+        levels = (1 << dq_bits) - 1
+        dq_e = ((k >> tri_bits) & levels).astype(jnp.float32)
+        bin_zub = jnp.where(entry_ok, 1.0 - dq_e * (1.0 / levels), 0.0)
 
     # compact big-triangle ids via cumsum + scatter: jnp.nonzero(size=K)
     # lowers to a ~1.1 ms fusion at T=131k on v5e (trace fusion.45);
@@ -297,13 +311,16 @@ def bin_triangles(setup, n_tris, tiles_x, tiles_y, bin_capacity, big_capacity,
     big_ids = (jnp.full((big_capacity + 1,), -1, jnp.int32)
                .at[pos].set(jnp.arange(T, dtype=jnp.int32), mode="drop")
                [:big_capacity])
+    ret = (bins, counts.astype(jnp.int32), big_ids)
     if return_overflow:
         # dropped (tile, tri) pairs: bins saturate in draw order, so a
         # nonzero overflow means later draws lost coverage in hot tiles
         overflow = (jnp.sum(jnp.maximum(raw_counts - bin_capacity, 0))
                     + jnp.maximum(jnp.sum(setup["big"]) - big_capacity, 0))
-        return bins, counts.astype(jnp.int32), big_ids, overflow.astype(jnp.int32)
-    return bins, counts.astype(jnp.int32), big_ids
+        ret = ret + (overflow.astype(jnp.int32),)
+    if return_zub:
+        ret = ret + (bin_zub,)
+    return ret
 
 
 def _tile_ndc(tile_idx, tiles_x, width, height, dtype=jnp.float32):

@@ -270,6 +270,27 @@ def suffix_zbound_groups(setup, ids, pack):
     return jnp.flip(jax.lax.cummax(jnp.flip(gm, 1), axis=1), 1)
 
 
+def suffix_zbound_groups_banded(setup, big_ids, bin_zub, pack):
+    """suffix_zbound_groups from the binning's quantized depth bands.
+
+    bin_zub (bin_triangles return_zub=True) is a DENSE per-entry upper
+    bound recovered from the sort keys — no (n_tiles x E) gather.  The
+    band bound is up to 1/15 looser than the exact zbound, which only
+    delays the early-z exit by at most one 4-bit depth band; it stays
+    conservative (bound >= every fragment's depth), so outputs are
+    bit-identical.  Big entries still gather their exact bound (a
+    (big_capacity,) gather is noise)."""
+    big_zb = jnp.where(big_ids >= 0,
+                       setup["zbound"][jnp.maximum(big_ids, 0)], 0.0)
+    zb = jnp.concatenate(
+        [jnp.broadcast_to(big_zb[None, :],
+                          (bin_zub.shape[0], big_ids.shape[0])), bin_zub],
+        axis=1)
+    E = zb.shape[1]
+    gm = zb.reshape(zb.shape[0], E // pack, pack).max(-1)
+    return jnp.flip(jax.lax.cummax(jnp.flip(gm, 1), axis=1), 1)
+
+
 def _szmax_blocks(szmax, R):
     """Repack (n_tiles, n_groups) suffix bounds into per-grid-step
     blocks of shape (n_steps, G8, 128): sublane = group (the kernel's
@@ -527,7 +548,8 @@ def raster_shade_pallas(setup, bins, big_ids, counts, tris, uv, normal,
                         tri_material, materials, tiles_x, tiles_y, width, height,
                         tile_ids=None, interpret=False, tangent=None,
                         matmaps=None, planes_2d=False, alpha_in_alb=False,
-                        peel_depth=None, two_phase=False, early_z=True):
+                        peel_depth=None, two_phase=False, early_z=True,
+                        bin_zub=None):
     """Fused raster + attribute/material interpolation.
 
     Returns dict of full-res planes: depth, vis (int32), uv (H,W,2),
@@ -585,7 +607,10 @@ def raster_shade_pallas(setup, bins, big_ids, counts, tris, uv, normal,
         in_specs.append(pl.BlockSpec((R, TILE_H, TILE_W),
                                      lambda i, *_: (i, 0, 0)))
     if early_z:
-        szmax = _szmax_blocks(suffix_zbound_groups(setup, ids, SHADE_PACK), R)
+        sz = (suffix_zbound_groups_banded(setup, big_ids, bin_zub, SHADE_PACK)
+              if bin_zub is not None
+              else suffix_zbound_groups(setup, ids, SHADE_PACK))
+        szmax = _szmax_blocks(sz, R)
         args.append(szmax)
         in_specs.append(pl.BlockSpec((1,) + szmax.shape[1:],
                                      lambda i, *_: (i, 0, 0)))
@@ -712,7 +737,8 @@ def _depth_kernel(counts_ref, rows_ref, depth_ref,
 
 
 def raster_depth_pallas(setup, bins, big_ids, counts, tiles_x, tiles_y,
-                        width, height, interpret=False, early_z=True):
+                        width, height, interpret=False, early_z=True,
+                        bin_zub=None):
     """Depth-only pallas raster (shadow maps).  Returns (H, W) depth."""
     assert big_ids.shape[0] % DEPTH_PACK == 0
     ids = _entry_ids(bins, big_ids)
@@ -737,7 +763,10 @@ def raster_depth_pallas(setup, bins, big_ids, counts, tiles_x, tiles_y,
                              lambda i, *_: (i, 0, 0))]
     args = [trip, rows]
     if early_z:
-        szmax = _szmax_blocks(suffix_zbound_groups(setup, ids, DEPTH_PACK), R)
+        sz = (suffix_zbound_groups_banded(setup, big_ids, bin_zub, DEPTH_PACK)
+              if bin_zub is not None
+              else suffix_zbound_groups(setup, ids, DEPTH_PACK))
+        szmax = _szmax_blocks(sz, R)
         args.append(szmax)                 # (n_steps, G8, 128), see above
         in_specs.append(pl.BlockSpec((1,) + szmax.shape[1:],
                                      lambda i, *_: (i, 0, 0)))

@@ -65,16 +65,19 @@ def _render_cascade_stack(p0, p1, p2, shared, shadowview, *, res,
         comps, shared_all, res, vh, tiles_x, tiles_y, cull=-1, max_span=4,
         ylim=(band_lo, band_lo + 2.0 / n_slices))
     # near-to-light priority: saturated far-cascade bins then drop only
-    # triangles already occluded in light space
-    bins, counts, big = raster_ops.bin_triangles(
+    # triangles already occluded in light space (zbound == zmax for the
+    # ortho light projection's w == 1, and doubles as the early-z band
+    # bound source — see suffix_zbound_groups_banded)
+    bins, counts, big, bin_zub = raster_ops.bin_triangles(
         setup, n_slices * T, tiles_x, tiles_y, bin_capacity,
-        big_capacity, max_span=4,
-        depth_prio=jnp.clip(setup["zmax"], 0.0, 1.0))
+        big_capacity, max_span=4, depth_prio=setup["zbound"],
+        return_zub=True)
     if use_pallas:
         from .raster_pallas import raster_depth_pallas
         depth = raster_depth_pallas(setup, bins, big, counts,
                                     tiles_x, tiles_y, res, vh,
-                                    interpret=interpret, early_z=early_z)
+                                    interpret=interpret, early_z=early_z,
+                                    bin_zub=bin_zub)
     else:
         depth, _ = raster_ops.raster(setup, bins, big, tiles_x, tiles_y,
                                      res, vh)
@@ -372,13 +375,13 @@ def render_spot_maps_parabolic(world_pos, tris, spotview_rigid, spot_far,
     setup = raster_ops.triangle_setup_comps(
         comps, shared_all, res, vh, tiles_x, tiles_y, cull=0, max_span=4,
         tri_valid=tri_valid, ylim=(band_lo, band_lo + 2.0 / n))
-    bins, counts, big = raster_ops.bin_triangles(
+    bins, counts, big, bin_zub = raster_ops.bin_triangles(
         setup, n * T, tiles_x, tiles_y, bin_capacity, big_capacity,
-        max_span=4, depth_prio=jnp.clip(setup["zmax"], 0.0, 1.0))
+        max_span=4, depth_prio=setup["zbound"], return_zub=True)
     from .raster_pallas import raster_depth_pallas
     depth = raster_depth_pallas(setup, bins, big, counts, tiles_x, tiles_y,
                                 res, vh, interpret=interpret,
-                                early_z=early_z)
+                                early_z=early_z, bin_zub=bin_zub)
     return depth.reshape(n, res, res)
 
 

@@ -150,8 +150,7 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset):
         setup = raster_ops.triangle_setup(
             clip, ex["tris"], w, h, tx, ty,
             cull=-1 if cfg.backface_cull else 0, max_span=cfg.bin_max_span)
-        zw = clip[:, 2] / jnp.maximum(clip[:, 3], 1e-6)
-        prio = jnp.clip(zw[ex["tris"]].max(axis=1), 0.0, 1.0)
+        prio = setup["zbound"]
         bins, counts, big_ids, overflow = raster_ops.bin_triangles(
             setup, cfg.max_triangles, tx, ty, cfg.bin_capacity,
             cfg.big_capacity, max_span=cfg.bin_max_span,

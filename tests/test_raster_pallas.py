@@ -275,6 +275,11 @@ def test_early_z_exit_bit_identical(rng):
 
     setup = R.triangle_setup(clip, tris, W, H, TX, TY)
     bins, counts, big = R.bin_triangles(setup, T, TX, TY, 64, 16)
+    # banded bounds require depth-prio binning (same bins content: the
+    # quads are already pushed near-first, so the band sort is stable)
+    binsb, countsb, bigb, zub = R.bin_triangles(
+        setup, T, TX, TY, 64, 16, depth_prio=setup["zbound"],
+        return_zub=True)
 
     outs = {}
     for ez in (False, True):
@@ -284,6 +289,20 @@ def test_early_z_exit_bit_identical(rng):
                 materials, TX, TY, W, H, interpret=True, early_z=ez,
                 two_phase=tp)
     ref = outs[(False, False)]
+    # banded early-z (bin_zub from the sort keys): compare against the
+    # same depth-sorted bins with early_z off (depth-prio binning may
+    # reorder exact-tie winners vs the unsorted bins)
+    ref_b = raster_shade_pallas(
+        setup, binsb, bigb, countsb, tris, uv, nrm, tri_mat,
+        materials, TX, TY, W, H, interpret=True, early_z=False)
+    out_b = raster_shade_pallas(
+        setup, binsb, bigb, countsb, tris, uv, nrm, tri_mat,
+        materials, TX, TY, W, H, interpret=True, early_z=True,
+        bin_zub=zub)
+    for k in ref_b:
+        np.testing.assert_array_equal(np.asarray(ref_b[k]),
+                                      np.asarray(out_b[k]),
+                                      err_msg=f"banded {k}")
     for key, out in outs.items():
         for k in ref:
             np.testing.assert_array_equal(np.asarray(ref[k]),
@@ -295,3 +314,8 @@ def test_early_z_exit_bit_identical(rng):
     d_on = raster_depth_pallas(setup, bins, big, counts, TX, TY, W, H,
                                interpret=True, early_z=True)
     np.testing.assert_array_equal(np.asarray(d_off), np.asarray(d_on))
+    d_refb = raster_depth_pallas(setup, binsb, bigb, countsb, TX, TY, W, H,
+                                 interpret=True, early_z=False)
+    d_band = raster_depth_pallas(setup, binsb, bigb, countsb, TX, TY, W, H,
+                                 interpret=True, early_z=True, bin_zub=zub)
+    np.testing.assert_array_equal(np.asarray(d_refb), np.asarray(d_band))
