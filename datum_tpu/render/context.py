@@ -585,6 +585,12 @@ class RenderContext:
                 resource_use("raster.bin_overflow", ov, cfg.bin_capacity)
                 log_once(f"raster: {ov} (tile, tri) pairs dropped — raise "
                          "FrameConfig.bin_capacity or bin_max_span")
+        # keep the scene depth plane for depth-tested host overlays
+        # (reference: the OVERLAY pass binds the scene depth attachment,
+        # renderer.cpp:6760-6789) — render/overlay.py draws take depth=.
+        # Crop the tile padding so overlay index rescaling stays linear.
+        d = out.get("depth")
+        self.last_depth = None if d is None else d[:cfg.height, :cfg.width]
         img = np.asarray(out["image"])
         if scale != 1.0:
             yi = (np.arange(self.config.height) * img.shape[0]

@@ -112,7 +112,23 @@ def render(state):
         state["stats"] = (len(visible), total)
         print(f"city: {len(visible)}/{total} meshes after frustum + "
               "occlusion culling")
-    return ctx.render(cam, rl, state["params"])
+    img = ctx.render(cam, rl, state["params"]).copy()
+    # depth-tested debug overlays (reference: OVERLAY pass depth-tests
+    # against the scene, renderer.cpp:6760-6789): one gizmo in the open
+    # street (visible) and one behind the first left building (its axes
+    # occlude where the facade covers them)
+    from datum_tpu.math import Transform
+    from datum_tpu.render import overlay
+
+    depth = None if ctx.last_depth is None else np.asarray(ctx.last_depth)
+    vp = np.asarray(cam.viewproj(), np.float32)
+    overlay.draw_gizmo(img, Transform.translation([0.0, 1.0, -3.0]), vp,
+                       size=1.2, depth=depth)
+    # this one sits behind the first left building: its +x axis pokes
+    # past the facade edge while the rest stays hidden
+    overlay.draw_gizmo(img, Transform.translation([-6.0, 1.5, -10.5]), vp,
+                       size=3.5, depth=depth)
+    return img
 
 
 if __name__ == "__main__":

@@ -40,6 +40,44 @@ def test_wireframe_and_outline():
     assert 30 < n_out < n_wire
 
 
+def test_depth_tested_lines():
+    """Overlay draws hide behind scene geometry when given the frame's
+    reverse-Z depth plane (reference: the OVERLAY pass depth-tests
+    against the scene depth attachment, renderer.cpp:6760-6789)."""
+    vp = _vp()
+    h, w = 128, 256
+
+    # synthetic scene depth: left half has a very near wall (big z/w),
+    # right half is empty (0 = far plane in reverse-Z)
+    depth = np.zeros((h, w), np.float32)
+    depth[:, : w // 2] = 10.0
+
+    img = np.zeros((h, w, 3), np.uint8)
+    overlay.draw_lines(img, [[[-1, 0, 0], [1, 0, 0]]], vp, (255, 0, 0),
+                       depth=depth)
+    left = (img[:, : w // 2, 0] > 0).sum()
+    right = (img[:, w // 2:, 0] > 0).sum()
+    assert left == 0 and right > 10
+
+    # half-res depth plane (FrameConfig.scale path): indices rescale
+    depth_half = depth[::2, ::2].copy()
+    img2 = np.zeros((h, w, 3), np.uint8)
+    overlay.draw_lines(img2, [[[-1, 0, 0], [1, 0, 0]]], vp, (255, 0, 0),
+                       depth=depth_half)
+    assert (img2[:, : w // 2, 0] > 0).sum() == 0
+    assert (img2[:, w // 2:, 0] > 0).sum() > 10
+
+    # a line ON the surface wins via the relative bias (coplanar
+    # wireframes draw instead of z-fighting away)
+    seg = np.array([[[-1, 0, 0], [1, 0, 0]]], np.float32)
+    x, y, ok, z = overlay._project(seg.reshape(-1, 3), vp, w, h)
+    coplanar = np.zeros((h, w), np.float32)
+    coplanar[:] = z[0]                      # scene exactly at line depth
+    img3 = np.zeros((h, w, 3), np.uint8)
+    overlay.draw_lines(img3, seg, vp, (255, 0, 0), depth=coplanar)
+    assert (img3[:, :, 0] > 0).sum() > 30
+
+
 def test_fill_and_path():
     img = np.zeros((64, 64, 3), np.uint8)
     overlay.draw_fill(img, [[10, 10], [50, 10], [50, 40], [10, 40]],
