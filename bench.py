@@ -186,6 +186,22 @@ def main():
     _arm("chain compile + warm run", 1500)
     lum0 = jax.device_put(np.float32(0.1))
     _ = float(run_chain(stacked, device, lum0))    # compile + warm
+
+    if os.environ.get("DATUM_BENCH_TRACE"):
+        # trace ONE timed chain and attribute device time to source
+        # lines (the honest profile of exactly what the bench measures)
+        _arm("trace rep", 600)
+        trace_dir = "/tmp/datum_bench_trace"
+        os.system(f"rm -rf {trace_dir}")
+        jax.profiler.start_trace(trace_dir)
+        _ = float(run_chain(stacked, device,
+                            jax.device_put(np.float32(0.1 + 1e-7))))
+        jax.profiler.stop_trace()
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "profiling"))
+        from trace_util import report
+        report(trace_dir, N)
+
     times = []
     for rep in range(3):
         _arm(f"timed rep {rep}", 300)

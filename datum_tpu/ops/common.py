@@ -70,6 +70,10 @@ class FrameConfig:
     # are sub-screen-pixel; the ESM blurs at native res and upsamples
     shadow_far_res: int | None = None
     shadow_factor_scale: int = 2     # ESM factor res divisor (2=half, 4=quarter)
+    # cascade slice-boundary lerp (reference: lighting.comp:63-95): mix
+    # into the next slice over this trailing fraction of each split
+    # range.  Hides cascade seams for one extra factor tap; 0 = off
+    shadow_slice_blend: float = 0.0
     enable_material_maps: bool = True  # sample surface/normal textures
     use_pallas: bool = False         # Mosaic raster kernel (TPU only)
     # 'v2' scalar-loop kernel is the default: the 'mxu' matmul-chunk
@@ -112,10 +116,11 @@ class FrameConfig:
     # full deferred shade on the nearest translucent layer (megakernel
     # path only; reference translucent.frag clustered-forward parity)
     translucent_lit: bool = True
-    # depth-peeled lit layers (1 or 2): 2 shades the second-nearest
-    # translucent surface too (stacked glass); layers beyond blend
-    # unlit via WBOIT — reference shades every fragment
-    # (renderer.cpp:6596-6684)
+    # depth-peeled lit layers (1..4, shade_pallas.MAX_TR_LAYERS): every
+    # peeled layer gets the FULL deferred shade, nearest first; only
+    # fragments beyond the LAST peeled layer blend unlit via WBOIT
+    # (reference shades every fragment, renderer.cpp:6596-6684 — 4
+    # peels cover any realistic translucent overlap)
     translucent_lit_layers: int = 1
     # shade the lit translucent layer at 1/N resolution (glass/water is
     # smooth; its raster + plane assembly + second megakernel shrink by

@@ -67,8 +67,70 @@ def color_grade(lut, color):
     return c0_ * (1 - fb) + c1_ * fb
 
 
+def _poly_terms(degree):
+    """Monomial exponent triples (i, j, k) with i+j+k <= degree."""
+    return [(i, j, k) for i in range(degree + 1)
+            for j in range(degree + 1 - i)
+            for k in range(degree + 1 - i - j)]
+
+
+def fit_lut_poly(lut, degree=4):
+    """Fit a 3D grading LUT with a polynomial transfer (host, numpy).
+
+    Per-pixel 3D-LUT sampling is 8 random gathers — the TPU wall
+    (PERF.md lesson 1: ~15-25 ms per 2M lookups).  Typical film grades
+    are SMOOTH functions of RGB, so we least-squares-fit the LUT grid
+    with a degree-`degree` trivariate polynomial per output channel
+    (35 terms at degree 4) and evaluate it as one fused elementwise
+    chain on the VPU: zero gathers (reference behavior:
+    data/camera.inc colorgrad 3D-LUT tap).
+
+    Returns (coeffs (T, 3) float32, max_abs_err) — the caller decides
+    whether the fit is close enough to replace the exact trilinear tap.
+    """
+    import numpy as np
+
+    lut = np.asarray(lut, np.float32)
+    s = lut.shape[0]
+    g = np.linspace(0.0, 1.0, s, dtype=np.float32)
+    b, gg, r = np.meshgrid(g, g, g, indexing="ij")     # lut is [b, g, r]
+    terms = _poly_terms(degree)
+    A = np.stack([(r ** i) * (gg ** j) * (b ** k)
+                  for (i, j, k) in terms], -1).reshape(-1, len(terms))
+    y = lut.reshape(-1, 3)
+    coeffs, *_ = np.linalg.lstsq(A, y, rcond=None)
+    err = float(np.abs(A @ coeffs - y).max())
+    return coeffs.astype(np.float32), err
+
+
+def color_grade_poly(coeffs, color, degree=None):
+    """Polynomial grading transfer (see fit_lut_poly): dense VPU math,
+    no memory lookups.  color in [0,1]; coeffs (T, 3)."""
+    if degree is None:                 # infer from the term count
+        degree = 1
+        while len(_poly_terms(degree)) != coeffs.shape[0]:
+            degree += 1
+            assert degree <= 8, "coeffs length matches no degree <= 8"
+    c = jnp.clip(color, 0.0, 1.0)
+    r, g, b = c[..., 0], c[..., 1], c[..., 2]
+    rp = [jnp.ones_like(r), r]
+    gp = [jnp.ones_like(g), g]
+    bp = [jnp.ones_like(b), b]
+    for _ in range(degree - 1):
+        rp.append(rp[-1] * r)
+        gp.append(gp[-1] * g)
+        bp.append(bp[-1] * b)
+    out = [jnp.zeros_like(r) for _ in range(3)]
+    for t, (i, j, k) in enumerate(_poly_terms(degree)):
+        m = rp[i] * gp[j] * bp[k]
+        for ch in range(3):
+            out[ch] = out[ch] + coeffs[t, ch] * m
+    return jnp.clip(jnp.stack(out, -1), 0.0, 1.0)
+
+
 def composite(hdr, exposure, *, bloom=None, bloom_strength=0.0, ssr=None,
-              dof_blur=None, dof_amount=None, lut=None, glow=None):
+              dof_blur=None, dof_amount=None, lut=None, lut_poly=None,
+              glow=None):
     """Combine HDR color + effects, tonemap, optional grade -> display RGB.
 
     Mirrors the composite pass combine order (reference:
@@ -89,10 +151,10 @@ def composite(hdr, exposure, *, bloom=None, bloom_strength=0.0, ssr=None,
     if bloom is not None:
         color = color + bloom * bloom_strength
     color = tonemap(color * exposure)
-    if lut is not None:
+    if lut_poly is not None:
+        color = color_grade_poly(lut_poly, color)
+    elif lut is not None:
         color = color_grade(lut, color)
-    else:
-        pass
     return srgb_encode(color)
 
 

@@ -61,7 +61,8 @@ def shade_deferred(gbuffer, depth, sceneset, *, proj, invview,
                    ssao=None, fogvol=None, shadowfactor=None, shadowmaps=None,
                    ibl=None, env_specular=None, env_diffuse=None, envbrdf=None,
                    cluster=None, spotmaps=None, full_size=None, y0=0,
-                   shadow_factor_scale=2, env_scale=2):
+                   shadow_factor_scale=2, env_scale=2,
+                   shadow_slice_blend=0.0):
     """Main deferred shade.  Returns HDR color (H, W, 3) premultiplied by
     camera exposure (reference: lighting.comp:274-283 applies exposure at
     the end of the lighting pass).  full_size/y0 support row-band shards."""
@@ -218,7 +219,8 @@ def shade_deferred(gbuffer, depth, sceneset, *, proj, invview,
         sf_h = shadow_factor_esm_fast(pool(worldpos), esm, zmx, zsc,
                                       ml["splits"], ml["shadowview"],
                                       pool(-viewpos[..., 2]),
-                                      normal=pool(normal))
+                                      normal=pool(normal),
+                                      slice_blend=shadow_slice_blend)
         from .blur import resize_up_dense
         sf = resize_up_dense(sf_h, h, w)
     elif shadowmaps is not None:

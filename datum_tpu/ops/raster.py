@@ -302,15 +302,16 @@ def bin_triangles(setup, n_tris, tiles_x, tiles_y, bin_capacity, big_capacity,
         dq_e = ((k >> tri_bits) & levels).astype(jnp.float32)
         bin_zub = jnp.where(entry_ok, 1.0 - dq_e * (1.0 / levels), 0.0)
 
-    # compact big-triangle ids via cumsum + scatter: jnp.nonzero(size=K)
-    # lowers to a ~1.1 ms fusion at T=131k on v5e (trace fusion.45);
-    # positions are unique so the scatter is conflict-free, overflow
-    # positions fall outside the buffer and drop
+    # compact big-triangle ids with a dense rank compare: id[j] = index
+    # of the (j+1)-th set bit = #{t: cumsum[t] <= j}.  The (K, T)
+    # broadcast-compare reduction is one fused VPU pass (~8M lanes at
+    # K=64); the previous cumsum+scatter compaction traced at ~0.24 ms
+    # per call x4 calls/frame (jnp.nonzero(size=K) was worse, ~1.1 ms)
     bigm = setup["big"]
-    pos = jnp.where(bigm, jnp.cumsum(bigm.astype(jnp.int32)) - 1, big_capacity)
-    big_ids = (jnp.full((big_capacity + 1,), -1, jnp.int32)
-               .at[pos].set(jnp.arange(T, dtype=jnp.int32), mode="drop")
-               [:big_capacity])
+    cs = jnp.cumsum(bigm.astype(jnp.int32))
+    jj = jnp.arange(big_capacity, dtype=jnp.int32)
+    big_ids = jnp.sum((cs[None, :] <= jj[:, None]).astype(jnp.int32), axis=1)
+    big_ids = jnp.where(jj < cs[-1], big_ids, -1)
     ret = (bins, counts.astype(jnp.int32), big_ids)
     if return_overflow:
         # dropped (tile, tri) pairs: bins saturate in draw order, so a

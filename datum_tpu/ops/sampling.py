@@ -306,6 +306,80 @@ def sample_cubemap_lod_quad(flatq, d, lod):
     return s0 + (s1 - s0) * f
 
 
+def flatten_cube_mips_pair(cube_mips):
+    """Mip-PAIR quad-packed cubemap chain: ONE gather per trilinear
+    sample (vs two for flatq).
+
+    Each mip-l row carries its own 2x2 quad (4C) plus the 2x2 quad of
+    "mip l+1 resampled onto mip l's texel grid" (4C more, 8C total).
+    Interpolating the resampled coarse field is a bilinear-of-bilinear —
+    up to half a coarse texel blurrier than a true mip-l+1 tap, which is
+    invisible on pre-convolved environment/sky chains, and it halves
+    the gather count of every env-specular / sky sample (TPU gather
+    cost is per-lookup: PERF.md lesson 1).  The last mip pairs with
+    itself.
+    """
+    flats, bases, sizes = [], [], []
+    off = 0
+    n = len(cube_mips)
+    for li, m in enumerate(cube_mips):
+        m = _to_f32(jnp.asarray(m))
+        s = int(m.shape[1])
+        nxt = _to_f32(jnp.asarray(cube_mips[min(li + 1, n - 1)]))
+        # resample mip l+1 to this mip's texel centers (per face)
+        if nxt.shape[1] != s:
+            sn = nxt.shape[1]
+            x = (jnp.arange(s, dtype=jnp.float32) + 0.5) * (sn / s) - 0.5
+            x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, sn - 1)
+            x1 = jnp.minimum(x0 + 1, sn - 1)
+            fx = jnp.clip(x - x0, 0.0, 1.0)
+            a = nxt[:, x0][:, :, x0]
+            b = nxt[:, x0][:, :, x1]
+            c_ = nxt[:, x1][:, :, x0]
+            d_ = nxt[:, x1][:, :, x1]
+            top = a + (b - a) * fx[None, None, :, None]
+            bot = c_ + (d_ - c_) * fx[None, None, :, None]
+            nxt = top + (bot - top) * fx[None, :, None, None]
+        rows = []
+        for f in range(6):
+            rows.append(jnp.concatenate([quad_pack(m[f]),
+                                         quad_pack(nxt[f])], axis=-1))
+        flats.append(jnp.concatenate(rows, axis=0))
+        bases.append(off)
+        sizes.append(s)
+        off += 6 * s * s
+    return (jnp.concatenate(flats, axis=0), jnp.asarray(bases, jnp.int32),
+            jnp.asarray(sizes, jnp.int32))
+
+
+def sample_cubemap_lod_pair(flatp, d, lod):
+    """Trilinear cubemap sample from a mip-pair quad chain: ONE gather
+    per output texel (see flatten_cube_mips_pair)."""
+    table, bases, sizes = flatp
+    c = table.shape[-1] // 8
+    n = bases.shape[0]
+    lod = jnp.clip(lod, 0.0, n - 1)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    f = (lod - l0)[..., None]
+    face, uv = cubemap_face_uv(d)
+    base, s = bases[l0], sizes[l0]
+    sf = s.astype(jnp.float32)
+    x = uv[..., 0] * sf - 0.5
+    y = uv[..., 1] * sf - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = jnp.where(x0 < 0, 0.0, x - x0)[..., None]
+    fy = jnp.where(y0 < 0, 0.0, y - y0)[..., None]
+    x0c = jnp.clip(x0, 0, s - 1)
+    y0c = jnp.clip(y0, 0, s - 1)
+    row = table[base + (face * s + y0c) * s + x0c]          # (..., 8C)
+    s0 = _bilerp(row[..., 0:c], row[..., c:2 * c],
+                 row[..., 2 * c:3 * c], row[..., 3 * c:4 * c], fx, fy)
+    s1 = _bilerp(row[..., 4 * c:5 * c], row[..., 5 * c:6 * c],
+                 row[..., 6 * c:7 * c], row[..., 7 * c:8 * c], fx, fy)
+    return s0 + (s1 - s0) * f
+
+
 def sample_cubemap_quad(flatq, d, level=0):
     """Bilinear cubemap sample from a quad-packed chain: ONE gather."""
     table, bases, sizes = flatq

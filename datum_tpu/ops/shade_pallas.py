@@ -140,8 +140,14 @@ SKY_NAMES = ["sky_r", "sky_g", "sky_b"]
 # fields assembled outside)
 ENVD_NAMES = ["edr", "edg", "edb", "edm"]
 TR_NAMES = ["tr_r", "tr_g", "tr_b", "tr_a"]     # lit translucent layer
-TR2_NAMES = ["tr2_r", "tr2_g", "tr2_b", "tr2_a"]  # 2nd (depth-peeled)
-                                                  # lit layer, farther
+# deeper depth-peeled lit layers (tr2 = 2nd nearest, ...): every peeled
+# fragment gets the FULL deferred shade (reference: translucent.frag
+# shades every translucent fragment via back-to-front subpasses)
+MAX_TR_LAYERS = 4
+
+
+def _trk_names(k):
+    return [f"tr{k}_r", f"tr{k}_g", f"tr{k}_b", f"tr{k}_a"]
 REFR_NAMES = ["tr_ox", "tr_oy"]                 # refraction offsets (px)
 REFR_STEPS = (-8, -3, 0, 3, 8)                  # quantized shift ladder (x)
 # vertical shifts roll within the 16-row band, so the ladder stays at
@@ -405,12 +411,15 @@ def _shade_kernel(counts_ref, params_ref, lights_ref, spots_ref, probes_ref,
             col = jnp.where(mask, col, g[f"sky_{'rgb'[c]}"] * exposure)
         cols.append(col)
 
-    if "tr2_a" in g:              # farther depth-peeled lit layer blends
-        # under layer 1, back-to-front (reference: translucent.frag
-        # shades EVERY translucent fragment; layers beyond the 2nd fall
-        # back to unlit WBOIT via the oit accumulators)
-        cols = [b * (1.0 - g["tr2_a"]) + g[f"tr2_{'rgb'[c]}"] * g["tr2_a"]
-                for c, b in enumerate(cols)]
+    # deeper depth-peeled lit layers blend under layer 1, back-to-front
+    # (deepest first; reference: translucent.frag shades EVERY
+    # translucent fragment; fragments beyond the last peeled layer fall
+    # back to unlit WBOIT via the oit accumulators)
+    for k_ in range(MAX_TR_LAYERS, 1, -1):
+        if f"tr{k_}_a" in g:
+            a_ = g[f"tr{k_}_a"]
+            cols = [b * (1.0 - a_) + g[f"tr{k_}_{'rgb'[c]}"] * a_
+                    for c, b in enumerate(cols)]
 
     if "tr_a" in g:               # lit translucent layer (pre-shaded)
         bg = cols
@@ -549,7 +558,8 @@ def shade_deferred_pallas(gplanes, sceneset, *, proj, invview,
         pl.BlockSpec((probe_tab.shape[0], 32), full, memory_space=pltpu.VMEM),
     ]
     names = list(PLANE_NAMES)
-    for grp in (SKY_NAMES, ENVD_NAMES, TR_NAMES, TR2_NAMES, REFR_NAMES,
+    trk_groups = [_trk_names(k) for k in range(2, MAX_TR_LAYERS + 1)]
+    for grp in (SKY_NAMES, ENVD_NAMES, TR_NAMES, *trk_groups, REFR_NAMES,
                 FOG_NAMES, OIT_NAMES):
         if grp[0] in gplanes:
             names += grp

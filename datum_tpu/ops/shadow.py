@@ -240,7 +240,7 @@ def shadow_factor_esm(worldpos, esm, zmax, zscale, splits, shadowview, view_dist
 
 def sun_shadow_factor_quarter(depth, nrm_planes, shadowmaps, sceneset, *,
                               proj, invview, scale=4, y0=0,
-                              full_height=None):
+                              full_height=None, slice_blend=0.0):
     """Quarter-res sun ESM factor straight from the depth plane.
 
     Feeds the deferred-shade megakernel (ops/shade_pallas.py), which
@@ -265,7 +265,7 @@ def sun_shadow_factor_quarter(depth, nrm_planes, shadowmaps, sceneset, *,
     ml = sceneset["mainlight"]
     return shadow_factor_esm_fast(wpos, esm, zmx, zsc, ml["splits"],
                                   ml["shadowview"], -viewpos[..., 2],
-                                  normal=nrm)
+                                  normal=nrm, slice_blend=slice_blend)
 
 
 SPOT_ESM_C = 30.0
@@ -519,12 +519,18 @@ def shadow_factor(worldpos, shadowmaps, splits, shadowview, view_dist,
 
 
 def shadow_factor_esm_fast(worldpos, esm, zmax, zscale, splits, shadowview,
-                           view_dist, normal=None):
+                           view_dist, normal=None, slice_blend=0.0):
     """Single-gather ESM factor: per-pixel cascade chosen arithmetically,
     then ONE combined nearest tap from the stacked maps.
 
     The general path gathers once per slice (4x the taps) — at TPU
     gather throughput (~15-25 ms per 2M taps) that dominated lighting.
+
+    slice_blend > 0 adds the reference's cascade-boundary lerp
+    (lighting.comp:63-95 blends slice N into N+1 over the tail of each
+    split range): a SECOND tap from the next slice, mixed over the last
+    `slice_blend` fraction of the slice — hides resolution seams at
+    cascade boundaries for one extra gather per sample.
     """
     nslices, res, _ = esm.shape
     # monotonic splits -> slice index = count of splits below the distance
@@ -545,28 +551,53 @@ def shadow_factor_esm_fast(worldpos, esm, zmax, zscale, splits, shadowview,
             out = jnp.where(s_sel == s, table[s], out)
         return out
 
-    m = [[sel(shadowview[:, r_, c_]) for c_ in range(4)] for r_ in range(3)]
-    zmax_sel = sel(zmax)
-    zscale_sel = sel(zscale)
-    xnorm_sel = sel(xnorm)
-    znorm_sel = sel(znorm)
-    wtexel = 2.0 / (res * xnorm_sel)
-    pos = worldpos if normal is None else worldpos + normal * (1.5 * wtexel)[..., None]
+    def factor_of(s_sel, sel):
+        m = [[sel(shadowview[:, r_, c_]) for c_ in range(4)]
+             for r_ in range(3)]
+        zmax_sel = sel(zmax)
+        zscale_sel = sel(zscale)
+        xnorm_sel = sel(xnorm)
+        znorm_sel = sel(znorm)
+        wtexel = 2.0 / (res * xnorm_sel)
+        pos = (worldpos if normal is None
+               else worldpos + normal * (1.5 * wtexel)[..., None])
 
-    px, py, pz = pos[..., 0], pos[..., 1], pos[..., 2]
-    cx = m[0][0] * px + m[0][1] * py + m[0][2] * pz + m[0][3]
-    cy = m[1][0] * px + m[1][1] * py + m[1][2] * pz + m[1][3]
-    ref = m[2][0] * px + m[2][1] * py + m[2][2] * pz + m[2][3]
-    u = cx * 0.5 + 0.5
-    v = cy * 0.5 + 0.5
-    inside = (u > 0.01) & (u < 0.99) & (v > 0.01) & (v < 0.99) \
-        & (ref > 0) & (ref < 1)
-    xi = jnp.clip((u * res).astype(jnp.int32), 0, res - 1)
-    yi = jnp.clip((v * res).astype(jnp.int32), 0, res - 1)
-    tap = esm.reshape(-1)[s_sel * (res * res) + yi * res + xi]
+        px, py, pz = pos[..., 0], pos[..., 1], pos[..., 2]
+        cx = m[0][0] * px + m[0][1] * py + m[0][2] * pz + m[0][3]
+        cy = m[1][0] * px + m[1][1] * py + m[1][2] * pz + m[1][3]
+        ref = m[2][0] * px + m[2][1] * py + m[2][2] * pz + m[2][3]
+        u = cx * 0.5 + 0.5
+        v = cy * 0.5 + 0.5
+        inside = (u > 0.01) & (u < 0.99) & (v > 0.01) & (v < 0.99) \
+            & (ref > 0) & (ref < 1)
+        xi = jnp.clip((u * res).astype(jnp.int32), 0, res - 1)
+        yi = jnp.clip((v * res).astype(jnp.int32), 0, res - 1)
+        tap = esm.reshape(-1)[s_sel * (res * res) + yi * res + xi]
 
-    dref = (zmax_sel - ref) * zscale_sel
-    bias = wtexel * zscale_sel * znorm_sel * 2.0
-    lit = jnp.clip(tap * jnp.exp(jnp.clip(-ESM_C * (dref - bias), -20.0, 20.0)),
-                   0.0, 1.0)
-    return jnp.where(inside, lit, 1.0)
+        dref = (zmax_sel - ref) * zscale_sel
+        bias = wtexel * zscale_sel * znorm_sel * 2.0
+        lit = jnp.clip(tap * jnp.exp(jnp.clip(-ESM_C * (dref - bias),
+                                              -20.0, 20.0)), 0.0, 1.0)
+        return jnp.where(inside, lit, 1.0)
+
+    lit = factor_of(s_sel, sel)
+    if slice_blend > 0 and nslices > 1:
+        # fraction into the current slice's range, 0 at its near split
+        lo = jnp.where(s_sel > 0, sel(jnp.concatenate(
+            [splits[:1] * 0, splits[:nslices - 1]])) * 1.05, 0.0)
+        hi = sel(splits[:nslices])
+        t_ = (view_dist - lo) / jnp.maximum(hi - lo, 1e-3)
+        wgt = jnp.clip((t_ - (1.0 - slice_blend)) / slice_blend, 0.0, 1.0)
+        # the LAST slice has no successor to blend into
+        wgt = jnp.where(s_sel >= nslices - 1, 0.0, wgt)
+        s_next = jnp.minimum(s_sel + 1, nslices - 1)
+
+        def sel_next(table):
+            out = jnp.full(s_next.shape, table[0])
+            for s in range(1, nslices):
+                out = jnp.where(s_next == s, table[s], out)
+            return out
+
+        lit_next = factor_of(s_next, sel_next)
+        lit = lit + (lit_next - lit) * wgt
+    return lit

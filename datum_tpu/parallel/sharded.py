@@ -314,12 +314,14 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset):
                     / jnp.maximum(sceneset["camera"]["focalwidth"], 1e-3),
                     0.0, 1.0)
 
-            lut = device.get("colorlut") if cfg.enable_color_grading else None
+            grading = cfg.enable_color_grading
+            lut = device.get("colorlut") if grading else None
+            lut_poly = device.get("colorlut_poly") if grading else None
             rgb = composite_ops.composite(hdr, 1.0, bloom=bloom_img,
                                           bloom_strength=1.0, ssr=ssr_img,
                                           dof_blur=dof_blur,
                                           dof_amount=dof_amount, lut=lut,
-                                          glow=glow)
+                                          lut_poly=lut_poly, glow=glow)
             image = composite_ops.to_u8_image(rgb)
             return image, lum[None]
 

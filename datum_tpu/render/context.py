@@ -177,6 +177,7 @@ class RenderContext:
         self._device = None
         self.skybox = None
         self.colorlut = None
+        self.colorlut_poly = None
         self._envbrdf = None
         self._envprobes = []
         self._overlay_images = []    # (img u8 RGBA, layers)
@@ -206,10 +207,28 @@ class RenderContext:
             mips=[np.asarray(m) for m in mips]))
         self._device = None
 
-    def set_colorlut(self, lut):
+    def set_colorlut(self, lut, poly_tol=0.008):
         """3D grading LUT (S, S, S, 3) float in [0,1] (reference:
-        src/renderer/colorlut.{h,cpp})."""
+        src/renderer/colorlut.{h,cpp}).
+
+        TPU fast path: the LUT is least-squares-fitted with a degree-4
+        polynomial transfer (ops/composite.fit_lut_poly — zero gathers
+        on the VPU vs 8 random gathers/pixel for the trilinear tap).
+        When the fit's max error is within poly_tol (~2/255 default)
+        the frame grades through the polynomial; pass poly_tol=0 to
+        force the exact trilinear LUT (e.g. posterize-style grades)."""
+        from ..ops.composite import fit_lut_poly
+
         self.colorlut = np.asarray(lut, np.float32)
+        self.colorlut_poly = None
+        if poly_tol > 0:
+            coeffs, err = fit_lut_poly(self.colorlut)
+            if err <= poly_tol:
+                self.colorlut_poly = coeffs
+            else:
+                from ..debug.debug import log_once
+                log_once(f"colorlut: poly fit err {err:.4f} > {poly_tol}"
+                         " — grading via the exact trilinear tap")
         self._device = None
 
     def envbrdf_lut(self):
@@ -408,11 +427,15 @@ class RenderContext:
             if self.skybox is not None:
                 from ..ops.ibl import sh_project
                 from ..ops.sampling import (flatten_cube_mips,
+                                            flatten_cube_mips_pair,
                                             flatten_cube_mips_quad)
                 self._device["ibl"] = dict(
                     mips=tuple(self.skybox.mips),
                     flat=flatten_cube_mips(self.skybox.mips),
                     flatq=flatten_cube_mips_quad(self.skybox.mips),
+                    # mip-pair rows: ONE gather per trilinear env/sky
+                    # sample on the megakernel path
+                    flatp=flatten_cube_mips_pair(self.skybox.mips),
                     sh=jnp.asarray(sh_project(
                         jnp.asarray(self.skybox.mips[0], jnp.float32)[..., :3])),
                     envbrdf=jnp.asarray(self.envbrdf_lut()),
@@ -441,7 +464,11 @@ class RenderContext:
                                 for e in eps],
                         count=jnp.int32(len(eps)))
             if self.colorlut is not None:
-                self._device["colorlut"] = jnp.asarray(self.colorlut)
+                if getattr(self, "colorlut_poly", None) is not None:
+                    self._device["colorlut_poly"] = jnp.asarray(
+                        self.colorlut_poly)
+                else:
+                    self._device["colorlut"] = jnp.asarray(self.colorlut)
             if self.config.max_overlay_sprites > 0:
                 info = self.overlay_info()
                 self._device["overlay_atlas"] = (

@@ -193,10 +193,17 @@ def _assemble_gplanes(cfg, planes, device, sceneset, ibl, shadowmaps, w, h,
         sdir_h = brdf.specular_dominant_direction(nrm_h, r_h, rough_h)
         mips_n = len(ibl["mips"])
         # global env samples rotate by the skybox orientation (probes
-        # below keep world-space dirs — local boxes are world-authored)
-        spec_h = sample_cubemap_lod_quad(
-            ibl["flatq"], brdf.normalize(sdir_h) @ _skyrot(sceneset).T,
-            rough_h * (mips_n - 1))[..., :3]
+        # below keep world-space dirs — local boxes are world-authored).
+        # mip-pair rows (flatp) tap trilinear in ONE gather
+        if "flatp" in ibl:
+            from ..ops.sampling import sample_cubemap_lod_pair
+            spec_h = sample_cubemap_lod_pair(
+                ibl["flatp"], brdf.normalize(sdir_h) @ _skyrot(sceneset).T,
+                rough_h * (mips_n - 1))[..., :3]
+        else:
+            spec_h = sample_cubemap_lod_quad(
+                ibl["flatq"], brdf.normalize(sdir_h) @ _skyrot(sceneset).T,
+                rough_h * (mips_n - 1))[..., :3]
 
         # box-projected env probes (reference: lighting.comp:187-207):
         # quarter-res override fields — specular blends into the
@@ -295,7 +302,7 @@ def _assemble_gplanes(cfg, planes, device, sceneset, ibl, shadowmaps, w, h,
         sfq = sun_shadow_factor_quarter(
             depth, (planes["nx"], planes["ny"], planes["nz"]), shadowmaps,
             sceneset, proj=proj, invview=invview, y0=y0,
-            full_height=full_h)
+            full_height=full_h, slice_blend=cfg.shadow_slice_blend)
         gpl["sf"] = resize_up_dense(sfq, h, w)
     else:
         gpl["sf"] = jnp.ones((h, w), jnp.float32)
@@ -442,9 +449,15 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
         # skybox orientation: world ray -> env-space ray (reference:
         # renderer.cpp:6221 skyview = inverse(skyboxorientation) * ...)
         rays_q = rays_q @ _skyrot(sceneset).T
-        sky_q = sample_cubemap_lod_quad(
-            ibl["flatq"], rays_q,
-            jnp.broadcast_to(lod, rays_q.shape[:-1]))[..., :3]
+        if "flatp" in ibl:
+            from ..ops.sampling import sample_cubemap_lod_pair
+            sky_q = sample_cubemap_lod_pair(
+                ibl["flatp"], rays_q,
+                jnp.broadcast_to(lod, rays_q.shape[:-1]))[..., :3]
+        else:
+            sky_q = sample_cubemap_lod_quad(
+                ibl["flatq"], rays_q,
+                jnp.broadcast_to(lod, rays_q.shape[:-1]))[..., :3]
         from ..ops.blur import resize_up_dense_batch
         sky3 = resize_up_dense_batch(jnp.transpose(sky_q, (2, 0, 1)), h, w)
         for c, ch in enumerate("rgb"):
@@ -532,7 +545,9 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
         # translucent.frag shades EVERY translucent fragment via
         # back-to-front subpasses, renderer.cpp:6596-6684; layers beyond
         # these fall back to unlit WBOIT)
-        n_layers = max(1, int(getattr(cfg, "translucent_lit_layers", 1)))
+        from ..ops.shade_pallas import MAX_TR_LAYERS
+        n_layers = min(max(1, int(getattr(cfg, "translucent_lit_layers", 1))),
+                       MAX_TR_LAYERS)
         peel = None
         for layer in range(n_layers):
             # NOTE: the height arg is the NDC viewport height the kernel
@@ -568,7 +583,7 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
                                  0.0)
             a_depth = 1.0 - (1.0 - a_mat) * jnp.exp(-absorb * column)
             alpha_t = jnp.where(absorb > 0, a_depth, a_mat) * mkt
-            pfx = "tr" if layer == 0 else "tr2"
+            pfx = "tr" if layer == 0 else f"tr{layer + 1}"
             if s_t > 1:
                 # premultiplied-alpha upsample (then unpremultiply) so
                 # the bilinear border doesn't mix unshaded black in;
@@ -1012,7 +1027,8 @@ def _frame(cfg: FrameConfig, device, draws, sceneset, prev=None):
             gbuffer, depth, sceneset,
             proj=sceneset["proj"], invview=sceneset["invview"],
             shadowmaps=shadowmaps, ibl=ibl, cluster=cluster, ssao=ssao_img,
-            spotmaps=spotmaps, shadow_factor_scale=cfg.shadow_factor_scale)
+            spotmaps=spotmaps, shadow_factor_scale=cfg.shadow_factor_scale,
+            shadow_slice_blend=cfg.shadow_slice_blend)
 
     # skybox background (reference: forward pass skybox.vert/frag fills
     # uncovered pixels along the view ray)
@@ -1210,12 +1226,14 @@ def _frame(cfg: FrameConfig, device, draws, sceneset, prev=None):
                           0.0, 1.0)
         dof_blur, dof_amount = blurred, amount
 
-    lut = device.get("colorlut") if cfg.enable_color_grading else None
+    grading = cfg.enable_color_grading
+    lut = device.get("colorlut") if grading else None
+    lut_poly = device.get("colorlut_poly") if grading else None
 
     rgb = composite_ops.composite(hdr, 1.0, bloom=bloom_img,
                                   bloom_strength=1.0, ssr=ssr_img,
                                   dof_blur=dof_blur, dof_amount=dof_amount,
-                                  lut=lut, glow=glow)
+                                  lut=lut, lut_poly=lut_poly, glow=glow)
 
     # device sprite/overlay pass: ordered alpha blend in display space
     # (reference: OVERLAY pass sprite pipeline, renderer.cpp:6760-6789)

@@ -79,6 +79,27 @@ def datumtest_scene(width=1920, height=1080, *, sphere_detail=24, grid=(7, 5),
                 color=(0.8, 0.16, 0.12, 1), metalness=metal, roughness=rough,
                 reflectivity=0.5))
 
+    # color-grading LUT (reference: datumtest loads a colorlut asset and
+    # the composite pass grades through it, camera.inc colorgrad) — a
+    # gentle cinematic grade: mild S-curve contrast, teal-tinted
+    # shadows, warm highlights.  Smooth, so set_colorlut's polynomial
+    # fit replaces the 8-gather trilinear tap on the TPU path.
+    s_ = 32
+    gax = np.linspace(0.0, 1.0, s_, dtype=np.float32)
+    lb, lg, lr = np.meshgrid(gax, gax, gax, indexing="ij")
+    lum_ = 0.2126 * lr + 0.7152 * lg + 0.0722 * lb
+    con = lambda x: x + 0.12 * x * (1.0 - x) * (2.0 * x - 1.0)
+    hw_ = lum_ ** 2
+    # mild S-curve + warm highlights; headroom-scaled tints keep the
+    # grade in [0,1] by construction (no clip kinks, so the polynomial
+    # fit is near-exact)
+    lut = np.stack([
+        con(lr) + 0.035 * hw_ * (1 - con(lr)),
+        con(lg) + 0.010 * hw_ * (1 - con(lg)),
+        con(lb),
+    ], -1)
+    ctx.set_colorlut(lut)
+
     camera = Camera()
     camera.set_projection(np.radians(60), width / height)
     camera.lookat(np.array([0.0, 4.0, 14.0]), np.array([0.0, 2.0, 0.0]),

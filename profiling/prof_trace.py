@@ -7,11 +7,7 @@ hoists loop-invariant passes; see PERF.md round-3 caveat).
 
 Run: python profiling/prof_trace.py [variant]
 """
-import glob
-import gzip
-import json
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -80,28 +76,8 @@ def main():
     print("lum", float(out["luminance"]))     # fence inside the trace
     jax.profiler.stop_trace()
 
-    files = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))
-    data = json.load(gzip.open(files[-1]))
-    evs = data.get("traceEvents", [])
-    pids = {e.get("pid"): e.get("args", {}).get("name") for e in evs
-            if e.get("ph") == "M" and e.get("name") == "process_name"}
-    dev_pids = {p for p, n in pids.items() if n and "TPU" in n}
-    agg = {}
-    total = 0.0
-    for e in evs:
-        if e.get("ph") == "X" and e.get("pid") in dev_pids:
-            dur = (e.get("dur") or 0.0) / 1000.0      # us -> ms
-            name = e.get("name", "?")
-            # strip trailing .N and fusion numbering for grouping
-            base = re.sub(r"[.\d]+$", "", name)
-            agg[base] = (agg.get(base, (0.0, 0))[0] + dur,
-                         agg.get(base, (0.0, 0))[1] + 1)
-            total += dur
-    n_frames = len(inputs)
-    print(f"\ndevice total: {total:.1f} ms over {n_frames} frames "
-          f"= {total / n_frames:.2f} ms/frame;  top ops (ms/frame):")
-    for name, (ms, cnt) in sorted(agg.items(), key=lambda kv: -kv[1][0])[:45]:
-        print(f"  {ms / n_frames:8.3f}  x{cnt // n_frames:4d}  {name[:90]}")
+    from trace_util import report
+    report(trace_dir, len(inputs))
 
 
 if __name__ == "__main__":

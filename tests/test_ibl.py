@@ -267,3 +267,56 @@ def test_skybox_orientation_rotates_background():
     rot = ctx.render(cam, rl, params).astype(np.float32)
     c1 = rot[24:40, 48:80].mean((0, 1))
     assert c1[0] > 2 * c1[2], f"expected red +X face, got {c1}"
+
+
+class TestPairPackedChain:
+    """Mip-pair quad rows: ONE gather per trilinear sample
+    (sampling.flatten_cube_mips_pair) must track the two-gather flatq
+    sampler within the documented half-coarse-texel blur."""
+
+    def _chain(self, rng, base=16, n=4, c=4):
+        mips, s = [], base
+        for _ in range(n):
+            mips.append(rng.uniform(0, 1, (6, s, s, c)).astype(np.float32))
+            s //= 2
+        return mips
+
+    def test_matches_quad_sampler(self):
+        from datum_tpu.ops.sampling import (flatten_cube_mips_pair,
+                                            flatten_cube_mips_quad,
+                                            sample_cubemap_lod_pair,
+                                            sample_cubemap_lod_quad)
+        rng = np.random.RandomState(11)
+        # smooth chain (env chains are pre-convolved): low-frequency data
+        mips = self._chain(rng)
+        for i, m in enumerate(mips):
+            k = m.mean(axis=(1, 2), keepdims=True)
+            mips[i] = (0.3 * m + 0.7 * k).astype(np.float32)
+        flatq = flatten_cube_mips_quad(mips)
+        flatp = flatten_cube_mips_pair(mips)
+        d = rng.normal(size=(512, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        lod = rng.uniform(0, len(mips) - 1, 512).astype(np.float32)
+        a = np.asarray(sample_cubemap_lod_quad(flatq, jnp.asarray(d),
+                                               jnp.asarray(lod)))
+        b = np.asarray(sample_cubemap_lod_pair(flatp, jnp.asarray(d),
+                                               jnp.asarray(lod)))
+        assert np.abs(a - b).max() < 0.08, np.abs(a - b).max()
+        assert np.abs(a - b).mean() < 0.02
+
+    def test_integer_lod_zero_exact(self):
+        """At lod 0 the fine quad dominates: exact match with flatq."""
+        from datum_tpu.ops.sampling import (flatten_cube_mips_pair,
+                                            flatten_cube_mips_quad,
+                                            sample_cubemap_lod_pair,
+                                            sample_cubemap_lod_quad)
+        rng = np.random.RandomState(5)
+        mips = self._chain(rng)
+        flatq = flatten_cube_mips_quad(mips)
+        flatp = flatten_cube_mips_pair(mips)
+        d = rng.normal(size=(256, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        z = jnp.zeros(256, jnp.float32)
+        a = np.asarray(sample_cubemap_lod_quad(flatq, jnp.asarray(d), z))
+        b = np.asarray(sample_cubemap_lod_pair(flatp, jnp.asarray(d), z))
+        np.testing.assert_allclose(a, b, atol=1e-5)
