@@ -209,7 +209,7 @@ def triangle_setup(clip, tris, width, height, tiles_x, tiles_y, tri_valid=None,
 
 def bin_triangles(setup, n_tris, tiles_x, tiles_y, bin_capacity, big_capacity,
                   max_span=BIN_MAX_SPAN, return_overflow=False,
-                  depth_prio=None, return_zub=False):
+                  depth_prio=None, return_zub=False, tri_block=None):
     """Build per-tile triangle lists via pair-expansion + sort.
 
     Each binned triangle emits up to max_span (tile, tri) pairs over
@@ -224,6 +224,15 @@ def bin_triangles(setup, n_tris, tiles_x, tiles_y, bin_capacity, big_capacity,
     that are occluded anyway (used by the shadow cascades, where hot
     far-cascade tiles can hold thousands of sub-texel triangles).
     Costs 4 tri-id bits: T <= 2^17.
+
+    tri_block: optional (n_blocks, tiles_per_block) for stacked-atlas
+    streams (the shadow cascade stack): triangle ids are laid out as
+    block b owning ids [b*T/n_blocks, (b+1)*T/n_blocks) and tiles
+    [b*tiles_per_block, ...), and a triangle only ever bins into its
+    own block's tiles.  The sort key then packs tri % (T/n_blocks) —
+    log2(n_blocks) fewer key bits — and the block id is recovered from
+    the tile at unpack.  Keeps depth-prio binning viable at stress
+    scale (4 cascades x 256k casters needed 20 tri bits otherwise).
     """
     n_tiles = tiles_x * tiles_y
     if "bbox_soa" in setup:
@@ -231,10 +240,26 @@ def bin_triangles(setup, n_tris, tiles_x, tiles_y, bin_capacity, big_capacity,
     else:
         bbox = setup["tile_bbox"]
         tx0, ty0, tx1, ty1 = bbox[:, 0], bbox[:, 1], bbox[:, 2], bbox[:, 3]
+    T = n_tris
+    T_local = T
+    if tri_block is not None:
+        n_blocks, tiles_per_block = tri_block
+        assert T % n_blocks == 0 and n_tiles == n_blocks * tiles_per_block
+        assert tiles_per_block % tiles_x == 0
+        T_local = T // n_blocks
+        # clamp each triangle's pair rows to ITS block's tile rows: a
+        # bbox spilling into the neighbor band would mis-unpack there
+        # (and the raster scissors those pixels out anyway, so the
+        # clamp changes nothing in the output)
+        rows_per_block = tiles_per_block // tiles_x
+        blk = jnp.arange(T, dtype=jnp.int32) // T_local
+        lo = blk * rows_per_block
+        hi = lo + rows_per_block - 1
+        ty0 = jnp.clip(ty0, lo, hi)
+        ty1 = jnp.clip(ty1, lo, hi)
     span_w = tx1 - tx0 + 1
     span = span_w * (ty1 - ty0 + 1)
 
-    T = n_tris
     # pair expansion TRANSPOSED (span, T): T rides the 128-lane axis —
     # the (T, span) layout wastes (128 - span) lanes per op
     k = jnp.arange(max_span, dtype=jnp.int32)[:, None]               # (S, 1)
@@ -250,7 +275,7 @@ def bin_triangles(setup, n_tris, tiles_x, tiles_y, bin_capacity, big_capacity,
     # sized to the actual tile/triangle capacities; int32 while the key
     # fits in 31 bits, uint32 when it needs all 32.
     tile_bits = max(int(n_tiles).bit_length(), 1)   # sentinel n_tiles fits
-    tri_bits = max(int(T - 1).bit_length(), 1)
+    tri_bits = max(int(T_local - 1).bit_length(), 1)
     if depth_prio is None:
         dq_bits = 0
     else:
@@ -265,7 +290,10 @@ def bin_triangles(setup, n_tris, tiles_x, tiles_y, bin_capacity, big_capacity,
     key_dtype = jnp.int32 if total_bits <= 31 else jnp.uint32
     shift = dq_bits + tri_bits
 
-    tri_ids = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :],
+    tri_arange = jnp.arange(T, dtype=jnp.int32)
+    if tri_block is not None:
+        tri_arange = tri_arange % T_local
+    tri_ids = jnp.broadcast_to(tri_arange[None, :],
                                tile.shape).astype(key_dtype)
     key = (tile.astype(key_dtype) << shift) | tri_ids
     if depth_prio is not None:
@@ -286,8 +314,13 @@ def bin_triangles(setup, n_tris, tiles_x, tiles_y, bin_capacity, big_capacity,
     k = skey[idx]                       # ONE gather; unpack tile/tri below
     entry_ok = ((k >> shift).astype(jnp.int32)
                 == jnp.arange(n_tiles, dtype=jnp.int32)[:, None])
-    bins = jnp.where(entry_ok,
-                     (k & ((1 << tri_bits) - 1)).astype(jnp.int32), -1)
+    tri_unpacked = (k & ((1 << tri_bits) - 1)).astype(jnp.int32)
+    if tri_block is not None:
+        # recover the block-global id from the tile's block
+        block_of_tile = (jnp.arange(n_tiles, dtype=jnp.int32)
+                         // tiles_per_block)
+        tri_unpacked = tri_unpacked + block_of_tile[:, None] * T_local
+    bins = jnp.where(entry_ok, tri_unpacked, -1)
     bin_zub = None
     if return_zub:
         # per-entry depth upper bound recovered from the sort key's

@@ -124,7 +124,8 @@ def resolve_gbuffer(vis, setup, tris, tri_instance, attrs, instances, materials,
                            shaded_n, mask)
 
 
-def sample_matmaps(table, base, size, uv, pool=1, channel_first=False):
+def sample_matmaps(table, base, size, uv, pool=1, channel_first=False,
+                   prev_uv_row=None):
     """One-gather material sample from the combined mip table.
 
     table: (R, 48) u8 quad rows (render/texturepool.py layout); base,
@@ -139,17 +140,24 @@ def sample_matmaps(table, base, size, uv, pool=1, channel_first=False):
     sf = size.astype(jnp.float32)
     # uv footprint per output pixel (edge-clamped backward difference —
     # jnp.roll would wrap the first row/col across the image; `pool`
-    # rescales the step to full-res pixels)
-    def _bdiff(a, axis):
+    # rescales the step to full-res pixels).  prev_uv_row: optional
+    # (1, W, 2) row PRECEDING row 0 — the tile-sharded path passes the
+    # neighbor band's last row so the row-0 mip level matches the
+    # single-device frame (clamping there flipped the LOD on band-edge
+    # rows, the round-4 parity diagnosis)
+    def _bdiff(a, axis, prev0=None):
         sl = [slice(None)] * a.ndim
         sl[axis] = slice(0, 1)
-        first = a[tuple(sl)]
+        first = a[tuple(sl)] if prev0 is None else prev0
         sl[axis] = slice(0, -1)
         prev = jnp.concatenate([first, a[tuple(sl)]], axis=axis)
         return jnp.abs(a - prev)
 
-    du = _bdiff(u, 1) + _bdiff(u, 0)
-    dv = _bdiff(v, 1) + _bdiff(v, 0)
+    pu = pv = None
+    if prev_uv_row is not None:
+        pu, pv = prev_uv_row[..., 0], prev_uv_row[..., 1]
+    du = _bdiff(u, 1) + _bdiff(u, 0, pu)
+    dv = _bdiff(v, 1) + _bdiff(v, 0, pv)
     span = jnp.maximum(du, dv) * sf * (1.0 / max(pool, 1))
     lod = jnp.log2(jnp.maximum(span, 1.0))
     max_lod = jnp.log2(jnp.maximum(sf, 1.0))          # exact for pow2

@@ -68,10 +68,15 @@ def _render_cascade_stack(p0, p1, p2, shared, shadowview, *, res,
     # triangles already occluded in light space (zbound == zmax for the
     # ortho light projection's w == 1, and doubles as the early-z band
     # bound source — see suffix_zbound_groups_banded)
+    # tri_block: each slice's triangles only bin into its own band of
+    # the stacked atlas, so the sort key packs tri % T — 2 fewer key
+    # bits, keeping depth-prio binning viable at stress scale (256k
+    # casters x 4 slices)
     bins, counts, big, bin_zub = raster_ops.bin_triangles(
         setup, n_slices * T, tiles_x, tiles_y, bin_capacity,
         big_capacity, max_span=4, depth_prio=setup["zbound"],
-        return_zub=True)
+        return_zub=True,
+        tri_block=(n_slices, (tiles_x * tiles_y) // n_slices))
     if use_pallas:
         from .raster_pallas import raster_depth_pallas
         depth = raster_depth_pallas(setup, bins, big, counts,

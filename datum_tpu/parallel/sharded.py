@@ -21,10 +21,15 @@ renderer.cpp:6423-6853, distributed over devices):
 The legacy reduced path (XLA raster + basic deferred) remains for
 configs without the Pallas fast path.
 
-Known limits vs the single-device frame: the device sprite/overlay
-pass (display-space regions straddle band edges — composite overlays
-on the gathered image via render/overlay.py instead) and temporal AO
-history threading (ssao_temporal) are not sharded.
+Round-4 parity closures: band-local upsamples of reduced-res fields
+(sun/spot factors, env/probe fields, the 15-plane material upsample)
+ride all-gather-upsample-slice closures instead of clamping at band
+edges; the matmap mip-LOD backward difference receives the neighbor
+band's last uv row via ppermute; the device sprite pass composites on
+the gathered display rgb (bit-identical); temporal AO history threads
+through `prev=` exactly like frame.render_frame (the state is computed
+from gathered fields, so it is device-identical and returns
+replicated).
 """
 
 from __future__ import annotations
@@ -45,9 +50,13 @@ from ..render.frame import (expand_draws, _vertex_stage, _shade_with_kernel)
 from ..ops.geometry import transform_vertices_rigid
 
 
-def render_frame_sharded(cfg: FrameConfig, mesh, device, draws, sceneset):
+def render_frame_sharded(cfg: FrameConfig, mesh, device, draws, sceneset,
+                         prev=None):
     """Returns dict(image (H, W, 3) u8 sharded over rows, luminance,
-    bin_overflow)."""
+    bin_overflow[, ao_prev]).
+
+    prev: the previous frame's out["ao_prev"] (temporal AO history,
+    replicated) — same contract as frame.render_frame."""
     n_dev = mesh.devices.size
     if cfg.tiles_y % n_dev != 0:
         raise ValueError(f"tiles_y={cfg.tiles_y} must divide over {n_dev} devices")
@@ -65,7 +74,8 @@ def render_frame_sharded(cfg: FrameConfig, mesh, device, draws, sceneset):
                                   or "flatqs" in ibl["envprobes"])))
         and (not cfg.enable_shadows or cfg.shadow_mode == "esm"))
     if full_ok:
-        return _render_sharded_full(cfg, mesh, device, draws, sceneset)
+        return _render_sharded_full(cfg, mesh, device, draws, sceneset,
+                                    prev=prev)
     return _render_sharded_reduced(cfg, mesh, device, draws, sceneset)
 
 
@@ -82,7 +92,8 @@ def _band_luminance(hdr, y0, cfg, axis):
     return jnp.exp(loglum / (cfg.height * cfg.width))
 
 
-def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset):
+def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset,
+                         prev=None):
     """The FULL fast path (Pallas raster + shade megakernel + SSAO/fog/
     SSR/OIT/spot shadows/decals/translucents) over tile-row shards."""
     n_dev = mesh.devices.size
@@ -93,7 +104,7 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset):
     band_h = (ty // n_dev) * TILE_H
 
     @jax.jit
-    def frame(device, draws, sceneset):
+    def frame(device, draws, sceneset, prev):
         # geom carries the dynamic-vertex (ocean) patch — it must flow
         # into the shard body, NOT be re-read from the device pool
         geom, ex, uv, clip, wnormal, wtangent, worldp, _ = \
@@ -160,7 +171,8 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset):
             tri_mat = draws["material"][ex["tri_draw"]]
 
         def shard_body(bins_s, counts_s, device, draws, sceneset,
-                       setup, big_ids, aux, shadowmaps, spotmaps, fogvol):
+                       setup, big_ids, aux, shadowmaps, spotmaps, fogvol,
+                       prev):
             from ..ops.raster_pallas import raster_shade_pallas
             from ..ops.blur import downsample_pool, resize_up_dense
             from ..ops import brdf
@@ -182,10 +194,47 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset):
                 early_z=cfg.raster_early_z)
             depth = planes["depth"]                       # (band_h, w)
 
+            # reduced-res field upsamplers: all-gather the band-local
+            # field, upsample GLOBALLY, slice the band back out — a
+            # band-local upsample edge-clamps at band boundaries and
+            # diverges from the single-device frame (the round-3
+            # multi-chip parity gap, 4.2e-3 RMSE).  Fields are tiny
+            # (quarter/half res), so the gathers ride ICI cheaply.
+            def _up_to(x, oh, ow):
+                scale = oh / band_h
+                goh = int(round(h * scale))
+                full = jax.lax.all_gather(x, axis, axis=0, tiled=True)
+                up = resize_up_dense(full, goh, ow)
+                row0 = (y0 * oh) // band_h
+                return jax.lax.dynamic_slice_in_dim(up, row0, oh, 0)
+
+            def _up_to_batch(x3, oh, ow):       # (C, hh, ww) channel-first
+                from ..ops.blur import resize_up_dense_batch
+                scale = oh / band_h
+                goh = int(round(h * scale))
+                full = jax.lax.all_gather(x3, axis, axis=1, tiled=True)
+                up = resize_up_dense_batch(full, goh, ow)
+                row0 = (y0 * oh) // band_h
+                return jax.lax.dynamic_slice_in_dim(up, row0, oh, 1)
+
+            def _prev_row(x):
+                # the row PRECEDING this band's row 0 of a band-local
+                # field: the neighbor band's last row via ppermute
+                # (device 0 clamps to its own first row, matching the
+                # single-device image-edge clamp)
+                last = x[-1:]
+                fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+                from_above = jax.lax.ppermute(last, axis, fwd)
+                first_dev = (dev == 0)
+                return jnp.where(first_dev, x[:1], from_above)
+
             # SSAO: reduced-res field all-gathered so horizon taps cross
             # band boundaries exactly like the single-device pass
             band = dict(y0=y0, full_h=h, tile_ids=tile_ids,
-                        fogvol=fogvol, spotmaps=spotmaps)
+                        fogvol=fogvol, spotmaps=spotmaps,
+                        up_to=_up_to, up_to_batch=_up_to_batch,
+                        prev_row=_prev_row)
+            ao_state = None
             if cfg.enable_ssao and cfg.ssao_scale > 0:
                 from ..ops.ssao import hbao, make_hbao_params
                 dec = max(int(round(1.0 / cfg.ssao_scale)), 1)
@@ -204,8 +253,16 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset):
                 dd = jax.lax.all_gather(dd_l, axis, axis=0, tiled=True)
                 nn = jax.lax.all_gather(nn_l, axis, axis=0, tiled=True)
                 nn = brdf.normalize(nn) * 0.5 + 0.5
+                # temporal reprojection (prev replicated): the gathered
+                # low-res field is global, so the history threading is
+                # bit-identical to the single-device pass
                 ao_full = hbao(dd, nn, proj, sceneset["view"],
-                               params=make_hbao_params())
+                               params=make_hbao_params(),
+                               prev_ao=None if prev is None else prev["ao"],
+                               prevview=(None if prev is None
+                                         else prev["view"]),
+                               invview=invview)
+                ao_state = ao_full
                 strength = sceneset["camera"].get("ssaostrength",
                                                   jnp.float32(1.0))
                 # upsample at FULL res, then slice the band: bit-exact
@@ -322,8 +379,24 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset):
                                           dof_blur=dof_blur,
                                           dof_amount=dof_amount, lut=lut,
                                           lut_poly=lut_poly, glow=glow)
+            # device sprite/overlay pass: display-space regions straddle
+            # band edges, so gather the full display rgb, composite
+            # (bit-identical to the single-device frame), slice the band
+            # back out.  One full-res gather, only when sprites exist.
+            if cfg.max_overlay_sprites > 0 and "sprites" in draws:
+                from ..ops.sprite_pass import composite_sprites
+                rgb_full = jax.lax.all_gather(rgb, axis, axis=0, tiled=True)
+                rgb_full = composite_sprites(
+                    rgb_full, draws["sprites"], device["overlay_atlas"],
+                    region=min(cfg.overlay_region, w, h))
+                rgb = jax.lax.dynamic_slice_in_dim(rgb_full, y0, band_h, 0)
             image = composite_ops.to_u8_image(rgb)
-            return image, lum[None]
+            # ao_state is computed from all-gathered fields: identical
+            # on every device, returned replicated (P()) for the next
+            # frame's temporal history
+            if ao_state is None:
+                return image, lum[None]
+            return image, lum[None], ao_state
 
         aux = dict(tris=ex["tris"], uv=uv, wnormal=wnormal,
                    wtangent=wtangent, worldp=worldp, tri_mat=tri_mat,
@@ -334,20 +407,29 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset):
             spotmaps = jnp.zeros((1, 1, 1), jnp.float32)
         if fogvol is None:
             fogvol = jnp.zeros((1, 1, 1, 1), jnp.float32)
+        with_ao = bool(cfg.enable_ssao and cfg.ssao_scale > 0)
         sharded = shard_map(
             shard_body, mesh=mesh,
             in_specs=(P(axis), P(axis), P(), P(), P(), P(), P(),
-                      P(), P(), P(), P()),
-            out_specs=(P(axis), P(axis)),
+                      P(), P(), P(), P(), P()),
+            # ao_state (if any) is device-identical -> replicated spec
+            out_specs=((P(axis), P(axis), P()) if with_ao
+                       else (P(axis), P(axis))),
             check_vma=False,     # pallas_call outputs carry no vma info
         )
-        image, lum = sharded(bins, counts, device, draws, sceneset,
-                             setup, big_ids, aux, shadowmaps, spotmaps,
-                             fogvol)
-        return dict(image=image[:cfg.height, :cfg.width], luminance=lum[0],
-                    bin_overflow=overflow)
+        outs = sharded(bins, counts, device, draws, sceneset,
+                       setup, big_ids, aux, shadowmaps, spotmaps,
+                       fogvol, prev)
+        image, lum = outs[0], outs[1]
+        out = dict(image=image[:cfg.height, :cfg.width], luminance=lum[0],
+                   bin_overflow=overflow)
+        if with_ao:
+            # temporal AO history for the next frame (same contract as
+            # frame.render_frame's out["ao_prev"])
+            out["ao_prev"] = dict(ao=outs[2], view=sceneset["view"])
+        return out
 
-    return frame(device, draws, sceneset)
+    return frame(device, draws, sceneset, prev)
 
 
 def _render_sharded_reduced(cfg: FrameConfig, mesh, device, draws, sceneset):

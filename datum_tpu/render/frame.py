@@ -142,17 +142,29 @@ def _skyrot(sceneset):
 
 
 def _assemble_gplanes(cfg, planes, device, sceneset, ibl, shadowmaps, w, h,
-                      y0=0, full_h=None):
+                      y0=0, full_h=None, up_to=None, up_to_batch=None,
+                      prev_row=None):
     """Material + environment + sun-shadow plane assembly for ONE layer
     of raster output (opaque or the lit translucent layer).  Returns
     (gpl dict for the shade megakernel, coverage mask).
 
     y0/full_h globalize screen-space reconstruction when planes are a
-    tile-sharded band (y0 may be traced)."""
+    tile-sharded band (y0 may be traced).
+
+    up_to(x, oh, ow) / up_to_batch(x3, oh, ow): upsamplers for
+    reduced-res fields.  The tile-sharded path passes closures that
+    all-gather the field, upsample globally and slice the band back out
+    — a band-local upsample edge-clamps at band boundaries and diverges
+    from the single-device frame (the round-3 multi-chip parity gap)."""
     if full_h is None:
         full_h = h
     from ..ops import brdf
     from ..ops.blur import downsample_pool, resize_up_dense
+    from ..ops.blur import resize_up_dense_batch as _up_batch_local
+    if up_to is None:
+        up_to = resize_up_dense
+    if up_to_batch is None:
+        up_to_batch = _up_batch_local
     from ..ops.lighting_pass import reconstruct_positions
     from ..ops.sampling import sample_cubemap_lod_quad
     from ..ops.shade import sample_matmaps
@@ -170,8 +182,13 @@ def _assemble_gplanes(cfg, planes, device, sceneset, ibl, shadowmaps, w, h,
                                        reduce="first")).astype(jnp.int32)
     size_h = jnp.round(downsample_pool(planes["msize"], p,
                                        reduce="first")).astype(jnp.int32)
+    # tile-sharded bands pass prev_row (ppermute of the neighbor band's
+    # last uv row) so the mip-LOD backward difference at band row 0
+    # matches the single-device frame
+    prev_uv = prev_row(uv_h) if prev_row is not None else None
     mm12 = sample_matmaps(device["matmaps"]["table"], base_h, size_h, uv_h,
-                          pool=p, channel_first=True)   # (12, H/2, W/2)
+                          pool=p, channel_first=True,
+                          prev_uv_row=prev_uv)   # (12, H/2, W/2)
 
     probe_dif = None
     if ibl is not None:
@@ -220,9 +237,9 @@ def _assemble_gplanes(cfg, planes, device, sceneset, ibl, shadowmaps, w, h,
             ddir_q = brdf.diffuse_dominant_direction(nrm_q, eye_q, rough_q2)
             spec_o, dif_o, hitm = env_probe_fields(wp_q, sdir_q, ddir_q,
                                                    rough_q2, envs)
-            hit_h = resize_up_dense(hitm, h // p, w // p)
+            hit_h = up_to(hitm, h // p, w // p)
             spec_h = jnp.where(hit_h[..., None] > 0.5,
-                               resize_up_dense(spec_o, h // p, w // p),
+                               up_to(spec_o, h // p, w // p),
                                spec_h)
             probe_dif = (dif_o, hitm)
         # envBRDF at quarter res: the split-sum integral field is smooth
@@ -234,8 +251,8 @@ def _assemble_gplanes(cfg, planes, device, sceneset, ibl, shadowmaps, w, h,
         ndv_q = downsample_pool(ndv_h, 2)
         bi = jnp.clip((rough_q * s_).astype(jnp.int32), 0, s_ - 1)
         bj = jnp.clip((ndv_q * s_).astype(jnp.int32), 0, s_ - 1)
-        eb_h = resize_up_dense(lut.reshape(-1, lut.shape[-1])[bi * s_ + bj],
-                               h // p, w // p)
+        eb_h = up_to(lut.reshape(-1, lut.shape[-1])[bi * s_ + bj],
+                     h // p, w // p)
     else:
         # no environment: zero specular env; the constant-ambient
         # fallback (amb * 0.2, matching shade_deferred) rides the SH DC
@@ -250,14 +267,13 @@ def _assemble_gplanes(cfg, planes, device, sceneset, ibl, shadowmaps, w, h,
     # happens here; mm12 is already channel-first from the flat sampler;
     # the per-plane loop cost ~30 extra dispatches on a dispatch-bound
     # frame)
-    from ..ops.blur import resize_up_dense_batch
     half = jnp.concatenate([
         mm12[jnp.array([0, 1, 2, 4, 5, 7, 8, 9, 10])],   # alb rgb, surf
                                                          # m/r/rough, nmap
         jnp.transpose(spec_h, (2, 0, 1)),
         jnp.transpose(eb_h, (2, 0, 1)),
     ], axis=0)                                         # (15, H/2, W/2)
-    up3 = resize_up_dense_batch(half, h, w)
+    up3 = up_to_batch(half, h, w)
     up = [up3[k] for k in range(15)]
     (alb_r, alb_g, alb_b, surf_m, surf_r, surf_rough,
      nm_x, nm_y, nm_z, es_r, es_g, es_b, eb0, eb1, eb2) = up
@@ -292,10 +308,10 @@ def _assemble_gplanes(cfg, planes, device, sceneset, ibl, shadowmaps, w, h,
     # ---- box env-probe diffuse override planes (see above)
     if probe_dif is not None:
         dif_o, hitm = probe_dif
-        dif_f = resize_up_dense(dif_o, h, w)
+        dif_f = up_to(dif_o, h, w)
         gpl["edr"], gpl["edg"], gpl["edb"] = \
             dif_f[..., 0], dif_f[..., 1], dif_f[..., 2]
-        gpl["edm"] = resize_up_dense(hitm, h, w)
+        gpl["edm"] = up_to(hitm, h, w)
 
     # ---- sun shadow factor (quarter-res ESM, upsampled)
     if cfg.enable_shadows and shadowmaps is not None:
@@ -303,7 +319,7 @@ def _assemble_gplanes(cfg, planes, device, sceneset, ibl, shadowmaps, w, h,
             depth, (planes["nx"], planes["ny"], planes["nz"]), shadowmaps,
             sceneset, proj=proj, invview=invview, y0=y0,
             full_height=full_h, slice_blend=cfg.shadow_slice_blend)
-        gpl["sf"] = resize_up_dense(sfq, h, w)
+        gpl["sf"] = up_to(sfq, h, w)
     else:
         gpl["sf"] = jnp.ones((h, w), jnp.float32)
     return gpl, mask
@@ -335,8 +351,14 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
     y0 = band["y0"] if band else 0
     gh = band["full_h"] if band else h
     tile_ids = band.get("tile_ids") if band else None
+    up_to = band.get("up_to") if band else None
+    up_to_batch = band.get("up_to_batch") if band else None
+    _up = up_to if up_to is not None else resize_up_dense
+    prev_row = band.get("prev_row") if band else None
     gpl, mask = _assemble_gplanes(cfg, planes, device, sceneset, ibl,
-                                  shadowmaps, w, h, y0=y0, full_h=gh)
+                                  shadowmaps, w, h, y0=y0, full_h=gh,
+                                  up_to=up_to, up_to_batch=up_to_batch,
+                                  prev_row=prev_row)
 
     # ---- deferred decals on the fast path: dense blend over the shade
     # planes before lighting (reference: lighting.comp:136-164 — the
@@ -393,7 +415,7 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
                     early_z=cfg.raster_early_z)
             sesm = build_spot_esm(spotmaps)
             spotsf = jnp.stack([
-                resize_up_dense(
+                _up(
                     spot_factor_quarter_parabolic(
                         depth, sesm[i], sl_["view"][i],
                         sl_["attenuation"][i, 3], proj=proj,
@@ -412,7 +434,7 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
                     early_z=cfg.raster_early_z)
             sesm = build_spot_esm(spotmaps)
             spotsf = jnp.stack([
-                resize_up_dense(
+                _up(
                     spot_factor_quarter(depth, sesm[i],
                                         sl_["shadowview"][i],
                                         proj=proj, invview=invview,
@@ -459,7 +481,8 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
                 ibl["flatq"], rays_q,
                 jnp.broadcast_to(lod, rays_q.shape[:-1]))[..., :3]
         from ..ops.blur import resize_up_dense_batch
-        sky3 = resize_up_dense_batch(jnp.transpose(sky_q, (2, 0, 1)), h, w)
+        sky3 = (up_to_batch or resize_up_dense_batch)(
+            jnp.transpose(sky_q, (2, 0, 1)), h, w)
         for c, ch in enumerate("rgb"):
             gpl[f"sky_{ch}"] = sky3[c]
 
@@ -565,10 +588,14 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
             visf_t = jnp.where(planes_t["depth"] > depth_t,
                                planes_t["visf"], -1.0)
             planes_t = dict(planes_t, visf=visf_t)
-            gpl_t, mask_t = _assemble_gplanes(cfg, planes_t, device,
-                                              sceneset, ibl, shadowmaps,
-                                              w_t, h_t, y0=y0_t,
-                                              full_h=gh_t)
+            gpl_t, mask_t = _assemble_gplanes(
+                cfg, planes_t, device, sceneset, ibl, shadowmaps,
+                w_t, h_t, y0=y0_t, full_h=gh_t,
+                # band mode runs the lit layer at full res (s_t == 1),
+                # so the band upsample closures apply directly
+                up_to=(up_to if s_t == 1 else None),
+                up_to_batch=(up_to_batch if s_t == 1 else None),
+                prev_row=(prev_row if s_t == 1 else None))
             tr = shade_deferred_pallas(gpl_t, ss2, proj=proj,
                                        invview=invview, planes_out=True,
                                        interpret=cfg.pallas_interpret,

@@ -106,7 +106,13 @@ def run_dense(label, **kw):
 
 
 if __name__ == "__main__":
+    import os
     import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from datum_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
 
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("lights", "all"):

@@ -132,3 +132,45 @@ def test_sharded_full_path_clustered_lights_match():
     rmse = float(np.sqrt(np.mean((img_a - img_b) ** 2))) / 255.0
     assert rmse < 0.01, f"RMSE {rmse:.4f}"
     assert (mismatch > 8).mean() < 5e-3, f"{(mismatch > 8).sum()} seam px"
+
+
+def test_sharded_temporal_ao_and_exact_parity():
+    """Round-4 parity closures: the sharded fast path must match the
+    single-device frame BIT-EXACTLY (all-gathered cross-band fields +
+    global upsample closures + the mip-LOD halo row), and temporal AO
+    history must thread through prev= with the same contract as
+    frame.render_frame."""
+    ctx, camera, params, make_rl = datumtest_scene(
+        width=128, height=TILE_H * 4, sphere_detail=8, grid=(2, 2),
+        n_point_lights=2, max_vertices=2048, max_triangles=2048,
+        max_instances=8, bin_capacity=32, big_capacity=8,
+        enable_shadows=True, shadow_res=128, shadow_bin_capacity=32,
+        enable_bloom=False, skybox=False,
+        use_pallas=True, pallas_interpret=True,
+        enable_material_maps=True, texture_filter="mip",
+        enable_ssao=True, ssao_temporal=True)
+    device = ctx.device_state()
+    mesh = make_device_mesh(2)
+
+    prev_s = prev_m = None
+    for t in (0.0, 0.1):
+        rl = make_rl(t)
+        ss = make_sceneset(camera, params, point_lights=rl.point_lights)
+        draws = rl.draw_arrays(ctx.config.max_instances,
+                               ctx.default_material)
+        ctx.expand_host(draws)
+        single = frame_mod.render_frame(ctx.config, device, draws, ss,
+                                        prev=prev_s)
+        sharded = render_frame_sharded(ctx.config, mesh, device, draws, ss,
+                                       prev=prev_m)
+        assert "ao_prev" in single and "ao_prev" in sharded
+        prev_s = single["ao_prev"]
+        prev_m = sharded["ao_prev"]
+        img_a = np.asarray(single["image"]).astype(int)
+        img_b = np.asarray(sharded["image"]).astype(int)
+        assert np.abs(img_a - img_b).max() == 0, (
+            f"frame t={t}: sharded image diverged "
+            f"(max {np.abs(img_a - img_b).max()})")
+    # the threaded history states agree too
+    np.testing.assert_allclose(np.asarray(prev_s["ao"]),
+                               np.asarray(prev_m["ao"]), atol=1e-6)
