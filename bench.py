@@ -73,8 +73,13 @@ def main():
     W = int(os.environ.get("DATUM_BENCH_W", 1920))
     H = int(os.environ.get("DATUM_BENCH_H", 1088))
 
+    # DATUM_BENCH_DOF=1: A/B the depth-of-field pass (a config toggle in
+    # the reference too — camera.focalwidth drives it); the measured
+    # delta is recorded in PERF.md
+    dof = bool(int(os.environ.get("DATUM_BENCH_DOF", "0")))
     ctx, camera, params, make_rl = datumtest_scene(
         width=W, height=H, sphere_detail=24, n_point_lights=8,
+        enable_depth_of_field=dof,
         max_vertices=1 << 15, max_triangles=1 << 15,
         # the tuned capacity is for the 1080p tile count; debug sizes
         # auto-size (deep bins where tiles are few, FrameConfig rule)
@@ -96,6 +101,8 @@ def main():
         fog_sample_scale=8,
         # CPU smoke-runs execute the Pallas kernels in interpret mode
         pallas_interpret=(os.environ.get("JAX_PLATFORMS") == "cpu"))
+    if dof:
+        camera.set_depth_of_field(4.0, 14.0)   # focus on the sphere wall
     device = jax.device_put(ctx.device_state())
 
     def frame_inputs(t):

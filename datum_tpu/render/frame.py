@@ -193,18 +193,19 @@ def _assemble_gplanes(cfg, planes, device, sceneset, ibl, shadowmaps, w, h,
     probe_dif = None
     if ibl is not None:
         mk = mask.astype(jnp.float32)
-        mk_h = jnp.maximum(downsample_pool(mk[..., None], p), 1e-6)
-        nrm_h3 = jnp.stack([downsample_pool(planes["nx"] * mk, p),
-                            downsample_pool(planes["ny"] * mk, p),
-                            downsample_pool(planes["nz"] * mk, p)], -1) / mk_h
-        nrm_h = brdf.normalize(nrm_h3)
+        # ONE stacked 5-channel pool (mask, masked normal, masked rough)
+        # instead of five reduce_window launches
+        pooled5 = downsample_pool(jnp.stack(
+            [mk, planes["nx"] * mk, planes["ny"] * mk, planes["nz"] * mk,
+             planes["rgh"] * mk], -1), p)
+        mk_h = jnp.maximum(pooled5[..., :1], 1e-6)
+        nrm_h = brdf.normalize(pooled5[..., 1:4] / mk_h)
         d_h = downsample_pool(depth, p, reduce="first")
         vp_h, wp_h = reconstruct_positions(d_h, proj, invview,
                                            w // p, full_h // p,
                                            y0=y0 // p)
         eye_h = brdf.normalize(invview[:3, 3] - wp_h)
-        rough_h = (downsample_pool(planes["rgh"] * mk, p) / mk_h[..., 0]
-                   * mm12[7])
+        rough_h = pooled5[..., 4] / mk_h[..., 0] * mm12[7]
         r_h = (2.0 * jnp.sum(nrm_h * eye_h, -1, keepdims=True) * nrm_h
                - eye_h)
         sdir_h = brdf.specular_dominant_direction(nrm_h, r_h, rough_h)
@@ -381,12 +382,12 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
     elif cfg.enable_ssao and cfg.ssao_scale > 0:
         from ..ops.ssao import hbao, make_hbao_params
         dec = max(int(round(1.0 / cfg.ssao_scale)), 1)
-        dd = downsample_pool(depth, dec, reduce="first")
-        nn = jnp.stack([downsample_pool(planes["nx"], dec, reduce="first"),
-                        downsample_pool(planes["ny"], dec, reduce="first"),
-                        downsample_pool(planes["nz"], dec, reduce="first")],
-                       -1)
-        nn = brdf.normalize(nn) * 0.5 + 0.5
+        # ONE stacked 4-channel subsample instead of four launches
+        sub4 = downsample_pool(jnp.stack(
+            [depth, planes["nx"], planes["ny"], planes["nz"]], -1),
+            dec, reduce="first")
+        dd = sub4[..., 0]
+        nn = brdf.normalize(sub4[..., 1:4]) * 0.5 + 0.5
         ao = hbao(dd, nn, proj, sceneset["view"], params=make_hbao_params(),
                   prev_ao=None if prev is None else prev["ao"],
                   prevview=None if prev is None else prev["view"],
