@@ -580,8 +580,18 @@ def raster_shade_pallas(setup, bins, big_ids, counts, tris, uv, normal,
                             counts.astype(jnp.int32)])
 
     N_PLANES = 22 if extended else 15
-    # multi-tile grid steps amortize per-step dispatch/DMA latency
-    R = next((r for r in (15, 10, 6, 5, 4, 3, 2) if n_tiles % r == 0), 1)
+    # multi-tile grid steps amortize per-step dispatch/DMA latency —
+    # bounded by the 16 MB scoped-VMEM limit: the per-step block is
+    # R * (rows + output planes), double-buffered by Mosaic.  Deep bins
+    # (stress-scale capacities) must drop R rather than fail to compile
+    per_tile = (n_groups * 128 * rows.dtype.itemsize
+                + N_PLANES * TILE_H * TILE_W * 4)
+    # calibration: cap-1024 (n_groups 576) at R=15 measured 16.41 MB of
+    # scoped vmem -> the scheduler's effective footprint is ~1.67x the
+    # raw per-step block (outputs double-buffer, inputs stream)
+    r_max = max(int(15.5 * 2**20 / (1.67 * per_tile)), 1)
+    R = next((r for r in (15, 10, 6, 5, 4, 3, 2)
+              if r <= r_max and n_tiles % r == 0), 1)
 
     has_peel = peel_depth is not None
 
