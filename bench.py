@@ -92,6 +92,10 @@ def main():
         max_translucent_draws=2, max_translucent_tris=2048,
         max_decals_active=2, decal_textures=False,
         translucent_lit_scale=2, shadow_far_res=512,
+        # cascade-boundary blend (reference lighting.comp:63-95 always
+        # blends); pair-packed ESM rows make it gather-neutral, see
+        # ops/shadow.py build_esm_pair
+        shadow_slice_blend=0.25,
         # fog taps at 8x stride (FrameConfig default is 4): the 160x90
         # froxel grid spans ~12 px/cell at 1080p so 8x still Nyquist-
         # covers it, but reduce='first' depth subsampling over 8x8

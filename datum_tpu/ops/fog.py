@@ -83,7 +83,7 @@ def build_fog_volume(sceneset, *, proj, invview, shadow=None, normalquery=None,
     sun = ml["intensity"]
     if shadow is not None:
         from .shadow import shadow_factor_esm_fast
-        esm, zmx, zsc = shadow
+        esm, zmx, zsc = shadow[:3]
         cd, ch, cw = fog_d // 2, fog_h // 2, fog_w // 2
         # coarse grid world positions computed directly (cell centers)
         xs_c = (jnp.arange(cw, dtype=jnp.float32) + 0.5) / cw * 2 - 1

@@ -215,12 +215,15 @@ def shade_deferred(gbuffer, depth, sceneset, *, proj, invview,
         def pool(x):
             return downsample_pool(x, p)
 
-        esm, zmx, zsc = shadowmaps
+        esm, zmx, zsc = shadowmaps[:3]
         sf_h = shadow_factor_esm_fast(pool(worldpos), esm, zmx, zsc,
                                       ml["splits"], ml["shadowview"],
                                       pool(-viewpos[..., 2]),
                                       normal=pool(normal),
-                                      slice_blend=shadow_slice_blend)
+                                      slice_blend=shadow_slice_blend,
+                                      esm_pair=(shadowmaps[3]
+                                                if len(shadowmaps) > 3
+                                                else None))
         from .blur import resize_up_dense
         sf = resize_up_dense(sf_h, h, w)
     elif shadowmaps is not None:

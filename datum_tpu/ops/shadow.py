@@ -189,6 +189,56 @@ def build_esm(shadowmaps, shadowview, blur_sigma=1.5):
     return jnp.stack(esms), jnp.stack(zmaxs), jnp.stack(zscales)
 
 
+def build_esm_pair(esm, shadowview):
+    """Pack each cascade with its successor resampled onto its grid.
+
+    Sun cascades share the light's orientation — only the ortho extents
+    and centers differ — so the uv mapping between adjacent slices is a
+    pure per-axis scale+translate and the resample is two small dense
+    matmuls per slice (MXU work, no gathers).  The blended factor tap
+    (shadow_factor_esm_fast slice_blend + esm_pair) then reads BOTH
+    slices from one 8-byte row: gather cost on TPU is per row, so the
+    reference's cascade-boundary lerp (lighting.comp:63-95) becomes
+    free relative to the unblended path.
+
+    Returns (S, R, R, 2): [..., 0] the slice's own ESM, [..., 1] the
+    next slice's ESM at the same world position (last slice duplicates
+    itself; its blend weight is forced to 0).
+    """
+    S, R, _ = esm.shape
+    j = jnp.arange(R, dtype=jnp.float32)
+
+    def axis_map(r0, r1):
+        # clip'_{s+1} = a * clip_s + b along a shared axis direction
+        n0 = jnp.sum(r0[:3] * r0[:3])
+        a = jnp.sum(r1[:3] * r0[:3]) / jnp.maximum(n0, 1e-12)
+        b = r1[3] - a * r0[3]
+        return a, b
+
+    def wmat(a, b):
+        # bilinear pull weights: target texel i of slice s reads source
+        # coordinate y' of slice s+1 (edge-clamped)
+        u = (j + 0.5) * (1.0 / R)
+        c = a * (2.0 * u - 1.0) + b
+        y = jnp.clip((c * 0.5 + 0.5) * R - 0.5, 0.0, R - 1.0)
+        return jnp.maximum(1.0 - jnp.abs(y[:, None] - j[None, :]), 0.0)
+
+    outs = []
+    for s in range(S):
+        if s == S - 1:
+            outs.append(jnp.stack([esm[s], esm[s]], -1))
+            continue
+        ax, bx = axis_map(shadowview[s, 0], shadowview[s + 1, 0])
+        ay, by = axis_map(shadowview[s, 1], shadowview[s + 1, 1])
+        # f32 throughout: ESM texels span ~e^20 and bf16-mantissa MXU
+        # passes would put ~0.5% noise into the factor
+        nxt = jnp.einsum("ik,kl,jl->ij", wmat(ay, by), esm[s + 1],
+                         wmat(ax, bx),
+                         precision=jax.lax.Precision.HIGHEST)
+        outs.append(jnp.stack([esm[s], nxt], -1))
+    return jnp.stack(outs)
+
+
 def shadow_factor_esm(worldpos, esm, zmax, zscale, splits, shadowview, view_dist,
                       normal=None, nearest=False):
     """Single-tap ESM shadow factor.
@@ -256,7 +306,8 @@ def sun_shadow_factor_quarter(depth, nrm_planes, shadowmaps, sceneset, *,
     from .blur import downsample_pool
     from .lighting_pass import reconstruct_positions
 
-    esm, zmx, zsc = shadowmaps
+    esm, zmx, zsc = shadowmaps[:3]
+    esm_pair = shadowmaps[3] if len(shadowmaps) > 3 else None
     dq = downsample_pool(depth, scale, reduce="first")
     h4, w4 = dq.shape
     fh4 = (full_height // scale) if full_height is not None else h4
@@ -270,7 +321,8 @@ def sun_shadow_factor_quarter(depth, nrm_planes, shadowmaps, sceneset, *,
     ml = sceneset["mainlight"]
     return shadow_factor_esm_fast(wpos, esm, zmx, zsc, ml["splits"],
                                   ml["shadowview"], -viewpos[..., 2],
-                                  normal=nrm, slice_blend=slice_blend)
+                                  normal=nrm, slice_blend=slice_blend,
+                                  esm_pair=esm_pair)
 
 
 SPOT_ESM_C = 30.0
@@ -524,7 +576,8 @@ def shadow_factor(worldpos, shadowmaps, splits, shadowview, view_dist,
 
 
 def shadow_factor_esm_fast(worldpos, esm, zmax, zscale, splits, shadowview,
-                           view_dist, normal=None, slice_blend=0.0):
+                           view_dist, normal=None, slice_blend=0.0,
+                           esm_pair=None):
     """Single-gather ESM factor: per-pixel cascade chosen arithmetically,
     then ONE combined nearest tap from the stacked maps.
 
@@ -533,9 +586,13 @@ def shadow_factor_esm_fast(worldpos, esm, zmax, zscale, splits, shadowview,
 
     slice_blend > 0 adds the reference's cascade-boundary lerp
     (lighting.comp:63-95 blends slice N into N+1 over the tail of each
-    split range): a SECOND tap from the next slice, mixed over the last
+    split range): a second tap from the next slice, mixed over the last
     `slice_blend` fraction of the slice — hides resolution seams at
-    cascade boundaries for one extra gather per sample.
+    cascade boundaries.  With `esm_pair` (build_esm_pair: each slice
+    packed with its successor resampled onto its own grid) the blend
+    needs no extra gather: ONE 8-byte pair row replaces two 4-byte taps
+    — TPU gather cost is per ROW, not per byte, so reference-parity
+    blending comes at the unblended path's gather budget.
     """
     nslices, res, _ = esm.shape
     # monotonic splits -> slice index = count of splits below the distance
@@ -556,7 +613,9 @@ def shadow_factor_esm_fast(worldpos, esm, zmax, zscale, splits, shadowview,
             out = jnp.where(s_sel == s, table[s], out)
         return out
 
-    def factor_of(s_sel, sel):
+    def project_of(s_sel, sel):
+        """Everything per-slice EXCEPT the tap (no gathers): texel
+        index, inside mask, and the exp term the tap multiplies."""
         m = [[sel(shadowview[:, r_, c_]) for c_ in range(4)]
              for r_ in range(3)]
         zmax_sel = sel(zmax)
@@ -577,16 +636,28 @@ def shadow_factor_esm_fast(worldpos, esm, zmax, zscale, splits, shadowview,
             & (ref > 0) & (ref < 1)
         xi = jnp.clip((u * res).astype(jnp.int32), 0, res - 1)
         yi = jnp.clip((v * res).astype(jnp.int32), 0, res - 1)
-        tap = esm.reshape(-1)[s_sel * (res * res) + yi * res + xi]
 
         dref = (zmax_sel - ref) * zscale_sel
         bias = wtexel * zscale_sel * znorm_sel * 2.0
-        lit = jnp.clip(tap * jnp.exp(jnp.clip(-ESM_C * (dref - bias),
-                                              -20.0, 20.0)), 0.0, 1.0)
-        return jnp.where(inside, lit, 1.0)
+        expt = jnp.exp(jnp.clip(-ESM_C * (dref - bias), -20.0, 20.0))
+        return xi, yi, inside, expt
 
-    lit = factor_of(s_sel, sel)
-    if slice_blend > 0 and nslices > 1:
+    def lit_of(tap, inside, expt):
+        return jnp.where(inside, jnp.clip(tap * expt, 0.0, 1.0), 1.0)
+
+    xi, yi, inside, expt = project_of(s_sel, sel)
+    blend_on = slice_blend > 0 and nslices > 1
+
+    if esm_pair is not None and blend_on:
+        # ONE gather of an 8-byte pair row: [own map, next slice
+        # pre-resampled onto this slice's grid] (build_esm_pair) —
+        # cascade blending at the unblended path's gather count
+        row = esm_pair.reshape(-1, 2)[(s_sel * res + yi) * res + xi]
+        lit = lit_of(row[..., 0], inside, expt)
+    else:
+        lit = lit_of(esm.reshape(-1)[(s_sel * res + yi) * res + xi],
+                     inside, expt)
+    if blend_on:
         # fraction into the current slice's range, 0 at its near split
         lo = jnp.where(s_sel > 0, sel(jnp.concatenate(
             [splits[:1] * 0, splits[:nslices - 1]])) * 1.05, 0.0)
@@ -603,6 +674,12 @@ def shadow_factor_esm_fast(worldpos, esm, zmax, zscale, splits, shadowview,
                 out = jnp.where(s_next == s, table[s], out)
             return out
 
-        lit_next = factor_of(s_next, sel_next)
+        xin, yin, inn, exptn = project_of(s_next, sel_next)
+        if esm_pair is not None:
+            lit_next = lit_of(row[..., 1], inn, exptn)
+        else:
+            lit_next = lit_of(
+                esm.reshape(-1)[(s_next * res + yin) * res + xin],
+                inn, exptn)
         lit = lit + (lit_next - lit) * wgt
     return lit

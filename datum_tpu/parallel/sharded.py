@@ -113,7 +113,8 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset,
         # ---- replicated light-space passes
         shadowmaps = None
         if cfg.enable_shadows:
-            from ..ops.shadow import render_shadow_cascades, build_esm
+            from ..ops.shadow import (render_shadow_cascades, build_esm,
+                                      build_esm_pair)
             raw = render_shadow_cascades(
                 worldp, ex["tris"], sceneset["mainlight"]["shadowview"],
                 res=cfg.shadow_res, bin_capacity=cfg.shadow_bin_capacity,
@@ -123,6 +124,9 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset,
                          else None), early_z=cfg.raster_early_z)
             shadowmaps = (build_esm(raw, sceneset["mainlight"]["shadowview"])
                           if cfg.shadow_mode == "esm" else raw)
+            if cfg.shadow_mode == "esm" and cfg.shadow_slice_blend > 0:
+                shadowmaps = shadowmaps + (build_esm_pair(
+                    shadowmaps[0], sceneset["mainlight"]["shadowview"]),)
 
         spotmaps = None
         if cfg.max_spot_shadows > 0:

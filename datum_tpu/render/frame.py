@@ -884,7 +884,8 @@ def _frame(cfg: FrameConfig, device, draws, sceneset, prev=None):
     # shadow cascades (reference: renderer.cpp:6458-6473 SHADOW pass)
     shadowmaps = None
     if cfg.enable_shadows:
-        from ..ops.shadow import render_shadow_cascades, build_esm
+        from ..ops.shadow import (render_shadow_cascades, build_esm,
+                                  build_esm_pair)
         raw = render_shadow_cascades(
             worldp, ex["tris"], sceneset["mainlight"]["shadowview"],
             res=cfg.shadow_res, bin_capacity=cfg.shadow_bin_capacity,
@@ -894,6 +895,10 @@ def _frame(cfg: FrameConfig, device, draws, sceneset, prev=None):
                      else None), early_z=cfg.raster_early_z)
         if cfg.shadow_mode == "esm":
             shadowmaps = build_esm(raw, sceneset["mainlight"]["shadowview"])
+            if cfg.shadow_slice_blend > 0:
+                # pair rows make the cascade blend gather-neutral
+                shadowmaps = shadowmaps + (build_esm_pair(
+                    shadowmaps[0], sceneset["mainlight"]["shadowview"]),)
         else:
             shadowmaps = raw
 

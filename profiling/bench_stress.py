@@ -94,9 +94,16 @@ def run(label, **kw):
 
 def run_dense(label, **kw):
     """Sponza-class density: ~250k-triangle terrain + high-detail sphere
-    wall + 128 clustered lights (reference: datumtest.cpp:175-202)."""
+    wall + 128 clustered lights (reference: datumtest.cpp:175-202).
+
+    Deep bins (bin_capacity 768): ~250k triangles over 510 tiles
+    average ~490 entries/tile — the auto-sized capacity overflowed
+    49k entries at 1080p (dropped triangles).  The raster grid factor R
+    self-bounds against the scoped-VMEM limit at these capacities."""
     from datum_tpu.scenes import stress_scene
 
+    kw.setdefault("bin_capacity", 768)
+    kw.setdefault("big_capacity", 128)
     ctx, camera, params, make_rl = stress_scene(
         width=1920, height=1088, terrain_n=256, sphere_detail=48,
         grid=(8, 4), n_point_lights=128, use_pallas=True,
@@ -115,9 +122,18 @@ if __name__ == "__main__":
     enable_compilation_cache()
 
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    cap = int(os.environ.get("DATUM_STRESS_CAP", "768"))
     if which in ("lights", "all"):
         run("128 lights, dense loop", use_light_clusters=False)
-        run("128 lights, clustered", use_light_clusters=True,
+        run("128 lights, clustered cap64", use_light_clusters=True,
             tile_light_capacity=64)
+    if which in ("lights32", "all"):
+        run("128 lights, clustered cap32", use_light_clusters=True,
+            tile_light_capacity=32)
     if which in ("dense", "all"):
-        run_dense("dense 250k tris + 128 clustered lights")
+        run_dense(f"dense 250k tris + 128 clustered lights (cap {cap})",
+                  bin_capacity=cap)
+        run_dense("dense + early-z", raster_early_z=True, bin_capacity=cap)
+    if which == "dense1":
+        run_dense(f"dense 250k tris + 128 clustered lights (cap {cap})",
+                  bin_capacity=cap)

@@ -63,4 +63,20 @@ def report(trace_dir, n_frames, top=40, min_ms=0.02):
     for s, (ms, c) in sorted(bysrc.items(), key=lambda kv: -kv[1][0])[:top]:
         print(f"  {ms / n_frames:8.3f} x{c // n_frames:5d}  "
               f"{s.replace('/root/repo/', '')}")
+    # the source-less residue, grouped by op-name prefix (copy/fusion/
+    # dynamic-slice/...) — this is where layout copies and loop
+    # plumbing hide
+    noname = collections.defaultdict(lambda: [0.0, 0])
+    for e in ops:
+        if e.get("args", {}).get("source", "?") != "?":
+            continue
+        key = e.get("name", "?").rstrip("0123456789.")
+        noname[key][0] += e["dur"] / 1e3
+        noname[key][1] += 1
+    if noname:
+        print("\n== unattributed ops by name prefix (ms/frame) ==")
+        for k, (ms, c) in sorted(noname.items(), key=lambda kv: -kv[1][0])[:15]:
+            if ms / n_frames < min_ms:
+                break
+            print(f"  {ms / n_frames:8.3f} x{c // n_frames:5d}  {k}")
     return bysrc, byfile, mod_ms
