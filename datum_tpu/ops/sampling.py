@@ -12,6 +12,7 @@ arrays; filtering is explicit gather + lerp.  Layouts:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 WRAP_REPEAT = 0
@@ -31,6 +32,44 @@ def _to_f32(v):
     if v.dtype == jnp.uint8:
         return v.astype(jnp.float32) * (1.0 / 255.0)
     return v.astype(jnp.float32)
+
+
+def pack_rows_u8(table):
+    """Bitcast an (R, W) f32 row table to (R, 4W) u8 for faster gathers.
+
+    TPU row-gather cost scales with the 32-bit ELEMENT count for f32
+    tables but is width-flat for u8 rows (profiling/prof_gather.py:
+    12xf32 rows gather at ~27 ns/row, the same 48 bytes as u8 at ~15;
+    gather-as-u8 + bitcast-back lands ~20).  Values are bit-identical —
+    only the gather dtype changes.  Unpack with take_rows_f32.
+    """
+    assert table.dtype == jnp.float32, table.dtype
+    r, w = table.shape
+    return jax.lax.bitcast_convert_type(table, jnp.uint8).reshape(r, 4 * w)
+
+
+def _row_elems(table):
+    """f32 element count of a row table, whether packed or not."""
+    return table.shape[-1] // (4 if table.dtype == jnp.uint8 else 1)
+
+
+def take_rows_f32(table, idx):
+    """Row gather returning f32 rows; understands pack_rows_u8 tables
+    (u8 dtype == bit-packed f32: gather the bytes, reassemble words).
+
+    The reassembly is strided minor-dim slices + shifts/ors, NOT a
+    (..., W, 4) reshape + bitcast: on TPU that reshape retiles the
+    minor dims and materialized ~0.19 ms/copy in-frame, eating the
+    gather win.  Slices with stride fuse into the elementwise consumer.
+    """
+    if table.dtype == jnp.uint8:
+        rows = table[idx]
+        word = (rows[..., 0::4].astype(jnp.int32)
+                | (rows[..., 1::4].astype(jnp.int32) << 8)
+                | (rows[..., 2::4].astype(jnp.int32) << 16)
+                | (rows[..., 3::4].astype(jnp.int32) << 24))
+        return jax.lax.bitcast_convert_type(word, jnp.float32)
+    return table[idx]
 
 
 def _wrap_uv(u, size, mode):
@@ -265,8 +304,8 @@ def flatten_cube_mips_quad(cube_mips):
         bases.append(off)
         sizes.append(s)
         off += 6 * s * s
-    return (jnp.concatenate(flats, axis=0), jnp.asarray(bases, jnp.int32),
-            jnp.asarray(sizes, jnp.int32))
+    return (pack_rows_u8(jnp.concatenate(flats, axis=0)),
+            jnp.asarray(bases, jnp.int32), jnp.asarray(sizes, jnp.int32))
 
 
 def _quad_bilinear(table, base, s, face, uv, channels):
@@ -284,7 +323,7 @@ def _quad_bilinear(table, base, s, face, uv, channels):
     y0c = jnp.clip(y0, 0, s - 1)
     # edge half-texels: quad row at the clamped origin still interpolates
     # correctly because rows clamp their own neighbors
-    row = table[base + (face * s + y0c) * s + x0c]          # (..., 4C)
+    row = take_rows_f32(table, base + (face * s + y0c) * s + x0c)  # (..., 4C)
     c = channels
     return _bilerp(row[..., 0:c], row[..., c:2 * c],
                    row[..., 2 * c:3 * c], row[..., 3 * c:4 * c], fx, fy)
@@ -294,7 +333,7 @@ def sample_cubemap_lod_quad(flatq, d, lod):
     """Trilinear cubemap sample from a quad-packed mip chain: 2 gathers
     per output texel (one per adjacent mip)."""
     table, bases, sizes = flatq
-    c = table.shape[-1] // 4
+    c = _row_elems(table) // 4
     n = bases.shape[0]
     lod = jnp.clip(lod, 0.0, n - 1)
     l0 = jnp.floor(lod).astype(jnp.int32)
@@ -348,15 +387,15 @@ def flatten_cube_mips_pair(cube_mips):
         bases.append(off)
         sizes.append(s)
         off += 6 * s * s
-    return (jnp.concatenate(flats, axis=0), jnp.asarray(bases, jnp.int32),
-            jnp.asarray(sizes, jnp.int32))
+    return (pack_rows_u8(jnp.concatenate(flats, axis=0)),
+            jnp.asarray(bases, jnp.int32), jnp.asarray(sizes, jnp.int32))
 
 
 def sample_cubemap_lod_pair(flatp, d, lod):
     """Trilinear cubemap sample from a mip-pair quad chain: ONE gather
     per output texel (see flatten_cube_mips_pair)."""
     table, bases, sizes = flatp
-    c = table.shape[-1] // 8
+    c = _row_elems(table) // 8
     n = bases.shape[0]
     lod = jnp.clip(lod, 0.0, n - 1)
     l0 = jnp.floor(lod).astype(jnp.int32)
@@ -372,7 +411,7 @@ def sample_cubemap_lod_pair(flatp, d, lod):
     fy = jnp.where(y0 < 0, 0.0, y - y0)[..., None]
     x0c = jnp.clip(x0, 0, s - 1)
     y0c = jnp.clip(y0, 0, s - 1)
-    row = table[base + (face * s + y0c) * s + x0c]          # (..., 8C)
+    row = take_rows_f32(table, base + (face * s + y0c) * s + x0c)  # (..., 8C)
     s0 = _bilerp(row[..., 0:c], row[..., c:2 * c],
                  row[..., 2 * c:3 * c], row[..., 3 * c:4 * c], fx, fy)
     s1 = _bilerp(row[..., 4 * c:5 * c], row[..., 5 * c:6 * c],
@@ -383,6 +422,6 @@ def sample_cubemap_lod_pair(flatp, d, lod):
 def sample_cubemap_quad(flatq, d, level=0):
     """Bilinear cubemap sample from a quad-packed chain: ONE gather."""
     table, bases, sizes = flatq
-    c = table.shape[-1] // 4
+    c = _row_elems(table) // 4
     face, uv = cubemap_face_uv(d)
     return _quad_bilinear(table, bases[level], sizes[level], face, uv, c)

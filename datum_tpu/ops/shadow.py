@@ -640,12 +640,12 @@ def shadow_factor_esm_fast(worldpos, esm, zmax, zscale, splits, shadowview,
         dref = (zmax_sel - ref) * zscale_sel
         bias = wtexel * zscale_sel * znorm_sel * 2.0
         expt = jnp.exp(jnp.clip(-ESM_C * (dref - bias), -20.0, 20.0))
-        return xi, yi, inside, expt
+        return xi, yi, inside, expt, (cx, cy, ref)
 
     def lit_of(tap, inside, expt):
         return jnp.where(inside, jnp.clip(tap * expt, 0.0, 1.0), 1.0)
 
-    xi, yi, inside, expt = project_of(s_sel, sel)
+    xi, yi, inside, expt, clip_sel = project_of(s_sel, sel)
     blend_on = slice_blend > 0 and nslices > 1
 
     if esm_pair is not None and blend_on:
@@ -674,10 +674,37 @@ def shadow_factor_esm_fast(worldpos, esm, zmax, zscale, splits, shadowview,
                 out = jnp.where(s_next == s, table[s], out)
             return out
 
-        xin, yin, inn, exptn = project_of(s_next, sel_next)
         if esm_pair is not None:
+            # sun cascades share axes, so the NEXT slice's clip coords
+            # are affine in this slice's: a per-slice constants table
+            # replaces the whole second projection (12 matrix selects +
+            # 9 muls -> 6 selected scalars).  Residual approximation:
+            # the normal-offset receiver bias uses THIS slice's texel
+            # size, a sub-texel difference at the blend seam.
+            r3 = shadowview[:, :3, :3]                       # (S, 3, 3)
+            n2 = jnp.maximum(jnp.sum(r3 * r3, -1), 1e-12)    # (S, 3)
+            nxtv = jnp.concatenate([shadowview[1:], shadowview[-1:]], 0)
+            a_rc = jnp.sum(nxtv[:, :3, :3] * r3, -1) / n2    # (S, 3)
+            b_rc = nxtv[:, :3, 3] - a_rc * shadowview[:, :3, 3]
+            cx, cy, ref = clip_sel
+            cxn = sel(a_rc[:, 0]) * cx + sel(b_rc[:, 0])
+            cyn = sel(a_rc[:, 1]) * cy + sel(b_rc[:, 1])
+            refn = sel(a_rc[:, 2]) * ref + sel(b_rc[:, 2])
+            inn = (jnp.abs(cxn) < 0.98) & (jnp.abs(cyn) < 0.98) \
+                & (refn > 0) & (refn < 1)
+
+            def sel_shift(table):
+                return sel(jnp.concatenate([table[1:], table[-1:]]))
+
+            zscn = sel_shift(zscale)
+            drefn = (sel_shift(zmax) - refn) * zscn
+            biasn = (2.0 / (res * sel_shift(xnorm))) * zscn \
+                * sel_shift(znorm) * 2.0
+            exptn = jnp.exp(jnp.clip(-ESM_C * (drefn - biasn),
+                                     -20.0, 20.0))
             lit_next = lit_of(row[..., 1], inn, exptn)
         else:
+            xin, yin, inn, exptn, _ = project_of(s_next, sel_next)
             lit_next = lit_of(
                 esm.reshape(-1)[(s_next * res + yin) * res + xin],
                 inn, exptn)
