@@ -27,7 +27,7 @@ def froxel_depths(n=FOG_D, depth_range=FOG_DEPTH_RANGE, exponent=FOG_DEPTH_EXPON
 def build_fog_volume(sceneset, *, proj, invview, shadow=None, normalquery=None,
                      fog_w=FOG_W, fog_h=FOG_H, fog_d=FOG_D,
                      depth_range=FOG_DEPTH_RANGE, height_falloff=0.15,
-                     base_height=0.0, ambient=0.1):
+                     base_height=0.0, ambient=0.1, shadow_coarse=True):
     """Returns fog volume (fog_d, fog_h, fog_w, 4): [in-scatter rgb,
     transmittance].
 
@@ -84,6 +84,12 @@ def build_fog_volume(sceneset, *, proj, invview, shadow=None, normalquery=None,
     if shadow is not None:
         from .shadow import shadow_factor_esm_fast
         esm, zmx, zsc = shadow[:3]
+        if shadow_coarse:
+            # volumetric shadowing is blurred by the scattering
+            # integral: tap ONLY the coarsest cascade (it covers every
+            # finer slice's range) — a 1-slice table kills the select
+            # chains and gathers from a 4x smaller (cache-warm) map
+            esm, zmx, zsc = esm[-1:], zmx[-1:], zsc[-1:]
         cd, ch, cw = fog_d // 2, fog_h // 2, fog_w // 2
         # coarse grid world positions computed directly (cell centers)
         xs_c = (jnp.arange(cw, dtype=jnp.float32) + 0.5) / cw * 2 - 1

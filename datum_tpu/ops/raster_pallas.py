@@ -185,16 +185,36 @@ def pack_tile_setup_attrs(setup, bins, big_ids, tris, uv, normal, tri_material,
     """Setup+attribute rows, 2 triangles packed per 128-lane row.
 
     Entry layout within its 64-lane half: [adj*sgn 0-8, zs 9-11, valid 12,
-    tri_id 13, uv 16-21, normal 22-30, material 34-41, matmap base/size
-    42-43, tangent 44-55 (when given)].  Returns (n_tiles, E/2, 128);
-    the kernel statically unrolls the half offset, halving row DMA and
-    loop trips vs one-entry-per-row.
+    tri_id 13, uv numerator coeffs 16-21, normal coeffs 22-30, material
+    34-41, matmap base/size 42-43, tangent coeffs 44-52 + tanw 53 (when
+    given)].  Returns (n_tiles, E/2, 128); the kernel statically unrolls
+    the half offset, halving row DMA and loop trips vs one-entry-per-row.
+
+    Interpolated attributes ship as NUMERATOR plane coefficients: attr =
+    (X*xn + Y*yn + Z) / s with s = e0+e1+e2 — the kernel selects the
+    winner's numerators and s, then divides ONCE per pixel after the
+    entry loop.  vs interpolating per entry (l0/l1/l2 + 3-FMA per attr +
+    a reciprocal per entry) this cuts ~16 vector ops from the ~76-op
+    per-entry cost of the extended kernel.
     """
     row16 = setup["row16"]                            # (T, 16) prebuilt SoA
     T = row16.shape[0]
 
-    uv_t = uv[tris].reshape(-1, 6)                    # (T, 6)
-    n_t = normal[tris].reshape(-1, 9)                 # (T, 9)
+    # adj[t, i] = edge i's (a, b, c); numerator coeff c of an attr with
+    # vertex values v_i is sum_i adj[t, i, c] * v_i
+    adj = row16[:, :9].reshape(T, 3, 3)
+
+    def num_coef(v3):
+        return jnp.einsum("tic,ti->tc", adj, v3,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    uv_v = uv[tris]                                   # (T, 3, 2)
+    uv_t = jnp.concatenate([num_coef(uv_v[..., 0]),
+                            num_coef(uv_v[..., 1])], -1)      # (T, 6)
+    n_v = normal[tris]                                # (T, 3, 3)
+    n_t = jnp.concatenate([num_coef(n_v[..., 0]),
+                           num_coef(n_v[..., 1]),
+                           num_coef(n_v[..., 2])], -1)        # (T, 9)
     mat = tri_material                                 # (T,) int32
     pk = materials.get("packed10")
     if pk is not None:
@@ -228,7 +248,11 @@ def pack_tile_setup_attrs(setup, bins, big_ids, tris, uv, normal, tri_material,
         if mm is None:
             mm = jnp.stack([matmaps["base"][mat].astype(jnp.float32),
                             matmaps["size"][mat].astype(jnp.float32)], -1)
-        t_t = tangent[tris].reshape(-1, 12)           # (T, 12)
+        t_v = tangent[tris]                           # (T, 3, 4)
+        t_t = jnp.concatenate(
+            [num_coef(t_v[..., 0]), num_coef(t_v[..., 1]),
+             num_coef(t_v[..., 2]), t_v[:, 0, 3:4],
+             jnp.zeros((T, 2), jnp.float32)], -1)     # (T, 12)
         absorb = (rows10[:, 10:11] if pk is not None
                   else jnp.zeros((T, 1), jnp.float32))
         pieces += [mm, t_t, absorb, jnp.zeros((T, 64 - 57), jnp.float32)]
@@ -357,33 +381,31 @@ def _raster_shade_kernel(tile_ids_ref, counts_ref, rows_all, out_refs,
                     # smaller d); the layer's own fragments interpolate to
                     # exactly-equal d and fail the strict test
                     passed = passed & (d < peel)
-                inv = 1.0 / jnp.where(s == 0, 1.0, s)
-                l0 = e0 * inv
-                l1 = e1 * inv
-                l2 = 1.0 - l0 - l1
-
-                u = rows[g, o + 16] * l0 + rows[g, o + 18] * l1 + rows[g, o + 20] * l2
-                v = rows[g, o + 17] * l0 + rows[g, o + 19] * l1 + rows[g, o + 21] * l2
-                nx = rows[g, o + 22] * l0 + rows[g, o + 25] * l1 + rows[g, o + 28] * l2
-                ny = rows[g, o + 23] * l0 + rows[g, o + 26] * l1 + rows[g, o + 29] * l2
-                nz = rows[g, o + 24] * l0 + rows[g, o + 27] * l1 + rows[g, o + 30] * l2
+                # deferred perspective divide: select the winner's
+                # numerator planes + s, divide ONCE after the loop
+                u = rows[g, o + 16] * xn + rows[g, o + 17] * yn + rows[g, o + 18]
+                v = rows[g, o + 19] * xn + rows[g, o + 20] * yn + rows[g, o + 21]
+                nx = rows[g, o + 22] * xn + rows[g, o + 23] * yn + rows[g, o + 24]
+                ny = rows[g, o + 25] * xn + rows[g, o + 26] * yn + rows[g, o + 27]
+                nz = rows[g, o + 28] * xn + rows[g, o + 29] * yn + rows[g, o + 30]
 
                 vals = [d, rows[g, o + 13], u, v, nx, ny, nz,
                         rows[g, o + 34], rows[g, o + 35], rows[g, o + 36],
                         rows[g, o + 37], rows[g, o + 38], rows[g, o + 39],
                         rows[g, o + 40], rows[g, o + 41]]
                 if extended:
-                    tx_ = rows[g, o + 44] * l0 + rows[g, o + 48] * l1 \
-                        + rows[g, o + 52] * l2
-                    ty_ = rows[g, o + 45] * l0 + rows[g, o + 49] * l1 \
-                        + rows[g, o + 53] * l2
-                    tz_ = rows[g, o + 46] * l0 + rows[g, o + 50] * l1 \
-                        + rows[g, o + 54] * l2
+                    tx_ = rows[g, o + 44] * xn + rows[g, o + 45] * yn \
+                        + rows[g, o + 46]
+                    ty_ = rows[g, o + 47] * xn + rows[g, o + 48] * yn \
+                        + rows[g, o + 49]
+                    tz_ = rows[g, o + 50] * xn + rows[g, o + 51] * yn \
+                        + rows[g, o + 52]
                     vals += [rows[g, o + 42], rows[g, o + 43],
-                             tx_, ty_, tz_, rows[g, o + 47],
+                             tx_, ty_, tz_, rows[g, o + 53],
                              rows[g, o + 56]]
+                vals.append(s)
                 carry = tuple(jnp.where(passed, vals[j], carry[j])
-                              for j in range(N_PLANES))
+                              for j in range(N_PLANES + 1))
             return carry
 
         if szmax_all is None:
@@ -403,15 +425,20 @@ def _raster_shade_kernel(tile_ids_ref, counts_ref, rows_all, out_refs,
                                     work, lambda c: c, carry)
 
         zeros = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        init = (zeros, zeros - 1.0) + tuple(zeros for _ in range(N_PLANES - 2))
+        init = (zeros, zeros - 1.0) + tuple(zeros for _ in range(N_PLANES - 1))
         if szmax_all is not None:
             init = init + (jnp.float32(0.0),)
         count_groups = (counts_ref[2 + slot] + (P - 1)) // P
         carry = jax.lax.fori_loop(0, big_groups, body, init)
         out = jax.lax.fori_loop(bin_group0, bin_group0 + count_groups, body,
                                 carry)
+        # ONE perspective divide per pixel (winner's numerators / s)
+        s_win = out[N_PLANES]
+        rcp = 1.0 / jnp.where(s_win == 0.0, 1.0, s_win)
+        rational = (2, 3, 4, 5, 6) + ((17, 18, 19) if extended else ())
         for j in range(N_PLANES):
-            out_refs[j][rstep, :, :] = out[j]
+            out_refs[j][rstep, :, :] = (out[j] * rcp if j in rational
+                                        else out[j])
 
 
 def _raster_shade_kernel_2p(tile_ids_ref, counts_ref, rows_all, out_refs,
@@ -495,27 +522,29 @@ def _raster_shade_kernel_2p(tile_ids_ref, counts_ref, rows_all, out_refs,
                 e0, e1, s, _, _ = edges(g, o)
                 won = slot == (g * P + q).astype(jnp.float32)
                 inv = 1.0 / jnp.where(s == 0, 1.0, s)
-                l0 = e0 * inv
-                l1 = e1 * inv
-                l2 = 1.0 - l0 - l1
-                u = rows[g, o + 16] * l0 + rows[g, o + 18] * l1 + rows[g, o + 20] * l2
-                v = rows[g, o + 17] * l0 + rows[g, o + 19] * l1 + rows[g, o + 21] * l2
-                nx = rows[g, o + 22] * l0 + rows[g, o + 25] * l1 + rows[g, o + 28] * l2
-                ny = rows[g, o + 23] * l0 + rows[g, o + 26] * l1 + rows[g, o + 29] * l2
-                nz = rows[g, o + 24] * l0 + rows[g, o + 27] * l1 + rows[g, o + 30] * l2
+                u = (rows[g, o + 16] * xn + rows[g, o + 17] * yn
+                     + rows[g, o + 18]) * inv
+                v = (rows[g, o + 19] * xn + rows[g, o + 20] * yn
+                     + rows[g, o + 21]) * inv
+                nx = (rows[g, o + 22] * xn + rows[g, o + 23] * yn
+                      + rows[g, o + 24]) * inv
+                ny = (rows[g, o + 25] * xn + rows[g, o + 26] * yn
+                      + rows[g, o + 27]) * inv
+                nz = (rows[g, o + 28] * xn + rows[g, o + 29] * yn
+                      + rows[g, o + 30]) * inv
                 vals = [rows[g, o + 13], u, v, nx, ny, nz,
                         rows[g, o + 34], rows[g, o + 35], rows[g, o + 36],
                         rows[g, o + 37], rows[g, o + 38], rows[g, o + 39],
                         rows[g, o + 40], rows[g, o + 41]]
                 if extended:
-                    tx_ = rows[g, o + 44] * l0 + rows[g, o + 48] * l1 \
-                        + rows[g, o + 52] * l2
-                    ty_ = rows[g, o + 45] * l0 + rows[g, o + 49] * l1 \
-                        + rows[g, o + 53] * l2
-                    tz_ = rows[g, o + 46] * l0 + rows[g, o + 50] * l1 \
-                        + rows[g, o + 54] * l2
+                    tx_ = (rows[g, o + 44] * xn + rows[g, o + 45] * yn
+                           + rows[g, o + 46]) * inv
+                    ty_ = (rows[g, o + 47] * xn + rows[g, o + 48] * yn
+                           + rows[g, o + 49]) * inv
+                    tz_ = (rows[g, o + 50] * xn + rows[g, o + 51] * yn
+                           + rows[g, o + 52]) * inv
                     vals += [rows[g, o + 42], rows[g, o + 43],
-                             tx_, ty_, tz_, rows[g, o + 47],
+                             tx_, ty_, tz_, rows[g, o + 53],
                              rows[g, o + 56]]
                 planes = tuple(jnp.where(won, vals[j], planes[j])
                                for j in range(N_PLANES - 1))
