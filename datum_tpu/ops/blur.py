@@ -243,7 +243,8 @@ def resize_up_dense(img, out_h, out_w, precision=None):
     my = jnp.asarray(_updense_matrix(h, out_h).T)     # (out_h, h)
     mx = jnp.asarray(_updense_matrix(w, out_w))       # (w, out_w)
     if img.ndim == 2:
-        return jnp.einsum("Oh,hw->Ow", my, img, precision=precision) @ mx
+        out = jnp.einsum("Oh,hw->Ow", my, img, precision=precision)
+        return jnp.einsum("Ow,wW->OW", out, mx, precision=precision)
     out = jnp.einsum("Oh,hwc->Owc", my, img, precision=precision)
     return jnp.einsum("Owc,wW->OWc", out, mx, precision=precision)
 

@@ -84,12 +84,19 @@ def build_fog_volume(sceneset, *, proj, invview, shadow=None, normalquery=None,
     if shadow is not None:
         from .shadow import shadow_factor_esm_fast
         esm, zmx, zsc = shadow[:3]
+        splits, shadowview = ml["splits"], ml["shadowview"]
         if shadow_coarse:
             # volumetric shadowing is blurred by the scattering
             # integral: tap ONLY the coarsest cascade (it covers every
             # finer slice's range) — a 1-slice table kills the select
-            # chains and gathers from a 4x smaller (cache-warm) map
+            # chains and gathers from a 4x smaller (cache-warm) map.
+            # The MATRICES must shrink with the maps: with one slice
+            # the selector always picks shadowview[0], so passing the
+            # full stack would project froxels with the FINEST
+            # cascade's frustum while tapping the coarsest map
             esm, zmx, zsc = esm[-1:], zmx[-1:], zsc[-1:]
+            shadowview = shadowview[-1:]
+            splits = splits[-1:]   # unused with one slice
         cd, ch, cw = fog_d // 2, fog_h // 2, fog_w // 2
         # coarse grid world positions computed directly (cell centers)
         xs_c = (jnp.arange(cw, dtype=jnp.float32) + 0.5) / cw * 2 - 1
@@ -108,7 +115,7 @@ def build_fog_volume(sceneset, *, proj, invview, shadow=None, normalquery=None,
         dist_c = jnp.broadcast_to(ds_c[:, None, None], cshape)
         sf_c = shadow_factor_esm_fast(
             wp_c.reshape(-1, 3), esm, zmx, zsc,
-            ml["splits"], ml["shadowview"], dist_c.reshape(-1))
+            splits, shadowview, dist_c.reshape(-1))
         sf_c = sf_c.reshape(cd, ch, cw)
         sf = jnp.repeat(jnp.repeat(jnp.repeat(sf_c, 2, 0), 2, 1), 2, 2)
     else:

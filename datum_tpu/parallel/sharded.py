@@ -21,6 +21,13 @@ renderer.cpp:6423-6853, distributed over devices):
 The legacy reduced path (XLA raster + basic deferred) remains for
 configs without the Pallas fast path.
 
+PARITY EXCEPTION: configs with translucent_lit_scale > 1 shade the lit
+translucent layer at full band resolution here (frame.py forces
+s_t = 1 in band mode — the half-res planes' band-local upsamples would
+edge-clamp at band seams), so the sharded image is bit-exact vs the
+single-device frame ONLY for translucent_lit_scale == 1; at scale > 1
+it differs by shading the lit layer at higher resolution.
+
 Round-4 parity closures: band-local upsamples of reduced-res fields
 (sun/spot factors, env/probe fields, the 15-plane material upsample)
 ride all-gather-upsample-slice closures instead of clamping at band

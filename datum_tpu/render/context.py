@@ -178,6 +178,7 @@ class RenderContext:
         self.skybox = None
         self.colorlut = None
         self.colorlut_poly = None
+        self.last_depth = None   # scene depth plane; set after each render
         self._envbrdf = None
         self._envprobes = []
         self._overlay_images = []    # (img u8 RGBA, layers)

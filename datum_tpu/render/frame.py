@@ -522,6 +522,13 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
         # plane assembly + second megakernel run over a ~1/N^2-pixel
         # viewport that spans the full NDC range, and the resulting
         # composite planes upsample back via static-matrix matmuls
+        # band (sharded) mode runs the lit layer at FULL band resolution
+        # regardless of translucent_lit_scale: the half-res planes'
+        # band-local matmul upsamples would edge-clamp at band seams.
+        # PARITY NOTE: for translucent_lit_scale > 1 configs the sharded
+        # frame therefore shades the lit layer at HIGHER resolution than
+        # the single-device frame — bit-exact sharded parity holds only
+        # for translucent_lit_scale == 1 (documented in parallel/sharded)
         s_t = cfg.translucent_lit_scale if band is None else 1
         if s_t > 1:
             h_t = round_up(gh // s_t, TILE_H)

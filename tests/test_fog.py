@@ -112,6 +112,54 @@ def test_fogplane_fades_with_distance():
     assert img[far][..., 2].mean() > base[far][..., 2].mean() + 10
 
 
+def test_fog_shadow_coarse_uses_coarse_cascade_matrix():
+    """shadow_coarse=True taps ONLY the coarsest cascade: the projection
+    matrices must shrink along with the map stack.  Regression for the
+    round-4 advisor finding: with DISTINCT per-cascade matrices, passing
+    the full shadowview while slicing esm to [-1:] projected froxels
+    with the FINEST frustum (most fall outside -> lit=1) while gathering
+    the coarsest map's texels."""
+    from datum_tpu.math.matrix import perspective_proj
+
+    proj = jnp.asarray(perspective_proj(np.radians(60), 16 / 9, 0.1))
+    res = 32
+
+    # fine cascade covers only |x|,|y| < 0.5 world units; coarse covers
+    # the whole 30-unit fog frustum.  Fine map fully LIT, coarse map
+    # fully SHADOWED — any fine-matrix leakage shows up as light.
+    fine = np.diag([2.0, 2.0, -2.0, 1.0]).astype(np.float32)
+    coarse = np.diag([1 / 40, 1 / 40, -1 / 40, 1.0]).astype(np.float32)
+    shadowview = np.stack([fine, coarse])
+    esm = np.stack([np.full((res, res), np.exp(20.0), np.float32),
+                    np.zeros((res, res), np.float32)])
+    zmax = np.ones(2, np.float32)
+    zscale = np.ones(2, np.float32)
+
+    ss = _sceneset(0.4)
+    ss["mainlight"]["splits"] = np.array([5.0, 60.0], np.float32)
+    ss["mainlight"]["shadowview"] = shadowview
+
+    kw = dict(proj=proj, invview=jnp.eye(4), fog_w=16, fog_h=8, fog_d=8,
+              ambient=0.0)
+    vol = np.asarray(fog_ops.build_fog_volume(
+        ss, shadow=(esm, zmax, zscale), shadow_coarse=True, **kw))
+
+    # reference: the same computation with a hand-sliced 1-cascade stack
+    ss1 = _sceneset(0.4)
+    ss1["mainlight"]["splits"] = np.array([60.0], np.float32)
+    ss1["mainlight"]["shadowview"] = shadowview[-1:]
+    vol_ref = np.asarray(fog_ops.build_fog_volume(
+        ss1, shadow=(esm[-1:], zmax[-1:], zscale[-1:]),
+        shadow_coarse=False, **kw))
+    np.testing.assert_allclose(vol, vol_ref, atol=1e-6)
+
+    # and the coarse map's full shadowing must actually bite: in-scatter
+    # stays near zero (ambient=0, sun fully occluded)
+    vol_lit = np.asarray(fog_ops.build_fog_volume(ss, shadow=None, **kw))
+    assert vol[..., :3].max() < 1e-3 * max(vol_lit[..., :3].max(), 1e-6), \
+        (vol[..., :3].max(), vol_lit[..., :3].max())
+
+
 def test_directional_fogattenuation_density():
     """camera.fogattenuation drives the reference's directional density
     falloff: density = fogdensity.a * exp(-max(dot(att, worldpos), 0))
