@@ -108,6 +108,10 @@ class FrameConfig:
     pallas_interpret: bool = False
     enable_skinning: bool = False    # dual-quat skinned vertex path
     enable_foliage: bool = False     # per-draw wind bend vertex modifier
+    # terrain LOD geomorph vertex modifier (push_terrain draws lerp
+    # toward baked coarse-grid targets by camera distance; reference
+    # data/terrain.geometry.vert) — costs one extra row gather per vertex
+    enable_terrain_morph: bool = False
     max_palettes: int = 16
     max_bones: int = 128
     max_particle_quads: int = 0      # forward OIT billboard capacity

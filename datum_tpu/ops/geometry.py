@@ -116,6 +116,44 @@ def transform_vertices_skinned(positions, normals, tangents, vtx_instance,
                                     viewproj)
 
 
+def terrain_morph(positions, normals, morph6, vtx_draw, world, morph_range,
+                  campos):
+    """Terrain LOD geomorph (reference: data/terrain.geometry.vert —
+    alpha = smoothstep(morphbeg, morphend, distance(camerapos.xy,
+    vertex.xy)); xy = mix(vertex, floor-snapped coarse grid point,
+    alpha)).
+
+    The TPU build bakes the snap target at asset-build time instead of
+    re-sampling the heightmap in the vertex stage (a per-vertex texture
+    gather): morph6[:, :3] is the LOCAL-space position delta to the
+    coarse-grid target, morph6[:, 3:6] the normal delta.  The morph
+    factor uses horizontal (x, z) distance from the camera in mesh-local
+    space — our terrain plane is xz with height y (the reference's is xy
+    with height z).
+
+    morph_range: (D, 2) [morphbeg, morphend] per draw; end <= 0 disables
+    (the draw_arrays default).  world: (D, 3, 4) rigid affines.
+    """
+    R = world[:, :, :3]                            # (D, 3, 3), rigid
+    t = world[:, :, 3]
+    cam_local = jnp.einsum("dji,dj->di",
+                           R, campos[None, :] - t)  # R^T (c - t)
+    cl = cam_local[vtx_draw]
+    beg = morph_range[vtx_draw, 0]
+    end = morph_range[vtx_draw, 1]
+    dx = positions[:, 0] - cl[:, 0]
+    dz = positions[:, 2] - cl[:, 2]
+    d = jnp.sqrt(dx * dx + dz * dz)
+    tt = jnp.clip((d - beg) / jnp.maximum(end - beg, 1e-6), 0.0, 1.0)
+    alpha = tt * tt * (3.0 - 2.0 * tt)             # smoothstep
+    alpha = jnp.where(end > 0, alpha, 0.0)[:, None]
+    positions = positions + morph6[:, :3] * alpha
+    nrm = normals + morph6[:, 3:6] * alpha
+    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True),
+                            1e-9)
+    return positions, nrm
+
+
 def wind_bend(positions, wind, scale):
     """Main foliage bend (reference: data/transform.inc:156-165
     transform_bend): bend factor from height, renormalized to preserve

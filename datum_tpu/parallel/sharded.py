@@ -57,6 +57,44 @@ from ..render.frame import (expand_draws, _vertex_stage, _shade_with_kernel)
 from ..ops.geometry import transform_vertices_rigid
 
 
+# ---- ICI traffic ledger (trace-time): every collective in the shard
+# body records its per-device receive bytes here when the jit traces.
+# Sizing note (SURVEY §5.8): the all-gather-reduced-res design trades
+# bandwidth for exactness — each cross-band pass gathers a quarter/
+# half-res field, so per-device ICI traffic scales with the REDUCED
+# image area times (n_dev - 1)/n_dev, independent of band height.  At
+# 1080p/8 devices the dominant terms are the sprite-pass full-res rgb
+# gather (~12 MB) and the SSAO/SSR quarter-res fields (~1 MB each);
+# v5e ICI is ~400 GB/s/link, so the whole ledger is well under 0.1 ms.
+# A ppermute halo exchange (band_h-independent, a few rows) is the
+# scalable refinement once bands are tall enough to contain the blur/
+# SSR neighborhoods.  Run `ici_report()` after a traced frame — the
+# driver dryrun prints it.
+_ICI_LEDGER = []
+
+
+def _ag(x, axis, *, gather_axis, n_dev, label, tiled=True):
+    """all_gather + ledger: per-device receive = (n_dev-1) local shards."""
+    _ICI_LEDGER.append((label, x.size * x.dtype.itemsize * (n_dev - 1)))
+    return jax.lax.all_gather(x, axis, axis=gather_axis, tiled=tiled)
+
+
+def _pp(x, axis, perm, label):
+    _ICI_LEDGER.append((label, x.size * x.dtype.itemsize))
+    return jax.lax.ppermute(x, axis, perm)
+
+
+def ici_report(reset=False):
+    """Aggregate the trace-time ledger: {label: bytes/frame/device}."""
+    agg = {}
+    for label, b in _ICI_LEDGER:
+        agg[label] = agg.get(label, 0) + b
+    agg["TOTAL"] = sum(b for _, b in _ICI_LEDGER)
+    if reset:
+        _ICI_LEDGER.clear()
+    return agg
+
+
 def render_frame_sharded(cfg: FrameConfig, mesh, device, draws, sceneset,
                          prev=None):
     """Returns dict(image (H, W, 3) u8 sharded over rows, luminance,
@@ -214,7 +252,8 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset,
             def _up_to(x, oh, ow):
                 scale = oh / band_h
                 goh = int(round(h * scale))
-                full = jax.lax.all_gather(x, axis, axis=0, tiled=True)
+                full = _ag(x, axis, gather_axis=0, n_dev=n_dev,
+                           label='up_to')
                 up = resize_up_dense(full, goh, ow)
                 row0 = (y0 * oh) // band_h
                 return jax.lax.dynamic_slice_in_dim(up, row0, oh, 0)
@@ -223,7 +262,8 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset,
                 from ..ops.blur import resize_up_dense_batch
                 scale = oh / band_h
                 goh = int(round(h * scale))
-                full = jax.lax.all_gather(x3, axis, axis=1, tiled=True)
+                full = _ag(x3, axis, gather_axis=1, n_dev=n_dev,
+                           label='up_to_batch')
                 up = resize_up_dense_batch(full, goh, ow)
                 row0 = (y0 * oh) // band_h
                 return jax.lax.dynamic_slice_in_dim(up, row0, oh, 1)
@@ -235,7 +275,7 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset,
                 # single-device image-edge clamp)
                 last = x[-1:]
                 fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
-                from_above = jax.lax.ppermute(last, axis, fwd)
+                from_above = _pp(last, axis, fwd, 'prev_row')
                 first_dev = (dev == 0)
                 return jnp.where(first_dev, x[:1], from_above)
 
@@ -261,8 +301,10 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset,
                      downsample_pool(planes["ny"], dec, reduce="first"),
                      downsample_pool(planes["nz"], dec, reduce="first")],
                     -1)
-                dd = jax.lax.all_gather(dd_l, axis, axis=0, tiled=True)
-                nn = jax.lax.all_gather(nn_l, axis, axis=0, tiled=True)
+                dd = _ag(dd_l, axis, gather_axis=0, n_dev=n_dev,
+                         label='ssao')
+                nn = _ag(nn_l, axis, gather_axis=0, n_dev=n_dev,
+                         label='ssao')
                 nn = brdf.normalize(nn) * 0.5 + 0.5
                 # temporal reprojection (prev replicated): the gathered
                 # low-res field is global, so the history threading is
@@ -297,8 +339,8 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset,
             if cfg.enable_ssr and cfg.ssr_mode == "binned":
                 from ..ops.ssr2 import ssr_binned
                 q = 4
-                gather = lambda x: jax.lax.all_gather(
-                    x, axis, axis=0, tiled=True)
+                gather = lambda x: _ag(x, axis, gather_axis=0,
+                                       n_dev=n_dev, label='ssr')
                 ssr_q = ssr_binned(
                     gather(downsample_pool(hdr, q)),
                     gather(downsample_pool(depth, q, reduce="first")),
@@ -326,8 +368,8 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset,
                 # dda fallback at half res from all-gathered fields
                 # (matches frame.py's elif branch)
                 from ..ops.ssr import ssr as ssr_op
-                gather = lambda x: jax.lax.all_gather(
-                    x, axis, axis=0, tiled=True)
+                gather = lambda x: _ag(x, axis, gather_axis=0,
+                                       n_dev=n_dev, label='ssr')
                 gb_h = {k: (gather(downsample_pool(v, 2, reduce="first"))
                             if hasattr(v, "ndim") else v)
                         for k, v in gbuffer.items()}
@@ -348,9 +390,8 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset,
             if cfg.enable_bloom:
                 from ..ops.bloom import bloom as bloom_op
                 from ..ops.blur import downsample2
-                hdr_full = jax.lax.all_gather(
-                    downsample2(downsample2(hdr)), axis, axis=0,
-                    tiled=True)
+                hdr_full = _ag(downsample2(downsample2(hdr)), axis,
+                               gather_axis=0, n_dev=n_dev, label='bloom')
                 bq = bloom_op(hdr_full, sceneset["camera"]["bloomstrength"],
                               pre_downsampled=True,
                               upsample=cfg.enable_depth_of_field)
@@ -371,8 +412,8 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset,
             dof_blur = dof_amount = None
             if cfg.enable_depth_of_field:
                 from ..ops.blur import downsample2, gaussian_blur
-                hq = jax.lax.all_gather(
-                    downsample2(hdr), axis, axis=0, tiled=True)
+                hq = _ag(downsample2(hdr), axis, gather_axis=0,
+                         n_dev=n_dev, label='dof')
                 blurred = resize_up_dense(gaussian_blur(hq, 3.0), h, w)
                 dof_blur = jax.lax.dynamic_slice_in_dim(
                     blurred, y0, band_h, 0)
@@ -396,7 +437,8 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset,
             # back out.  One full-res gather, only when sprites exist.
             if cfg.max_overlay_sprites > 0 and "sprites" in draws:
                 from ..ops.sprite_pass import composite_sprites
-                rgb_full = jax.lax.all_gather(rgb, axis, axis=0, tiled=True)
+                rgb_full = _ag(rgb, axis, gather_axis=0, n_dev=n_dev,
+                               label='sprites_rgb')
                 rgb_full = composite_sprites(
                     rgb_full, draws["sprites"], device["overlay_atlas"],
                     region=min(cfg.overlay_region, w, h))
@@ -521,8 +563,8 @@ def _render_sharded_reduced(cfg: FrameConfig, mesh, device, draws, sceneset):
                 halo = min(16, seeded.shape[0])
                 fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
                 bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
-                from_above = jax.lax.ppermute(seeded[-halo:], axis, fwd)
-                from_below = jax.lax.ppermute(seeded[:halo], axis, bwd)
+                from_above = _pp(seeded[-halo:], axis, fwd, 'halo')
+                from_below = _pp(seeded[:halo], axis, bwd, 'halo')
                 # zero the wrap-around halos at the frame edges
                 first = (dev == 0).astype(jnp.float32)
                 last = (dev == n_dev - 1).astype(jnp.float32)

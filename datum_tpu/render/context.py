@@ -65,6 +65,8 @@ class GeometryPool:
         self.bone_idx = np.zeros((max_vertices, 4), np.int32)
         self.bone_wt = np.zeros((max_vertices, 4), np.float32)
         self.bone_wt[:, 0] = 1.0          # default: bone 0 (identity)
+        # terrain geomorph deltas (pos3 + nrm3); zero = no morph
+        self.morph = np.zeros((max_vertices, 6), np.float32)
         self.triangles = np.zeros((max_triangles, 3), np.int32)
         self.mesh_vtx_offset = np.zeros(max_meshes, np.int32)
         self.mesh_vtx_count = np.zeros(max_meshes, np.int32)
@@ -102,6 +104,15 @@ class GeometryPool:
         if rig is not None:
             self.bone_idx[v0:v0 + nv] = rig["bone"]
             self.bone_wt[v0:v0 + nv] = rig["weight"]
+        # terrain geomorph targets: vertices dict may carry
+        # morph_position/morph_normal (coarse-grid snap targets, see
+        # render/terrain.py) — stored as deltas for the vertex stage
+        if isinstance(vertices, dict) and "morph_position" in vertices:
+            self.morph[v0:v0 + nv, :3] = (
+                np.asarray(vertices["morph_position"], np.float32) - pos)
+            if "morph_normal" in vertices:
+                self.morph[v0:v0 + nv, 3:6] = (
+                    np.asarray(vertices["morph_normal"], np.float32) - nrm)
         self.triangles[t0:t0 + nt] = tris + v0     # pool-global vertex ids
         m = self.n_meshes
         self.mesh_vtx_offset[m] = v0
@@ -129,6 +140,7 @@ class GeometryPool:
                  self.tangents], axis=1)),
             bone_idx=jnp.asarray(self.bone_idx),
             bone_wt=jnp.asarray(self.bone_wt),
+            morph6=jnp.asarray(self.morph),
             triangles=jnp.asarray(self.triangles),
             mesh_vtx_offset=jnp.asarray(self.mesh_vtx_offset),
             mesh_vtx_count=jnp.asarray(self.mesh_vtx_count),
@@ -533,6 +545,25 @@ class RenderContext:
                                      self.config.max_triangles)
 
     # --- frame ------------------------------------------------------------
+    def resize(self, width, height):
+        """Re-specialize the frame for a new viewport size mid-session
+        (reference: examples/example-xcb.cpp:911-925 re-runs
+        prepare_render_pipeline on WM resize; triangle.cpp:85-100).
+
+        Every pool (geometry/material/texture/overlay) and the device
+        state are resolution-independent and carry over; only the jitted
+        frame function re-specializes on the new FrameConfig — the
+        compilation cache makes returning to a previous size free.
+        Resolution-dependent transient state (overlay depth plane,
+        temporal AO history) resets."""
+        import dataclasses
+        if (width, height) == (self.config.width, self.config.height):
+            return
+        self.config = dataclasses.replace(self.config, width=int(width),
+                                          height=int(height))
+        self.last_depth = None
+        self._ao_prev = None
+
     def render(self, camera, renderlist, params, sceneset=None):
         """Render one frame; returns a numpy uint8 (H, W, 3) image."""
         from . import frame as frame_mod

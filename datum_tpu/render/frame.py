@@ -875,6 +875,15 @@ def _vertex_stage(cfg: FrameConfig, device, draws, sceneset):
             geom["bone_idx"][ex["src_v"]], geom["bone_wt"][ex["src_v"]],
             draws["palettes"].reshape(-1, 8), pal_of_v, cfg.max_bones)
 
+    # terrain LOD geomorph (reference: data/terrain.geometry.vert):
+    # lerp toward baked coarse-grid targets by camera distance
+    if cfg.enable_terrain_morph:
+        from ..ops.geometry import terrain_morph
+        positions, normals = terrain_morph(
+            positions, normals, geom["morph6"][ex["src_v"]],
+            ex["vtx_draw"], draws["world"], draws["morph_range"],
+            sceneset["invview"][:3, 3])
+
     viewproj = (sceneset["proj"] @ sceneset["view"]).astype(jnp.float32)
     clip, wnormal, wtangent, worldp = transform_vertices_rigid(
         positions, normals, tangents, ex["vtx_draw"], draws["world"], viewproj)

@@ -124,7 +124,7 @@ def plane(size=1.0, reps=1.0):
     return _mesh(pos, uv, nrm, tan, [0, 2, 1, 0, 3, 2])
 
 
-def terrain(size=32.0, n=128, height=2.0, seed=7, reps=8.0):
+def terrain(size=32.0, n=128, height=2.0, seed=7, reps=8.0, morph_grid=0):
     """Dense displaced ground grid: n x n quads (2*n^2 triangles) with
     fBm perlin heights — the procedural stand-in for a Sponza-class
     dense mesh (reference: test/datumtest.cpp:175-202 Sponza block).
@@ -154,7 +154,14 @@ def terrain(size=32.0, n=128, height=2.0, seed=7, reps=8.0):
     a = (r[:, None] * (n + 1) + r[None, :]).ravel()   # row-major cell origin
     b = a + n + 1
     idx = np.stack([a, b, a + 1, a + 1, b, b + 1], -1).reshape(-1)
-    return _mesh(pos, uv, nrm.reshape(-1, 3), tan, idx)
+    verts, tris = _mesh(pos, uv, nrm.reshape(-1, 3), tan, idx)
+    if morph_grid > 0:      # LOD geomorph targets (render/terrain.py)
+        from .terrain import grid_morph_targets
+        mp, mn = grid_morph_targets(np.stack([gx, h, gz], -1), nrm,
+                                    morph_grid)
+        verts["morph_position"] = mp
+        verts["morph_normal"] = mn
+    return verts, tris
 
 
 def line_cube():

@@ -58,6 +58,22 @@ class RenderList:
                 self.casters.append(dict(mesh=mesh.mesh_id, transform=m,
                                          material=material))
 
+    def push_terrain(self, mesh, transform, material, morph=(24.0, 48.0),
+                     caster=True):
+        """Terrain draw with LOD geomorph (reference:
+        data/terrain.geometry.vert; geometrylist push_terrain) — the
+        mesh must carry baked morph targets (render/terrain.py
+        make_terrain_mesh(morph_grid=...)); morph = (morphbeg,
+        morphend) camera distances.  Requires
+        FrameConfig.enable_terrain_morph."""
+        m = _to_affine(transform)
+        self.draws.append(dict(mesh=mesh.mesh_id, transform=m,
+                               material=material,
+                               morph=np.asarray(morph, np.float32)))
+        if caster:
+            self.casters.append(dict(mesh=mesh.mesh_id, transform=m,
+                                     material=material))
+
     def push_actor(self, mesh, transform, material, palette, caster=True):
         """Skinned draw: palette is the Animator's (B, 8) dual-quat bone
         palette (reference: renderlist push_mesh with Pose/actor
@@ -390,9 +406,10 @@ class RenderList:
         wind = np.zeros((max_draws, 4), np.float32)
         bendscale = np.zeros((max_draws, 3), np.float32)
         detailbendscale = np.zeros((max_draws, 3), np.float32)
+        morph_range = np.zeros((max_draws, 2), np.float32)   # end<=0: off
         out = dict(mesh=mesh, world=world, material=material, count=np.int32(n),
                    wind=wind, bendscale=bendscale,
-                   detailbendscale=detailbendscale)
+                   detailbendscale=detailbendscale, morph_range=morph_range)
         if max_palettes:
             palettes = np.zeros((max_palettes, max_bones, 8), np.float32)
             palettes[:, :, 0] = 1.0      # identity dual-quats
@@ -406,6 +423,8 @@ class RenderList:
                 wind[i] = d["wind"]
                 bendscale[i] = d["bendscale"]
                 detailbendscale[i] = d["detailbendscale"]
+            if "morph" in d:
+                morph_range[i] = d["morph"]
             if max_palettes and d.get("palette") is not None and next_pal < max_palettes:
                 p = d["palette"]
                 palettes[next_pal, :len(p)] = p[:max_bones]

@@ -3,8 +3,15 @@
 Reference parity: the terrain vertex path (reference:
 data/terrain.prepass/geometry.vert — heightmap-displaced grid with LOD
 morphing).  The TPU build bakes the displaced grid at build time (the
-pool is persistent device memory); LOD levels are separate meshes the
-scene selects by distance, like the asteroids example.
+pool is persistent device memory).  Continuous LOD geomorphing
+(reference: terrain.geometry.vert — vertices mix toward floor-snapped
+coarse-grid points by camera distance, re-sampling the heightmap there)
+is baked as per-vertex morph targets via morph_grid= and applied by the
+vertex stage (ops/geometry.terrain_morph) when
+FrameConfig.enable_terrain_morph; push the mesh with
+RenderList.push_terrain to set the (morphbeg, morphend) distances.
+Discrete LOD levels remain available via step=, like the asteroids
+example.
 """
 
 from __future__ import annotations
@@ -12,11 +19,26 @@ from __future__ import annotations
 import numpy as np
 
 
-def make_terrain_mesh(heightmap, size=64.0, height_scale=8.0, step=1):
+def grid_morph_targets(pos_grid, nrm_grid, morph_grid):
+    """Floor-snap each grid vertex to its morph_grid-aligned coarse
+    corner (reference: terrain.geometry.vert gridpos = floor(xy / g) * g
+    with the heightmap re-sampled there — baked, the snapped vertex's
+    own height/normal).  Grids sized n*g + 1 keep boundary vertices
+    fixed (the last row/col index is g-aligned)."""
+    h, w = pos_grid.shape[:2]
+    ii = (np.arange(h) // morph_grid) * morph_grid
+    jj = (np.arange(w) // morph_grid) * morph_grid
+    return (pos_grid[ii][:, jj].reshape(-1, 3),
+            nrm_grid[ii][:, jj].reshape(-1, 3))
+
+
+def make_terrain_mesh(heightmap, size=64.0, height_scale=8.0, step=1,
+                      morph_grid=0):
     """Grid mesh displaced by a (H, W) heightmap.
 
     Returns (vertices dict, indices) for RenderContext.add_mesh; step
-    subsamples the heightmap for LOD levels.
+    subsamples the heightmap for LOD levels; morph_grid > 0 bakes
+    geomorph targets (see module docstring).
     """
     hm = np.asarray(heightmap, np.float32)[::step, ::step]
     h, w = hm.shape
@@ -41,8 +63,13 @@ def make_terrain_mesh(heightmap, size=64.0, height_scale=8.0, step=1):
         for i in range(w - 1):
             a = j * w + i
             idx += [a, a + w, a + 1, a + 1, a + w, a + w + 1]
-    return (dict(position=pos, texcoord=uv, normal=nrm, tangent=tan),
-            np.asarray(idx, np.int32))
+    verts = dict(position=pos, texcoord=uv, normal=nrm, tangent=tan)
+    if morph_grid > 0:
+        mp, mn = grid_morph_targets(np.stack([gx, gy, gz], -1), n,
+                                    morph_grid)
+        verts["morph_position"] = mp
+        verts["morph_normal"] = mn
+    return verts, np.asarray(idx, np.int32)
 
 
 def terrain_lod_chain(heightmap, size=64.0, height_scale=8.0, levels=3):

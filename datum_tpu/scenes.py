@@ -188,6 +188,9 @@ def stress_scene(width=1920, height=1080, *, terrain_n=192,
     cfg_kw.setdefault("max_triangles", 1 << 18)
     cfg_kw.setdefault("use_light_clusters", True)
     cfg_kw.setdefault("tile_light_capacity", 64)
+    # terrain LOD geomorph: distant ground vertices relax onto the
+    # coarse grid (reference: terrain.geometry.vert)
+    cfg_kw.setdefault("enable_terrain_morph", True)
     cfg = FrameConfig(width=width, height=height, **cfg_kw)
     ctx = RenderContext(cfg)
 
@@ -195,7 +198,9 @@ def stress_scene(width=1920, height=1080, *, terrain_n=192,
         from .render.skybox import SkyBox
         ctx.set_skybox(SkyBox(size=skybox_size, convolve_samples=16))
 
-    tverts, tidx = primitives.terrain(size=28.0, n=terrain_n, height=2.2)
+    tverts, tidx = primitives.terrain(
+        size=28.0, n=terrain_n, height=2.2,
+        morph_grid=(4 if cfg.enable_terrain_morph else 0))
     ground = ctx.add_mesh(tverts, tidx)
     rock = np.zeros((64, 64, 4), np.uint8)
     ri, rj = np.indices((64, 64))
@@ -234,7 +239,11 @@ def stress_scene(width=1920, height=1080, *, terrain_n=192,
 
     def make_renderlist(t=0.0):
         rl = RenderList()
-        rl.push_mesh(ground, Transform.identity(), ground_mat)
+        if cfg.enable_terrain_morph:
+            rl.push_terrain(ground, Transform.identity(), ground_mat,
+                            morph=(18.0, 34.0))
+        else:
+            rl.push_mesh(ground, Transform.identity(), ground_mat)
         k = 0
         for j in range(gy):
             for i in range(gx):

@@ -284,6 +284,52 @@ def test_render_scale_blits_to_viewport():
     assert centre[..., 0].mean() > 40       # quad still visible
 
 
+def test_context_resize_respecializes():
+    """Context.resize(): two viewport sizes render in ONE session,
+    reusing the pools (reference: examples/example-xcb.cpp:911-925
+    re-runs prepare_render_pipeline on resize)."""
+    import numpy as np
+
+    from datum_tpu.math import Transform
+    from datum_tpu.ops.common import FrameConfig
+    from datum_tpu.render import Camera, RenderContext, RenderList, RenderParams
+    from datum_tpu.render import primitives
+
+    cfg = FrameConfig(width=256, height=128, max_vertices=512,
+                      max_triangles=512, max_instances=4, bin_capacity=64,
+                      big_capacity=8, enable_shadows=False)
+    ctx = RenderContext(cfg)
+    qv, qi = primitives.unit_quad()
+    quad = ctx.add_mesh(qv, qi)
+    mat = ctx.add_material(color=(1, 0.2, 0.2, 1))
+    cam = Camera()
+    cam.set_projection(np.radians(60), 2.0)
+    cam.lookat(np.array([0.0, 0.0, 4.0]), np.zeros(3),
+               np.array([0.0, 1.0, 0.0]))
+    params = RenderParams(width=256, height=128)
+    params.ambientintensity = 1.0
+
+    def draw():
+        rl = RenderList()
+        rl.push_mesh(quad, Transform.identity(), mat)
+        return ctx.render(cam, rl, params)
+
+    img = draw()
+    assert img.shape == (128, 256, 3)
+    assert ctx.last_depth.shape == (128, 256)
+
+    ctx.resize(128, 64)                     # tile-aligned like all sizes
+    img2 = draw()
+    assert img2.shape == (64, 128, 3)
+    assert ctx.last_depth.shape == (64, 128)
+    centre = img2[25:39, 56:72].astype(np.float32)
+    assert centre[..., 0].mean() > 40       # quad still visible
+
+    ctx.resize(256, 128)                    # back to the original size
+    img3 = draw()
+    np.testing.assert_array_equal(img3, img)
+
+
 def test_bin_overflow_reported():
     import numpy as np
 
