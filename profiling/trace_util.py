@@ -44,6 +44,16 @@ def report(trace_dir, n_frames, top=40, min_ms=0.02):
     print(f"\nmodule wall: {mod_ms:.2f} ms/frame over {len(mods)} runs; "
           f"op sum {tot_ms:.2f} ms/frame; {len(ops) // max(n_frames, 1)} "
           "ops/frame")
+    # duration-band histogram: the round-4 verdict's "unattributed
+    # residue" lives in the 5-100 us mid-band (hundreds of small
+    # fusions/copies/casts) — name its weight explicitly
+    bands = [(0, 5), (5, 20), (20, 100), (100, 1e9)]
+    print("== op duration bands (ms/frame) ==")
+    for lo, hi in bands:
+        sel = [e["dur"] for e in ops if lo <= e["dur"] < hi]
+        label = f"{lo:>4.0f}-{hi:<6.0f}us" if hi < 1e9 else f"  >={lo:.0f}us    "
+        print(f"  {label} {sum(sel) / 1e3 / n_frames:8.3f} "
+              f"x{len(sel) // max(n_frames, 1):5d}")
     bysrc = collections.defaultdict(lambda: [0.0, 0])
     byfile = collections.defaultdict(lambda: [0.0, 0])
     for e in ops:
