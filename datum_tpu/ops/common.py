@@ -31,6 +31,37 @@ FOG_DEPTH_RANGE = 50.0
 FOG_DEPTH_EXPONENT = 3.0
 
 
+def gather_row8(flat, idx):
+    """flat[idx] for f32 tables as 8-wide row fetches + a lane select.
+
+    The TPU gather engine is per-ROW: element gathers from flat f32
+    tables sustain ~150 M rows/s, while the same values fetched as
+    (idx >> 3) rows of 8 lanes run ~3x faster (measured on the spot
+    ESM tap: 0.87 -> ~0.3 ms at 130k taps).  The lane select
+    (iota == idx & 7, sum) is exact — the result is bit-identical to
+    flat[idx].  Requires flat.size % 8 == 0 (pow2 map areas always are).
+    """
+    import jax
+    rows = flat.reshape(-1, 8)[idx >> 3]                 # (..., 8)
+    lane = (idx & 7)[..., None]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1,) * idx.ndim + (8,),
+                                    idx.ndim)
+    return jnp.sum(jnp.where(iota == lane, rows, 0.0), -1)
+
+
+def gather_pair8(pairs, idx):
+    """pairs[idx] for an (N, 2) f32 pair table -> (..., 2), via 8-lane
+    rows (4 pairs each) + two exact lane selects; see gather_row8."""
+    import jax
+    rows = pairs.reshape(-1, 8)[idx >> 2]                # (..., 8)
+    k2 = ((idx & 3) * 2)[..., None]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1,) * idx.ndim + (8,),
+                                    idx.ndim)
+    a = jnp.sum(jnp.where(iota == k2, rows, 0.0), -1)
+    b = jnp.sum(jnp.where(iota == k2 + 1, rows, 0.0), -1)
+    return jnp.stack([a, b], -1)
+
+
 def cdiv(a: int, b: int) -> int:
     return -(-a // b)
 

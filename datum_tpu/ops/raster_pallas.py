@@ -204,17 +204,18 @@ def pack_tile_setup_attrs(setup, bins, big_ids, tris, uv, normal, tri_material,
     # vertex values v_i is sum_i adj[t, i, c] * v_i
     adj = row16[:, :9].reshape(T, 3, 3)
 
-    def num_coef(v3):
-        return jnp.einsum("tic,ti->tc", adj, v3,
-                          precision=jax.lax.Precision.HIGHEST)
+    def num_coef_batch(vA):
+        """(T, 3, A) vertex attrs -> (T, A*3) numerator coeffs, ONE MXU
+        contraction (attr-major: [a0c0 a0c1 a0c2 a1c0 ...], the same
+        layout as concatenating per-attr 'tic,ti->tc' einsums)."""
+        T_, _, A = vA.shape
+        return jnp.einsum("tic,tia->tac", adj, vA,
+                          precision=jax.lax.Precision.HIGHEST
+                          ).reshape(T_, A * 3)
 
     uv_v = uv[tris]                                   # (T, 3, 2)
-    uv_t = jnp.concatenate([num_coef(uv_v[..., 0]),
-                            num_coef(uv_v[..., 1])], -1)      # (T, 6)
     n_v = normal[tris]                                # (T, 3, 3)
-    n_t = jnp.concatenate([num_coef(n_v[..., 0]),
-                           num_coef(n_v[..., 1]),
-                           num_coef(n_v[..., 2])], -1)        # (T, 9)
+    uvn_t = num_coef_batch(jnp.concatenate([uv_v, n_v], -1))  # (T, 15)
     mat = tri_material                                 # (T,) int32
     pk = materials.get("packed10")
     if pk is not None:
@@ -240,7 +241,7 @@ def pack_tile_setup_attrs(setup, bins, big_ids, tris, uv, normal, tri_material,
     pieces = [
         row16,                                        # 0..12 setup, 13 id,
                                                       # 14-15 ylim (unused)
-        uv_t, n_t,                                    # 16..30
+        uvn_t,                                        # 16..30 uv + normal
         jnp.zeros((T, 3), jnp.float32),               # 31-33 pad
         mrows,                                        # 34..41
     ]
@@ -250,8 +251,7 @@ def pack_tile_setup_attrs(setup, bins, big_ids, tris, uv, normal, tri_material,
                             matmaps["size"][mat].astype(jnp.float32)], -1)
         t_v = tangent[tris]                           # (T, 3, 4)
         t_t = jnp.concatenate(
-            [num_coef(t_v[..., 0]), num_coef(t_v[..., 1]),
-             num_coef(t_v[..., 2]), t_v[:, 0, 3:4],
+            [num_coef_batch(t_v[..., :3]), t_v[:, 0, 3:4],
              jnp.zeros((T, 2), jnp.float32)], -1)     # (T, 12)
         absorb = (rows10[:, 10:11] if pk is not None
                   else jnp.zeros((T, 1), jnp.float32))
@@ -837,14 +837,22 @@ BLEND_PACK = 2        # triangles per 128-lane row (64 slots each)
 # uv 16-21 (3 corners x 2), rgba 22-33 (3 corners x 4), soft flag 34]
 
 
-def pack_tile_blend(setup, bins, big_ids, tris, uv, color):
+def pack_tile_blend(setup, bins, big_ids, tris, uv, color,
+                    soft_flag=None, peel_flag=None):
+    """soft_flag / peel_flag: optional per-TRIANGLE (T,) 0/1 f32 flags
+    (row slots 34/35) for a merged stream mixing soft particles with
+    depth-peeled translucent residual triangles in ONE kernel walk."""
     row16 = setup["row16"]                            # (T, 16)
     T = row16.shape[0]
     uv_t = uv[tris].reshape(-1, 6)
     c_t = color[tris].reshape(-1, 12)
     flat = jnp.concatenate([
         row16, uv_t, c_t,
-        jnp.zeros((T, 64 - 34), jnp.float32),
+        (jnp.zeros((T, 1), jnp.float32) if soft_flag is None
+         else soft_flag[:, None].astype(jnp.float32)),
+        (jnp.zeros((T, 1), jnp.float32) if peel_flag is None
+         else peel_flag[:, None].astype(jnp.float32)),
+        jnp.zeros((T, 64 - 36), jnp.float32),
     ], axis=-1)                                       # (T, 64)
     ids = jnp.concatenate(
         [jnp.broadcast_to(big_ids[None, :], (bins.shape[0], big_ids.shape[0])),
@@ -889,8 +897,14 @@ def _blend_kernel(tile_ids_ref, counts_ref, rows_ref, od_ref,
             visible = inside & (d > od) & (d <= 1.0)
             if peel is not None:
                 # depth-peel residual: only fragments strictly farther
-                # than the last LIT translucent layer accumulate here
-                visible = visible & (d < peel)
+                # than the last LIT translucent layer accumulate here.
+                # per_tri mode: row slot 35 flags which triangles peel
+                # (merged particle+translucent streams share one walk)
+                if soft == "per_tri":
+                    visible = visible & ((d < peel)
+                                         | (rows[g, o + 35] <= 0))
+                else:
+                    visible = visible & (d < peel)
             inv = 1.0 / jnp.where(s == 0, 1.0, s)
             l0 = e0 * inv
             l1 = e1 * inv
@@ -903,7 +917,10 @@ def _blend_kernel(tile_ids_ref, counts_ref, rows_ref, od_ref,
                 u = rows[g, o + 16] * l0 + rows[g, o + 18] * l1 + rows[g, o + 20] * l2
                 v = rows[g, o + 17] * l0 + rows[g, o + 19] * l1 + rows[g, o + 21] * l2
                 r2 = (2 * u - 1) ** 2 + (2 * v - 1) ** 2
-                ca = ca * jnp.clip(1.0 - r2, 0.0, 1.0)
+                falloff = jnp.clip(1.0 - r2, 0.0, 1.0)
+                if soft == "per_tri":  # slot 34 flags soft triangles
+                    falloff = jnp.where(rows[g, o + 34] > 0, falloff, 1.0)
+                ca = ca * falloff
             alpha = jnp.where(visible, ca, 0.0)
             # oit_weight(d) without pow: ((1-d)*5)^3 via multiplies
             b_ = (1.0 - d) * 5.0
@@ -927,7 +944,8 @@ def _blend_kernel(tile_ids_ref, counts_ref, rows_ref, od_ref,
 def raster_blend_pallas(setup, bins, big_ids, counts, tris, uv, color,
                         opaque_depth, tiles_x, tiles_y, width, height,
                         soft=True, interpret=False, planes=False,
-                        tile_ids=None, peel_depth=None):
+                        tile_ids=None, peel_depth=None,
+                        soft_flag=None, peel_flag=None):
     """Pallas WBOIT accumulation.  Returns (accum (H,W,4), reveal (H,W)),
     or the five raw planes (ar, ag, ab, aw, reveal) with planes=True.
 
@@ -938,9 +956,14 @@ def raster_blend_pallas(setup, bins, big_ids, counts, tris, uv, color,
     peel_depth: optional (local_H, W) reverse-Z depth — only fragments
     strictly FARTHER than it accumulate (the unlit residual behind the
     lit translucent layers).
+
+    soft='per_tri' with soft_flag/peel_flag (T,) merges streams with
+    different blend behavior (soft particles + peeled translucents)
+    into ONE setup/bin/walk — one kernel launch instead of two.
     """
     assert big_ids.shape[0] % BLEND_PACK == 0
-    rows = pack_tile_blend(setup, bins, big_ids, tris, uv, color)
+    rows = pack_tile_blend(setup, bins, big_ids, tris, uv, color,
+                           soft_flag=soft_flag, peel_flag=peel_flag)
     n_groups = rows.shape[1]
     if tile_ids is None:
         tile_ids = jnp.arange(tiles_x * tiles_y, dtype=jnp.int32)

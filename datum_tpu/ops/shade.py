@@ -173,8 +173,12 @@ def sample_matmaps(table, base, size, uv, pool=1, channel_first=False,
     y0 = jnp.floor(y)
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
-    xi = jnp.mod(x0.astype(jnp.int32), jnp.maximum(s_l, 1))
-    yi = jnp.mod(y0.astype(jnp.int32), jnp.maximum(s_l, 1))
+    # REPEAT wrap via bitwise AND — s_l is pow2 (texturepool contract)
+    # and two's-complement AND wraps negatives correctly; jnp.mod
+    # lowered to a divide + sign-fixup select chain (~0.5 ms at half
+    # res in a degenerate (P, 1) T(1,128) layout)
+    xi = x0.astype(jnp.int32) & (s_l - 1)
+    yi = y0.astype(jnp.int32) & (s_l - 1)
     idx = mip_base + yi * s_l + xi
     if channel_first:
         # flat-row bilinear then ONE (P,12)->(12,P) transpose: the

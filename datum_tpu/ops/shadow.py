@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from . import raster as raster_ops
+from .common import gather_pair8, gather_row8
 
 # 12-tap unit-disk pattern (blue-noise-ish, deterministic); role matches
 # the reference's PoissonDisk table
@@ -365,7 +366,7 @@ def spot_factor_quarter(depth, spot_esm, shadowview, *, proj, invview,
         & (ww > 0)
     xi = jnp.clip((u * res).astype(jnp.int32), 0, res - 1)
     yi = jnp.clip((v * res).astype(jnp.int32), 0, res - 1)
-    tap = spot_esm.reshape(-1)[yi * res + xi]
+    tap = gather_row8(spot_esm.reshape(-1), yi * res + xi)
     lit = jnp.clip(tap * jnp.exp(jnp.clip(SPOT_ESM_C * ref, 0.0, 30.0)),
                    0.0, 1.0)
     return jnp.where(inside, lit, 1.0)
@@ -470,7 +471,7 @@ def spot_factor_quarter_parabolic(depth, spot_esm, view_rigid, far, *,
     v = py * 0.5 + 0.5
     xi = jnp.clip((u * res).astype(jnp.int32), 0, res - 1)
     yi = jnp.clip((v * res).astype(jnp.int32), 0, res - 1)
-    tap = spot_esm.reshape(-1)[yi * res + xi]
+    tap = gather_row8(spot_esm.reshape(-1), yi * res + xi)
     lit = jnp.clip(tap * jnp.exp(jnp.clip(SPOT_ESM_C * ref, 0.0, 30.0)),
                    0.0, 1.0)
     return jnp.where(inside, lit, 1.0)
@@ -652,10 +653,12 @@ def shadow_factor_esm_fast(worldpos, esm, zmax, zscale, splits, shadowview,
         # ONE gather of an 8-byte pair row: [own map, next slice
         # pre-resampled onto this slice's grid] (build_esm_pair) —
         # cascade blending at the unblended path's gather count
-        row = esm_pair.reshape(-1, 2)[(s_sel * res + yi) * res + xi]
+        row = gather_pair8(esm_pair.reshape(-1, 2),
+                           (s_sel * res + yi) * res + xi)
         lit = lit_of(row[..., 0], inside, expt)
     else:
-        lit = lit_of(esm.reshape(-1)[(s_sel * res + yi) * res + xi],
+        lit = lit_of(gather_row8(esm.reshape(-1),
+                                 (s_sel * res + yi) * res + xi),
                      inside, expt)
     if blend_on:
         # fraction into the current slice's range, 0 at its near split
@@ -706,7 +709,8 @@ def shadow_factor_esm_fast(worldpos, esm, zmax, zscale, splits, shadowview,
         else:
             xin, yin, inn, exptn, _ = project_of(s_next, sel_next)
             lit_next = lit_of(
-                esm.reshape(-1)[(s_next * res + yin) * res + xin],
+                gather_row8(esm.reshape(-1),
+                            (s_next * res + yin) * res + xin),
                 inn, exptn)
         lit = lit + (lit_next - lit) * wgt
     return lit

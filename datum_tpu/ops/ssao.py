@@ -74,6 +74,15 @@ def hbao(depth, normal_enc, proj, view, *, params, prev_ao=None, prevview=None,
     yi = jnp.arange(h)[:, None]
     xi = jnp.arange(w)[None, :]
 
+    # padded STATIC slices instead of jnp.roll: each roll materialized a
+    # (h, w) copy x3 planes x 56 steps (~170 copy ops/frame); slices of
+    # one padded stack fuse into the consuming elementwise op for free.
+    # Out-of-bounds taps read the pad (zeros) and are neutralized by the
+    # same `inb` mask that previously neutralized roll wraparound.
+    M = max(LADDER)
+    pp = jnp.pad(position, ((M, M), (M, M), (0, 0)))
+    ppx, ppy, ppz = pp[..., 0], pp[..., 1], pp[..., 2]
+
     occ_sum = jnp.zeros((h, w), jnp.float32)
     for i in range(RAYS):
         dx_u, dy_u = float(kernel[i, 0]), float(kernel[i, 1])
@@ -83,9 +92,9 @@ def hbao(depth, normal_enc, proj, view, *, params, prev_ao=None, prevview=None,
             dy = int(round(dy_u * r))
             inb = ((yi + dy >= 0) & (yi + dy < h)
                    & (xi + dx >= 0) & (xi + dx < w))
-            hx = jnp.roll(px, (-dy, -dx), axis=(0, 1)) - px
-            hy = jnp.roll(py, (-dy, -dx), axis=(0, 1)) - py
-            hz = jnp.roll(pz, (-dy, -dx), axis=(0, 1)) - pz
+            hx = ppx[M + dy:M + dy + h, M + dx:M + dx + w] - px
+            hy = ppy[M + dy:M + dy + h, M + dx:M + dx + w] - py
+            hz = ppz[M + dy:M + dy + h, M + dx:M + dx + w] - pz
             hlen = jnp.sqrt(jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-12))
             # out-of-bounds taps wrap via roll; neutralize them entirely
             # (occl = top -> zero diff, horizon unchanged) so a wrapped

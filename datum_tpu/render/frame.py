@@ -667,12 +667,21 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
         from .renderlist import RenderList
 
         viewproj = (proj @ sceneset["view"]).astype(jnp.float32)
-        zero = jnp.zeros((h, w), jnp.float32)
-        acc5 = [zero, zero, zero, zero, 1.0 - zero]
         if geom is None:
             geom = device["geometry"]
-        if cfg.max_translucent_draws > 0 and (not cfg.translucent_lit
-                                              or lit_peel_full is not None):
+        tx_, ty_ = cfg.tiles_x, cfg.tiles_y
+        # ONE merged WBOIT stream: translucent residual triangles
+        # (depth-peeled behind the lit layers) and soft particle quads
+        # share one setup + binning + kernel walk — per-triangle row
+        # flags select the peel test / radial falloff per entry, saving
+        # a full sort + bins gather + kernel launch per frame vs the
+        # two-stream formulation
+        want_tr = cfg.max_translucent_draws > 0 and (
+            not cfg.translucent_lit or lit_peel_full is not None)
+        verts, uvs, cols, trilists, valids, softs, peels = \
+            [], [], [], [], [], [], []
+        vbase = 0
+        if want_tr:
             # unlit WBOIT: either ALL translucent fragments (v1 path) or
             # only the residual strictly behind the lit layers (peel)
             td = draws["translucent"]
@@ -686,52 +695,57 @@ def _shade_with_kernel(cfg, planes, device, sceneset, draws, ibl, shadowmaps,
                 td["world"], viewproj)
             tcol = device["materials"]["color"][td["material"][tex2["vtx_draw"]]]
             tuv = geom["texcoords"][tex2["src_v"]]
-            tx_, ty_ = cfg.tiles_x, cfg.tiles_y
-            tsetup = raster_ops.triangle_setup(tclip, tex2["tris"], w, gh,
-                                               tx_, ty_,
-                                               tri_valid=tex2["t_valid"])
-            tbins, tcounts, tbig = raster_ops.bin_triangles(
-                tsetup, cfg.max_translucent_tris, tx_, ty_,
-                cfg.forward_bin_capacity, cfg.forward_big_capacity)
-            if tile_ids is not None:
-                nloc = tile_ids.shape[0]
-                tbins = jax.lax.dynamic_slice_in_dim(tbins, tile_ids[0],
-                                                     nloc, 0)
-                tcounts = jax.lax.dynamic_slice_in_dim(tcounts, tile_ids[0],
-                                                       nloc, 0)
-            t5 = raster_blend_pallas(tsetup, tbins, tbig, tcounts,
-                                     tex2["tris"], tuv, tcol, depth,
-                                     tx_, ty_, w, gh, soft=False, planes=True,
-                                     interpret=cfg.pallas_interpret,
-                                     tile_ids=tile_ids,
-                                     peel_depth=lit_peel_full)
-            acc5 = [a + b for a, b in zip(acc5[:4], t5[:4])] + \
-                [acc5[4] * t5[4]]
+            nt = tex2["tris"].shape[0]
+            verts.append(tclip); uvs.append(tuv); cols.append(tcol)
+            trilists.append(tex2["tris"]); valids.append(tex2["t_valid"])
+            softs.append(jnp.zeros((nt,), jnp.float32))
+            peels.append(jnp.full((nt,), 1.0 if lit_peel_full is not None
+                                  else 0.0, jnp.float32))
+            vbase = tclip.shape[0]
         if cfg.max_particle_quads > 0:
             fwd = draws["forward"]
             fclip = fwd["positions"] @ viewproj[:, :3].T + viewproj[:, 3]
             ftris = jnp.asarray(RenderList.quad_triangles(
                 cfg.max_particle_quads))
-            tvalid = jnp.arange(ftris.shape[0]) < fwd["quad_count"] * 2
-            tx_, ty_ = cfg.tiles_x, cfg.tiles_y
-            fsetup = raster_ops.triangle_setup(fclip, ftris, w, gh, tx_, ty_,
-                                               tri_valid=tvalid)
-            fbins, fcounts, fbig = raster_ops.bin_triangles(
-                fsetup, ftris.shape[0], tx_, ty_, cfg.forward_bin_capacity,
-                cfg.forward_big_capacity)
+            nf = ftris.shape[0]
+            verts.append(fclip); uvs.append(fwd["uv"]); cols.append(fwd["color"])
+            trilists.append(ftris + vbase)
+            valids.append(jnp.arange(nf) < fwd["quad_count"] * 2)
+            softs.append(jnp.ones((nf,), jnp.float32))
+            peels.append(jnp.zeros((nf,), jnp.float32))
+        if not verts:
+            zero = jnp.zeros((h, w), jnp.float32)
+            verts = None
+            acc5 = (zero, zero, zero, zero, 1.0 - zero)
+        mclip = (None if verts is None else
+                 jnp.concatenate(verts) if len(verts) > 1 else verts[0])
+        if verts is not None:
+            muv = jnp.concatenate(uvs) if len(uvs) > 1 else uvs[0]
+            mcol = jnp.concatenate(cols) if len(cols) > 1 else cols[0]
+            mtris = (jnp.concatenate(trilists) if len(trilists) > 1
+                     else trilists[0])
+            mvalid = (jnp.concatenate(valids) if len(valids) > 1
+                      else valids[0])
+            msoft = jnp.concatenate(softs) if len(softs) > 1 else softs[0]
+            mpeel = jnp.concatenate(peels) if len(peels) > 1 else peels[0]
+            nstreams = len(verts)
+            msetup = raster_ops.triangle_setup(mclip, mtris, w, gh, tx_, ty_,
+                                               tri_valid=mvalid)
+            mbins, mcounts, mbig = raster_ops.bin_triangles(
+                msetup, mtris.shape[0], tx_, ty_,
+                cfg.forward_bin_capacity * nstreams,
+                cfg.forward_big_capacity * nstreams)
             if tile_ids is not None:
                 nloc = tile_ids.shape[0]
-                fbins = jax.lax.dynamic_slice_in_dim(fbins, tile_ids[0],
+                mbins = jax.lax.dynamic_slice_in_dim(mbins, tile_ids[0],
                                                      nloc, 0)
-                fcounts = jax.lax.dynamic_slice_in_dim(fcounts, tile_ids[0],
+                mcounts = jax.lax.dynamic_slice_in_dim(mcounts, tile_ids[0],
                                                        nloc, 0)
-            f5 = raster_blend_pallas(fsetup, fbins, fbig, fcounts,
-                                     ftris, fwd["uv"], fwd["color"],
-                                     depth, tx_, ty_, w, gh, planes=True,
-                                     interpret=cfg.pallas_interpret,
-                                     tile_ids=tile_ids)
-            acc5 = [a + b for a, b in zip(acc5[:4], f5[:4])] + \
-                [acc5[4] * f5[4]]
+            acc5 = raster_blend_pallas(
+                msetup, mbins, mbig, mcounts, mtris, muv, mcol, depth,
+                tx_, ty_, w, gh, soft="per_tri", planes=True,
+                interpret=cfg.pallas_interpret, tile_ids=tile_ids,
+                peel_depth=lit_peel_full, soft_flag=msoft, peel_flag=mpeel)
         # exposure on the color accumulators only (not the weight): the
         # kernel's resolve is rgb/weight — matching resolve_oit's
         # exposed average (reference forward shaders multiply by

@@ -17,6 +17,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compile cache: golden/frame tests compile minutes of
+# XLA:CPU each; repeat CI runs on an unchanged graph hit the cache and
+# the "not slow" tier fits the 10-minute 1-core budget.
+from datum_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
