@@ -1,6 +1,7 @@
 """Local environment probe boxes with box-projected parallax."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 
@@ -15,6 +16,7 @@ def test_ray_box_exit():
     assert t_out[2] < max(t_in[2], 0.0)     # box behind ray: no hit
 
 
+@pytest.mark.slow
 def test_probe_overrides_global_env():
     from datum_tpu.ops.common import FrameConfig
     from datum_tpu.render import Camera, RenderContext, RenderList, RenderParams

@@ -81,6 +81,7 @@ def test_decal_fast_path_matches_xla():
         f"decal not visible: {centre.mean(axis=(0, 1))}")
 
 
+@pytest.mark.slow
 def test_textured_decal_fast_path():
     cfg = _base_cfg(max_decals_active=2)
     img = _render(cfg, _decal_scene(textured=True))
@@ -132,6 +133,7 @@ def test_env_probe_fast_path_matches_xla():
     assert rmse < 0.04, f"probe fast-vs-XLA RMSE {rmse}"
 
 
+@pytest.mark.slow
 def test_env_probe_tints_fast_path():
     cfg = _base_cfg()
     with_p = _render(cfg, _probe_scene(with_probe=True))

@@ -111,6 +111,7 @@ def test_fused_attr_kernel_matches_deferred(rng):
     assert err.max() < 1e-3, err.max()
 
 
+@pytest.mark.slow
 def test_mxu_kernel_matches_v2(rng):
     """raster_shade_mxu (interpret) matches raster_shade_pallas."""
     import jax.numpy as jnp
@@ -232,6 +233,7 @@ def test_two_phase_kernel_matches_one_phase(rng):
             ref = out
 
 
+@pytest.mark.slow
 def test_early_z_exit_bit_identical(rng):
     """early_z on/off bit-exactness on a depth-complex stack of quads.
 

@@ -8,6 +8,7 @@ every consumer (sun factor, fog shadowing, sharded path)."""
 import dataclasses as dc
 
 import numpy as np
+import pytest
 
 from datum_tpu.scenes import datumtest_scene
 from datum_tpu.render.types import make_sceneset
@@ -33,6 +34,7 @@ def test_far_res_cascades_match_full_res():
     assert rmse < 0.02, f"mixed-res cascades diverge: RMSE {rmse:.4f}"
 
 
+@pytest.mark.slow
 def test_mixed_res_esm_shapes():
     import jax.numpy as jnp
 

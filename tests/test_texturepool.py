@@ -101,6 +101,7 @@ def test_wrap_repeat():
     np.testing.assert_allclose(np.asarray(a0), np.asarray(a1), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_frame_with_mip_filter_runs():
     """End-to-end: fused raster + mip_half material tap (interpret)."""
     from datum_tpu.ops.common import FrameConfig

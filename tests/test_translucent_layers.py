@@ -85,6 +85,7 @@ def test_second_layer_is_lit():
         f"rear blue quad not visible: {blue_gain:.4f} vs {blue_base:.4f}")
 
 
+@pytest.mark.slow
 def test_layers_beyond_two_fall_back_to_wboit():
     two = _render(_cfg(translucent_lit_layers=2), 2)
     three = _render(_cfg(translucent_lit_layers=2), 3)
@@ -125,6 +126,7 @@ def test_third_layer_is_lit():
         f"red lit 3rd layer not visible: {rg:.4f} vs {rg_no:.4f} without")
 
 
+@pytest.mark.slow
 def test_single_layer_unchanged_by_flag():
     # layers=2 with only ONE translucent surface must match layers=1
     one = _render(_cfg(translucent_lit_layers=1), 1)
