@@ -92,6 +92,23 @@ def ssr_binned(hdr_color, depth, normal_enc, spec_rgb, roughness, mask,
     hit_color = jnp.zeros((h, w, 3), jnp.float32)
     hit_r = jnp.zeros((h, w), jnp.float32)
 
+    # padded STATIC slices instead of jnp.roll (same rewrite as
+    # ops/ssao.py's ladder): each 2-axis roll lowered to slice+concat
+    # pairs that do NOT fuse — the K_BINS*len(STEPS) march carried 288
+    # rolls ≈ 575 standalone HBM-streaming dispatches per frame, the
+    # single biggest population of the frame's 5-100 us mid-band
+    # (profiling/hlo_census.py).  Slices of one padded plane fuse into
+    # the consuming elementwise step for free.  Out-of-bounds taps read
+    # the pad (zeros) and are rejected by the same `inb` mask that
+    # previously neutralized roll wraparound, and a wrapped (now
+    # padded) `prev_above` sample only matters at a LATER step of the
+    # same outward march, which is itself out of bounds — bit-identical
+    # results (test_pass_kernels.py::test_ssr_pad_slices_match_rolls).
+    M = int(STEPS[-1])
+    izp = jnp.pad(iz_scene, ((M, M), (M, M)))
+    dp = jnp.pad(depth, ((M, M), (M, M)))
+    cp = jnp.pad(hdr_color, ((M, M), (M, M), (0, 0)))
+
     for k in range(K_BINS):
         a = 2.0 * np.pi * k / K_BINS
         bx, by = np.cos(a), np.sin(a)
@@ -100,8 +117,8 @@ def ssr_binned(hdr_color, depth, normal_enc, spec_rgb, roughness, mask,
         for r in STEPS:
             dx = int(round(bx * r))
             dy = int(round(by * r))
-            sc_iz = jnp.roll(iz_scene, (-dy, -dx), axis=(0, 1))
-            sc_d = jnp.roll(depth, (-dy, -dx), axis=(0, 1))
+            sc_iz = izp[M + dy:M + dy + h, M + dx:M + dx + w]
+            sc_d = dp[M + dy:M + dy + h, M + dx:M + dx + w]
             inb = ((ii + dy >= 0) & (ii + dy < h)
                    & (jj + dx >= 0) & (jj + dx < w))
             ray_iz = iz0 + g * r
@@ -110,7 +127,7 @@ def ssr_binned(hdr_color, depth, normal_enc, spec_rgb, roughness, mask,
             crossed = (ray_iz <= sc_iz) & (ray_iz >= sc_iz - band) \
                 & (sc_d > 0) & inb & prev_above
             newhit = sel & crossed & (~hit)
-            sc_c = jnp.roll(hdr_color, (-dy, -dx), axis=(0, 1))
+            sc_c = cp[M + dy:M + dy + h, M + dx:M + dx + w]
             hit_color = jnp.where(newhit[..., None], sc_c, hit_color)
             hit_r = jnp.where(newhit, jnp.float32(r), hit_r)
             hit = hit | newhit

@@ -128,3 +128,49 @@ def test_fog_apply_matches_direct_trilinear():
     fog = f0 + (f1 - f0) * fz[..., None]
     ref = hdr * fog[..., 3:4] + fog[..., :3]
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=1e-4)
+
+
+def test_ssr_pad_slices_match_rolls():
+    """The pad-slice SSR march must be BIT-IDENTICAL to the original
+    jnp.roll formulation (out-of-bounds taps were roll-wrapped but
+    masked by `inb`; padded zeros are masked by the same test, and a
+    wrapped prev_above sample only matters at later steps of the same
+    outward march, which are themselves out of bounds)."""
+    from datum_tpu.ops import ssr2
+
+    rng = np.random.RandomState(7)
+    h, w = 64, 96
+    depth = jnp.asarray(np.where(rng.rand(h, w) < 0.15, 0.0,
+                                 rng.rand(h, w) * 0.9 + 0.05).astype(np.float32))
+    hdr = jnp.asarray(rng.rand(h, w, 3).astype(np.float32) * 3.0)
+    nenc = rng.rand(h, w, 3).astype(np.float32)
+    nenc /= np.linalg.norm(nenc * 2 - 1, axis=-1, keepdims=True) + 1e-6
+    normal_enc = jnp.asarray(nenc * 0.5 + 0.5 + 0.25)
+    spec = jnp.asarray(rng.rand(h, w, 3).astype(np.float32))
+    rough = jnp.asarray((rng.rand(h, w) * 0.6).astype(np.float32))
+    mask = jnp.asarray(rng.rand(h, w) < 0.8)
+    proj = jnp.asarray(np.array(
+        [[1.3, 0, 0, 0], [0, 2.2, 0, 0],
+         [0, 0, 0, 0.1], [0, 0, -1, 0]], np.float32))
+    view = jnp.eye(4, dtype=jnp.float32)
+
+    out_new = np.asarray(ssr2.ssr_binned(hdr, depth, normal_enc, spec,
+                                         rough, mask, proj, view))
+
+    # reference: the original roll-based march, inlined
+    import types
+    src = open(ssr2.__file__).read()
+    src = src.replace(
+        "sc_iz = izp[M + dy:M + dy + h, M + dx:M + dx + w]",
+        "sc_iz = jnp.roll(iz_scene, (-dy, -dx), axis=(0, 1))").replace(
+        "sc_d = dp[M + dy:M + dy + h, M + dx:M + dx + w]",
+        "sc_d = jnp.roll(depth, (-dy, -dx), axis=(0, 1))").replace(
+        "sc_c = cp[M + dy:M + dy + h, M + dx:M + dx + w]",
+        "sc_c = jnp.roll(hdr_color, (-dy, -dx), axis=(0, 1))")
+    mod = types.ModuleType("datum_tpu.ops._ssr2_rolls")
+    mod.__file__ = ssr2.__file__
+    mod.__package__ = "datum_tpu.ops"
+    exec(compile(src, ssr2.__file__, "exec"), mod.__dict__)
+    out_old = np.asarray(mod.ssr_binned(hdr, depth, normal_enc, spec,
+                                        rough, mask, proj, view))
+    np.testing.assert_array_equal(out_new, out_old)
