@@ -62,10 +62,16 @@ def shade_deferred(gbuffer, depth, sceneset, *, proj, invview,
                    ibl=None, env_specular=None, env_diffuse=None, envbrdf=None,
                    cluster=None, spotmaps=None, full_size=None, y0=0,
                    shadow_factor_scale=2, env_scale=2,
-                   shadow_slice_blend=0.0):
+                   shadow_slice_blend=0.0, up_to=None):
     """Main deferred shade.  Returns HDR color (H, W, 3) premultiplied by
     camera exposure (reference: lighting.comp:274-283 applies exposure at
-    the end of the lighting pass).  full_size/y0 support row-band shards."""
+    the end of the lighting pass).  full_size/y0 support row-band shards.
+
+    up_to(x, out_h, out_w): upsampler for the reduced-res factor/env
+    fields (default resize_up_dense).  Tile-sharded bands pass an
+    all-gather-upsample-slice closure — a band-local upsample edge-clamps
+    at band boundaries and diverges from the single-device frame (same
+    parity mechanism as frame._assemble_gplanes)."""
     h, w = depth.shape
     fh, fw = full_size if full_size is not None else (h, w)
     viewpos, worldpos = reconstruct_positions(depth, proj, invview, fw, fh, y0=y0)
@@ -134,8 +140,9 @@ def shade_deferred(gbuffer, depth, sceneset, *, proj, invview,
             bi = jnp.clip((rough_h * s).astype(jnp.int32), 0, s - 1)
             bj = jnp.clip((ndv_h * s).astype(jnp.int32), 0, s - 1)
             eb_h = flat_lut[bi * s + bj]
-            env_specular = resize_up_dense(spec_h, h, w)
-            envbrdf = resize_up_dense(eb_h, h, w)
+            _up = up_to if up_to is not None else resize_up_dense
+            env_specular = _up(spec_h, h, w)
+            envbrdf = _up(eb_h, h, w)
             # deepest specular mip ~ E(d)/pi (the GGX roughness-1
             # prefilter normalizes by sum N.L); probe_irradiance(sh)
             # evaluates E(d), so /pi matches the sampled path.  ddir is
@@ -225,7 +232,7 @@ def shade_deferred(gbuffer, depth, sceneset, *, proj, invview,
                                                 if len(shadowmaps) > 3
                                                 else None))
         from .blur import resize_up_dense
-        sf = resize_up_dense(sf_h, h, w)
+        sf = (up_to if up_to is not None else resize_up_dense)(sf_h, h, w)
     elif shadowmaps is not None:
         from .shadow import shadow_factor as _shadow_factor
         sf = _shadow_factor(worldpos, shadowmaps, ml["splits"], ml["shadowview"],

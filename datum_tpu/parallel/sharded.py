@@ -158,8 +158,7 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset,
         # ---- replicated light-space passes
         shadowmaps = None
         if cfg.enable_shadows:
-            from ..ops.shadow import (render_shadow_cascades, build_esm,
-                                      build_esm_pair)
+            from ..ops.shadow import render_shadow_cascades, build_esm
             raw = render_shadow_cascades(
                 worldp, ex["tris"], sceneset["mainlight"]["shadowview"],
                 res=cfg.shadow_res, bin_capacity=cfg.shadow_bin_capacity,
@@ -167,11 +166,10 @@ def _render_sharded_full(cfg: FrameConfig, mesh, device, draws, sceneset,
                 interpret=cfg.pallas_interpret,
                 far_res=(cfg.shadow_far_res if cfg.shadow_mode == "esm"
                          else None), early_z=cfg.raster_early_z)
+            # blend taps the next slice via affine constants (no pair
+            # table — see frame.py's matching note)
             shadowmaps = (build_esm(raw, sceneset["mainlight"]["shadowview"])
                           if cfg.shadow_mode == "esm" else raw)
-            if cfg.shadow_mode == "esm" and cfg.shadow_slice_blend > 0:
-                shadowmaps = shadowmaps + (build_esm_pair(
-                    shadowmaps[0], sceneset["mainlight"]["shadowview"]),)
 
         spotmaps = None
         if cfg.max_spot_shadows > 0:
@@ -525,7 +523,7 @@ def _render_sharded_reduced(cfg: FrameConfig, mesh, device, draws, sceneset):
         attrs = dict(uv=uv, normal=wnormal, tangent=wtangent)
 
         def shard_body(bins_shard, setup, big_ids, attrs, aux, materials,
-                       textures, sceneset, shadowmaps):
+                       textures, sceneset, shadowmaps, luts):
             # which band of tile-rows does this device own?
             dev = jax.lax.axis_index(axis)
             tiles_per_dev = (ty // n_dev) * tx
@@ -540,11 +538,25 @@ def _render_sharded_reduced(cfg: FrameConfig, mesh, device, draws, sceneset):
                 dict(material=aux["material"]), materials,
                 textures, w, h, y0=y0,
                 material_maps=cfg.enable_material_maps)
+            def up_to(x, oh, ow):
+                # all-gather-upsample-slice: the reduced-res factor/env
+                # fields upsample GLOBALLY and the band slices itself
+                # back out — a band-local upsample edge-clamps at band
+                # boundaries, and the composed upsample matrix has
+                # multi-row support so the clamp reached well into each
+                # band (max u8 diff 5, 38% of shadowed pixels off by
+                # 2-3 vs the single-device frame before this closure)
+                from ..ops.blur import resize_up_dense
+                full = _ag(x, axis, gather_axis=0, n_dev=n_dev,
+                           label="reduced_up")
+                up = resize_up_dense(full, n_dev * oh, ow)
+                return jax.lax.dynamic_slice_in_dim(up, dev * oh, oh, 0)
+
             hdr = lighting_pass.shade_deferred(
                 gbuffer, depth, sceneset, proj=sceneset["proj"],
                 invview=sceneset["invview"],
                 shadowmaps=shadowmaps if cfg.enable_shadows else None,
-                full_size=(h, w), y0=y0)
+                full_size=(h, w), y0=y0, up_to=up_to)
 
             # log-average luminance over the *visible* (uncropped) pixels
             lum = _band_luminance(hdr, y0, cfg, axis)
@@ -580,8 +592,13 @@ def _render_sharded_reduced(cfg: FrameConfig, mesh, device, draws, sceneset):
                 bloom_img = up[4 * halo:4 * halo + hdr.shape[0]]
                 bloom_img = bloom_img * sceneset["camera"]["bloomstrength"]
 
+            # color grading must match the single-device composite
+            # (its omission showed as a uniform few-count u8 shift on
+            # every covered pixel vs frame.render_frame)
             rgb = composite_ops.composite(hdr, 1.0, bloom=bloom_img,
-                                          bloom_strength=1.0)
+                                          bloom_strength=1.0,
+                                          lut=luts.get("lut"),
+                                          lut_poly=luts.get("lut_poly"))
             image = composite_ops.to_u8_image(rgb)
             return image, lum[None]
 
@@ -589,14 +606,20 @@ def _render_sharded_reduced(cfg: FrameConfig, mesh, device, draws, sceneset):
                    material=draws["material"])
         if shadowmaps is None:
             shadowmaps = jnp.zeros((1, 1, 1), jnp.float32)
+        luts = {}
+        if cfg.enable_color_grading:
+            if device.get("colorlut") is not None:
+                luts["lut"] = device["colorlut"]
+            if device.get("colorlut_poly") is not None:
+                luts["lut_poly"] = device["colorlut_poly"]
         sharded = shard_map(
             shard_body, mesh=mesh,
-            in_specs=(P(axis), P(), P(), P(), P(), P(), P(), P(), P()),
+            in_specs=(P(axis), P(), P(), P(), P(), P(), P(), P(), P(), P()),
             out_specs=(P(axis), P(axis)),
         )
         image, lum = sharded(bins, setup, big_ids, attrs, aux,
                              device["materials"], device["textures"], sceneset,
-                             shadowmaps)
+                             shadowmaps, luts)
         return dict(image=image[:cfg.height, :cfg.width], luminance=lum[0],
                     bin_overflow=overflow)
 

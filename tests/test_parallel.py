@@ -41,11 +41,13 @@ def test_sharded_matches_single_device():
     img_a = np.asarray(single["image"])
     img_b = np.asarray(sharded["image"])
     assert img_a.shape == img_b.shape
-    # near-identical: the half-res shadow upsample clamps at shard band
-    # edges, allowing a few low-amplitude seam pixels
+    # exact since round 5: the reduced path's factor/env upsamples ride
+    # all-gather-upsample-slice closures and the composite applies the
+    # same grading LUT as the single-device frame (measured max diff 0;
+    # <=1 leaves rounding headroom across XLA versions)
     mismatch = np.abs(img_a.astype(int) - img_b.astype(int)).max(-1)
-    assert mismatch.max() <= 4, f"max diff {mismatch.max()}"
-    assert (mismatch > 1).mean() < 1e-3, f"{(mismatch > 1).sum()} seam pixels"
+    assert mismatch.max() <= 1, f"max diff {mismatch.max()}"
+    assert (mismatch > 0).mean() < 1e-3, f"{(mismatch > 0).sum()} seam pixels"
     assert abs(float(single["luminance"]) - float(sharded["luminance"])) < 1e-3
 
 
