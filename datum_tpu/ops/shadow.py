@@ -578,7 +578,7 @@ def shadow_factor(worldpos, shadowmaps, splits, shadowview, view_dist,
 
 def shadow_factor_esm_fast(worldpos, esm, zmax, zscale, splits, shadowview,
                            view_dist, normal=None, slice_blend=0.0,
-                           esm_pair=None):
+                           esm_pair=None, affine_next=True):
     """Single-gather ESM factor: per-pixel cascade chosen arithmetically,
     then ONE combined nearest tap from the stacked maps.
 
@@ -589,11 +589,15 @@ def shadow_factor_esm_fast(worldpos, esm, zmax, zscale, splits, shadowview,
     (lighting.comp:63-95 blends slice N into N+1 over the tail of each
     split range): a second tap from the next slice, mixed over the last
     `slice_blend` fraction of the slice — hides resolution seams at
-    cascade boundaries.  With `esm_pair` (build_esm_pair: each slice
-    packed with its successor resampled onto its own grid) the blend
-    needs no extra gather: ONE 8-byte pair row replaces two 4-byte taps
-    — TPU gather cost is per ROW, not per byte, so reference-parity
-    blending comes at the unblended path's gather budget.
+    cascade boundaries.  Default blend path (`affine_next`): the next
+    slice's clip coords come from per-slice affine constants (sun
+    cascades share axes) and the second tap is one more ~0.2 ms row
+    gather.  `esm_pair` (build_esm_pair) packs both slices into one
+    8-byte row instead — kept as an alternate path, but on v5e it
+    measured WORSE: the pair table rebuilds every frame (~3.4 ms of
+    einsum resample) and the pair gather traced ~3x a plain row gather
+    (round-5 trace, PERF.md).  `affine_next=False` falls back to the
+    fully general second projection (cascades with unrelated axes).
     """
     nslices, res, _ = esm.shape
     # monotonic splits -> slice index = count of splits below the distance
@@ -650,9 +654,12 @@ def shadow_factor_esm_fast(worldpos, esm, zmax, zscale, splits, shadowview,
     blend_on = slice_blend > 0 and nslices > 1
 
     if esm_pair is not None and blend_on:
-        # ONE gather of an 8-byte pair row: [own map, next slice
-        # pre-resampled onto this slice's grid] (build_esm_pair) —
-        # cascade blending at the unblended path's gather count
+        # pair-row mode (build_esm_pair): one 8-byte gather carries
+        # both slices.  KEPT AS AN ALTERNATE PATH ONLY — on v5e the
+        # pair-table build traced at ~3.4 ms/frame (the einsum
+        # resample re-runs every frame) and the pair gather at
+        # ~0.67 ms/call vs gather_row8's ~0.2, so the round-5 default
+        # is affine_next below (PERF.md round-5).
         row = gather_pair8(esm_pair.reshape(-1, 2),
                            (s_sel * res + yi) * res + xi)
         lit = lit_of(row[..., 0], inside, expt)
@@ -677,7 +684,7 @@ def shadow_factor_esm_fast(worldpos, esm, zmax, zscale, splits, shadowview,
                 out = jnp.where(s_next == s, table[s], out)
             return out
 
-        if esm_pair is not None:
+        if esm_pair is not None or affine_next:
             # sun cascades share axes, so the NEXT slice's clip coords
             # are affine in this slice's: a per-slice constants table
             # replaces the whole second projection (12 matrix selects +
@@ -705,7 +712,22 @@ def shadow_factor_esm_fast(worldpos, esm, zmax, zscale, splits, shadowview,
                 * sel_shift(znorm) * 2.0
             exptn = jnp.exp(jnp.clip(-ESM_C * (drefn - biasn),
                                      -20.0, 20.0))
-            lit_next = lit_of(row[..., 1], inn, exptn)
+            if esm_pair is not None:
+                lit_next = lit_of(row[..., 1], inn, exptn)
+            else:
+                # round-5 default: tap the NEXT slice's own map at the
+                # affine-projected coords — a second ~0.2 ms row
+                # gather, with NO per-frame pair-table build and no
+                # resample blur (the pair row's slot 1 was the next
+                # map pulled through a bilinear resample)
+                xin = jnp.clip(((cxn * 0.5 + 0.5) * res).astype(jnp.int32),
+                               0, res - 1)
+                yin = jnp.clip(((cyn * 0.5 + 0.5) * res).astype(jnp.int32),
+                               0, res - 1)
+                lit_next = lit_of(
+                    gather_row8(esm.reshape(-1),
+                                (s_next * res + yin) * res + xin),
+                    inn, exptn)
         else:
             xin, yin, inn, exptn, _ = project_of(s_next, sel_next)
             lit_next = lit_of(

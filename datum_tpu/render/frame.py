@@ -914,8 +914,7 @@ def _frame(cfg: FrameConfig, device, draws, sceneset, prev=None):
     # shadow cascades (reference: renderer.cpp:6458-6473 SHADOW pass)
     shadowmaps = None
     if cfg.enable_shadows:
-        from ..ops.shadow import (render_shadow_cascades, build_esm,
-                                  build_esm_pair)
+        from ..ops.shadow import render_shadow_cascades, build_esm
         raw = render_shadow_cascades(
             worldp, ex["tris"], sceneset["mainlight"]["shadowview"],
             res=cfg.shadow_res, bin_capacity=cfg.shadow_bin_capacity,
@@ -924,11 +923,11 @@ def _frame(cfg: FrameConfig, device, draws, sceneset, prev=None):
             far_res=(cfg.shadow_far_res if cfg.shadow_mode == "esm"
                      else None), early_z=cfg.raster_early_z)
         if cfg.shadow_mode == "esm":
+            # cascade-boundary blending taps the next slice directly
+            # via affine constants (shadow_factor_esm_fast affine_next)
+            # — the round-4 pair-row table rebuilt a ~3.4 ms/frame
+            # einsum resample and its gather traced 3x a plain row tap
             shadowmaps = build_esm(raw, sceneset["mainlight"]["shadowview"])
-            if cfg.shadow_slice_blend > 0:
-                # pair rows make the cascade blend gather-neutral
-                shadowmaps = shadowmaps + (build_esm_pair(
-                    shadowmaps[0], sceneset["mainlight"]["shadowview"]),)
         else:
             shadowmaps = raw
 
