@@ -305,7 +305,19 @@ def bin_triangles(setup, n_tris, tiles_x, tiles_y, bin_capacity, big_capacity,
     skey = jnp.sort(key.reshape(-1))
     sorted_tile = (skey >> shift).astype(jnp.int32)
 
-    starts = jnp.searchsorted(sorted_tile, jnp.arange(n_tiles + 1, dtype=jnp.int32))
+    L = sorted_tile.shape[0]
+    if (n_tiles + 1) * L <= (1 << 28):
+        # starts[t] = #{keys < t} as a dense broadcast-compare reduce:
+        # XLA lowers searchsorted to a serial while loop (~0.5 ms/frame
+        # across the frame's binning calls on v5e; cf. _bucketize in
+        # render/frame.py).  Guarded by output size — the stress-scale
+        # shadow stacks (4k tiles x 1M pair rows) stay on searchsorted.
+        starts = jnp.sum(sorted_tile[None, :]
+                         < jnp.arange(n_tiles + 1, dtype=jnp.int32)[:, None],
+                         axis=1).astype(jnp.int32)
+    else:
+        starts = jnp.searchsorted(sorted_tile,
+                                  jnp.arange(n_tiles + 1, dtype=jnp.int32))
     raw_counts = starts[1:] - starts[:-1]
     counts = jnp.minimum(raw_counts, bin_capacity)
 

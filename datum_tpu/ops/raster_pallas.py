@@ -205,13 +205,20 @@ def pack_tile_setup_attrs(setup, bins, big_ids, tris, uv, normal, tri_material,
     adj = row16[:, :9].reshape(T, 3, 3)
 
     def num_coef_batch(vA):
-        """(T, 3, A) vertex attrs -> (T, A*3) numerator coeffs, ONE MXU
-        contraction (attr-major: [a0c0 a0c1 a0c2 a1c0 ...], the same
-        layout as concatenating per-attr 'tic,ti->tc' einsums)."""
+        """(T, 3, A) vertex attrs -> (T, A*3) numerator coeffs
+        (attr-major: [a0c0 a0c1 a0c2 a1c0 ...]).
+
+        Lane-parallel FMAs over (T,) columns, NOT an einsum: the
+        batched (3, 3) @ (3, A) contraction lowered to tiny per-T
+        matmuls that pad the 3-dims onto the MXU — 0.95 ms/frame at
+        HIGHEST precision in the round-5 trace vs ~0.05 for 3 f32
+        FMAs per output column on the VPU (exact f32 either way)."""
         T_, _, A = vA.shape
-        return jnp.einsum("tic,tia->tac", adj, vA,
-                          precision=jax.lax.Precision.HIGHEST
-                          ).reshape(T_, A * 3)
+        cols = [adj[:, 0, c] * vA[:, 0, a]
+                + adj[:, 1, c] * vA[:, 1, a]
+                + adj[:, 2, c] * vA[:, 2, a]
+                for a in range(A) for c in range(3)]
+        return jnp.stack(cols, -1)                        # (T, A*3)
 
     uv_v = uv[tris]                                   # (T, 3, 2)
     n_v = normal[tris]                                # (T, 3, 3)
