@@ -208,17 +208,20 @@ def pack_tile_setup_attrs(setup, bins, big_ids, tris, uv, normal, tri_material,
         """(T, 3, A) vertex attrs -> (T, A*3) numerator coeffs
         (attr-major: [a0c0 a0c1 a0c2 a1c0 ...]).
 
-        Lane-parallel FMAs over (T,) columns, NOT an einsum: the
-        batched (3, 3) @ (3, A) contraction lowered to tiny per-T
-        matmuls that pad the 3-dims onto the MXU — 0.95 ms/frame at
-        HIGHEST precision in the round-5 trace vs ~0.05 for 3 f32
-        FMAs per output column on the VPU (exact f32 either way)."""
+        ONE broadcast-multiply-reduce fusion, NOT an einsum and NOT
+        per-column FMAs: the batched (3, 3) @ (3, A) contraction
+        lowered to tiny per-T matmuls that pad the 3-dims onto the MXU
+        (0.95 ms/frame at HIGHEST precision in the round-5 trace); the
+        per-column Python list lowered to ~64 tiny unfused (T,) VPU
+        dispatches (~1.6 ms aggregate in trace r5b — dispatch-bound,
+        worse than the einsum it replaced).  The broadcast form sums k
+        in one 3-element reduce — f32-exact to ~1 ulp of the FMA chain
+        (measured max 1e-6 abs on unit-scale coeffs; the reduce may
+        reassociate) — and XLA emits a single loop fusion."""
         T_, _, A = vA.shape
-        cols = [adj[:, 0, c] * vA[:, 0, a]
-                + adj[:, 1, c] * vA[:, 1, a]
-                + adj[:, 2, c] * vA[:, 2, a]
-                for a in range(A) for c in range(3)]
-        return jnp.stack(cols, -1)                        # (T, A*3)
+        # out[t, a, c] = sum_k adj[t, k, c] * vA[t, k, a]
+        prod = vA[:, :, :, None] * adj[:, :, None, :]     # (T, 3, A, 3)
+        return jnp.sum(prod, axis=1).reshape(T_, A * 3)   # (T, A*3)
 
     uv_v = uv[tris]                                   # (T, 3, 2)
     n_v = normal[tris]                                # (T, 3, 3)

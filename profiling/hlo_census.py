@@ -99,12 +99,33 @@ def report(txt, top=45):
         if not in_entry:
             continue
         s = line.strip()
-        m = re.match(r"(%?[\w.\-]+)\s*=\s*(\([^)]*\)|[\w\[\]{},\d]+)\s+(\w+)",
-                     s)
+        if " = " not in s:
+            continue
+        rhs = s.split(" = ", 1)[1]
+        # shape token: either a (tuple, of, shapes) — find the matching
+        # close paren — or a single space-free token (layout annotations
+        # like {1,0:T(8,128)S(1)} contain no spaces)
+        if rhs.startswith("("):
+            depth = 0
+            end = 0
+            for i, ch in enumerate(rhs):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        end = i + 1
+                        break
+            shape, rest = rhs[:end], rhs[end:].lstrip()
+        else:
+            parts = rhs.split(None, 1)
+            if len(parts) < 2:
+                continue
+            shape, rest = parts[0], parts[1]
+        m = re.match(r"([\w\-]+)", rest)
         if not m:
             continue
-        opname = m.group(3)
-        shape = m.group(2)
+        opname = m.group(1)
         meta = re.search(r'metadata=\{[^}]*source_file="([^"]+)"'
                          r'[^}]*source_line=(\d+)', s)
         src = (f"{meta.group(1).split('/')[-1]}:{meta.group(2)}"
