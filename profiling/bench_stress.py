@@ -122,7 +122,9 @@ if __name__ == "__main__":
     enable_compilation_cache()
 
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    cap = int(os.environ.get("DATUM_STRESS_CAP", "768"))
+    # 768 measured 3357 overflow entries (0.86%) at 1080p dense density
+    # (PERF.md round-5 stress row); 1024 is sized to absorb that tail
+    cap = int(os.environ.get("DATUM_STRESS_CAP", "1024"))
     if which in ("lights", "all"):
         run("128 lights, dense loop", use_light_clusters=False)
         run("128 lights, clustered cap64", use_light_clusters=True,
